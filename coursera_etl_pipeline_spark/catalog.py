@@ -1,0 +1,45 @@
+"""Table catalog: parquet datasets -> DataFrames + temp views.
+
+The reference treats "a table" as a prefix-named set of objects on GCS
+(transform-service/main.py:84-88); here a table is a parquet dataset
+path. Loading registers temp views so both the DataFrame API and
+spark.sql() address the same relations — one catalog, two surfaces.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One table: a vectorized parquet scan with pushdown/pruning free
+    via Catalyst (PushedFilters/ReadSchema in .explain)."""
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    """Load every fixture table present under sf_dir and register each
+    as a temp view (idempotent; cheap — schema-only until an action)."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = table_path(sf_dir, name)
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

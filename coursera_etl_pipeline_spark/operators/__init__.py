@@ -1,0 +1,8 @@
+"""Relational operator pack (SURVEY §2.2).
+
+Importing this package registers every relational query in the
+registry. Modules: relational (filters/joins/aggs/sorts/setops),
+windows (ranking/analytic/frames), scalars (string/date/math/json).
+"""
+
+from coursera_etl_pipeline_spark.operators import relational, scalars, windows  # noqa: F401

@@ -1,0 +1,50 @@
+"""SparkSession bootstrap.
+
+Tuned for correctness-vs-DuckDB parity (UTC session timezone) and for
+scale-out behavior that survives a 1000-executor cluster: AQE handles
+runtime partition coalescing / skew-join splitting / broadcast
+conversion, so the same logical plans re-plan themselves at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "coursera_etl_pipeline_spark",
+              cpus: str | int | None = None) -> SparkSession:
+    """Create (or fetch) the tuned SparkSession.
+
+    Config rationale (each survives scale-up):
+      - AQE on: runtime shuffle-partition coalescing, skew-join
+        splitting, sort-merge->broadcast conversion.
+      - shuffle.partitions ~= cores locally; on a real cluster AQE's
+        coalescing makes the static number mostly irrelevant.
+      - session timezone UTC: parquet timestamps compare bit-identical
+        with the DuckDB oracle.
+      - Arrow on: vectorized createDataFrame/toPandas and pandas UDFs.
+    """
+    cpus = str(cpus or DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.default.parallelism", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.spill.compress", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
