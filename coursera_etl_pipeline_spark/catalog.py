@@ -30,6 +30,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register the named tables as temp views (for spark.sql queries).
+
+    Re-registration is idempotent and schema-only; queries re-register
+    per call so the same session can serve multiple sf_dirs."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 def load_tables(spark: SparkSession, sf_dir: str,
                 names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     """Load every fixture table present under sf_dir and register each

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from coursera_etl_pipeline_spark.catalog import load_table
+from coursera_etl_pipeline_spark.catalog import load_table, views
 from coursera_etl_pipeline_spark.registry import davg, dsum, query
 
 
@@ -64,3 +64,452 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Filters / predicates (SURVEY §2.2 — absent in reference beyond O2/O9;
+# full predicate grammar here: =, <, >, IN, LIKE, BETWEEN, AND/OR/NOT).
+# The filter is pushed into the parquet scan (PushedFilters in explain).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q2_filter_predicates",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'P')
+      AND o_orderpriority LIKE '3-%'
+      AND o_totalprice BETWEEN 10000 AND 150000
+      AND NOT (o_custkey % 7 = 0 OR o_totalprice < 20000)
+      AND o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+    """,
+)
+def q2_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "P")
+        & F.col("o_orderpriority").like("3-%")
+        & F.col("o_totalprice").between(10000, 150000)
+        & ~((F.col("o_custkey") % 7 == 0) | (F.col("o_totalprice") < 20000))
+        & (F.col("o_orderdate") >= F.lit("1997-06-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Joins. Catalyst picks broadcast-hash for the dimension sides; fact-fact
+# joins shuffle once on the key. AQE converts to broadcast at runtime when
+# a filtered side turns out small, and splits skewed partitions.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> two equi-joins -> agg -> top-k.
+    Plans as TakeOrderedAndProject over a partial-agg'd join tree."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.expr(dsum("l_extendedprice * (1 - l_discount)")).alias("revenue"))
+        .select("l_orderkey", "revenue",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join. All dimensions broadcast; only
+    lineitem x orders shuffles. The c_nationkey = s_nationkey condition
+    rides along the supplier join (no extra shuffle)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.expr(dsum("l_extendedprice * (1 - l_discount)")).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle=f"""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+           COALESCE({dsum('o_totalprice')}, 0.0) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"),
+             F.coalesce(F.expr(dsum("o_totalprice")), F.lit(0.0)).alias("total_spend"))
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal < -900
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") < -900)
+    o = load_table(spark, sf_dir, "orders")
+    return (o.join(c, o.o_custkey == c.c_custkey, "right")
+            .select("c_custkey", "c_name", "o_orderkey"))
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer WHERE c_acctbal > 9990),
+         sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier WHERE s_acctbal > 9000)
+    SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+           (cn.nk IS NOT NULL) AS has_rich_customer,
+           (sn.nk IS NOT NULL) AS has_rich_supplier
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = (load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9990)
+          .select(F.col("c_nationkey").alias("nk")).distinct())
+    sn = (load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000)
+          .select(F.col("s_nationkey").alias("snk")).distinct())
+    return (
+        cn.join(sn, cn.nk == sn.snk, "full")
+        .select(F.coalesce("nk", "snk").alias("nationkey"),
+                F.col("nk").isNotNull().alias("has_rich_customer"),
+                F.col("snk").isNotNull().alias("has_rich_supplier"))
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+                    AND o_totalprice > 250000)
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 250000))
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_mktsegment"))
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, st.o_orderstatus AS orderstatus
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) st
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of two tiny relations — BroadcastNestedLoopJoinExec;
+    never do this with two large sides (the LLM-ops ANN path buckets
+    instead of cross-joining for exactly this reason)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    st = (load_table(spark, sf_dir, "orders")
+          .select(F.col("o_orderstatus").alias("orderstatus")).distinct())
+    return r.crossJoin(st)
+
+
+@query(
+    "join_nonequi_range",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('low', 0.0, 10.0), ('mid', 10.0, 30.0), ('high', 30.0, 1e9)
+    )
+    SELECT band, COUNT(*) AS n, {dsum('l_extendedprice')} AS band_price
+    FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY band
+    ORDER BY band
+    """,
+)
+def join_nonequi_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join: fact joined to a tiny band table on an
+    interval predicate -> BroadcastNestedLoopJoin (small side broadcast,
+    so the fact table never shuffles)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 30.0), ("high", 30.0, 1e9)],
+        "band string, lo double, hi double")
+    return (
+        li.join(F.broadcast(bands),
+                (li.l_quantity >= bands.lo) & (li.l_quantity < bands.hi))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.expr(dsum("l_extendedprice")).alias("band_price"))
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations: distinct, cube/rollup/grouping sets, pivot.
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_distinct_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.expr("CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)")
+        .alias("sum_distinct_qty"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT year(o_orderdate) AS order_year, o_orderstatus,
+           COUNT(*) AS n, {dsum('o_totalprice')} AS total
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_year", F.year("o_orderdate"))
+        .rollup("order_year", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.expr(dsum("o_totalprice")).alias("total"))
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {dsum('l_quantity')} AS qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.expr(dsum("l_quantity")).alias("qty"))
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, {dsum('l_extendedprice')} AS price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus, {dsum('l_extendedprice')} AS price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+@query(
+    "agg_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O,
+           {dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot = groupBy().pivot(values).agg — with values listed so Spark
+    skips the extra distinct-scan job (matters at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.expr(dsum("l_quantity")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k (O20 LIMIT, README.md:134; O9 top-1). Top-k
+# plans as TakeOrderedAndProject: per-partition heap + driver merge —
+# no global sort shuffle.
+# ---------------------------------------------------------------------------
+
+@query(
+    "sort_topk",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    ORDER BY c_acctbal DESC, c_custkey LIMIT 15
+    """,
+)
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (c.select("c_custkey", "c_name", "c_acctbal")
+            .orderBy(F.desc("c_acctbal"), F.asc("c_custkey")).limit(15))
+
+
+@query(
+    "sort_multi_key",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, o_orderkey, o_totalprice
+    FROM orders WHERE o_totalprice > 400000
+    ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+    """,
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global multi-key sort -> range-partitioned exchange + per-partition
+    sort (SortExec); only the filtered subset shuffles."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.filter(F.col("o_totalprice") > 400000)
+            .select("o_orderpriority", "o_orderstatus", "o_orderkey", "o_totalprice")
+            .orderBy(F.asc("o_orderpriority"), F.desc("o_totalprice"), F.asc("o_orderkey")))
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.2: O4 is a bag union; engine exposes the
+# full set-op surface).
+# ---------------------------------------------------------------------------
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT nk, kind FROM (
+      SELECT c_nationkey AS nk, 'cust' AS kind FROM customer WHERE c_acctbal > 9995
+      UNION ALL
+      SELECT s_nationkey AS nk, 'supp' AS kind FROM supplier WHERE s_acctbal > 9900
+    )
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9995)
+         .select(F.col("c_nationkey").alias("nk"), F.lit("cust").alias("kind")))
+    s = (load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9900)
+         .select(F.col("s_nationkey").alias("nk"), F.lit("supp").alias("kind")))
+    return c.unionByName(s)
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9990
+    UNION
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 9500
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9990)
+         .select(F.col("c_nationkey").alias("nk")))
+    s = (load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9500)
+         .select(F.col("s_nationkey").alias("nk")))
+    return c.union(s).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9900
+    INTERSECT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9900)
+         .select(F.col("c_nationkey").alias("nk")))
+    s = (load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
+         .select(F.col("s_nationkey").alias("nk")))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT n_nationkey AS nk FROM nation
+    EXCEPT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nk"))
+    s = (load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
+         .select(F.col("s_nationkey").alias("nk")))
+    return n.exceptAll(s).distinct()
