@@ -26,7 +26,19 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One table: a vectorized parquet scan with pushdown/pruning free
-    via Catalyst (PushedFilters/ReadSchema in .explain)."""
+    via Catalyst (PushedFilters/ReadSchema in .explain).
+
+    `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects by
+    default; read it as nanos-since-epoch (legacy conf) and convert to
+    a microsecond TimestampType — floor division, matching DuckDB's
+    ns->us truncation, so oracle values stay bit-identical."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(table_path(sf_dir, name))
+        # integer div — float division would lose precision on 1.7e18 ns
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

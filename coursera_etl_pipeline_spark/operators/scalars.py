@@ -1,7 +1,211 @@
-"""Scalar function pack (string/date/math/array/map/JSON) — SURVEY §2.2.
+"""Scalar function pack: string / date / math / array / JSON / conditional.
 
-Populated incrementally; every function stays inside whole-stage
-codegen (built-in pyspark.sql.functions, no Python UDFs).
+SURVEY §2.2 "Scalar functions": the reference uses string join/concat
+(O12/O13, transform-service/main.py:107-110), timestamp formatting
+(extract-service/main.py:218), lexicographic comparison (O9), and
+null-coalescing (O15, transform-service/main.py:123-128). The engine
+exposes Spark's whole built-in library; every expression here stays
+inside whole-stage codegen (no Python UDFs).
+
+Oracle parity notes: DuckDB spellings differ (strftime vs date_format,
+list_* vs array_*, json_extract_string vs get_json_object) — each
+query keeps the two dialects semantically identical and casts
+floor/ceil/size results to the same integer type.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from coursera_etl_pipeline_spark.catalog import load_table
+from coursera_etl_pipeline_spark.registry import dsum, query
+
+
+@query(
+    "scalar_string_pack",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                                   AS name_upper,
+           lower(c_mktsegment)                             AS seg_lower,
+           substr(c_name, 1, 8)                            AS name_prefix,
+           length(c_name)                                  AS name_len,
+           concat_ws('|', c_mktsegment, c_name)            AS seg_name,
+           replace(c_name, '#', '-')                       AS name_dash,
+           trim(lpad(c_name, 25, ' '))                     AS name_trimmed,
+           regexp_extract(c_name, '([0-9]+)', 1)           AS name_digits,
+           (c_name LIKE 'Customer#%')                      AS is_std_name,
+           reverse(c_mktsegment)                           AS seg_rev
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
+def scalar_string_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("seg_name"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dash"),
+        F.trim(F.lpad("c_name", 25, " ")).alias("name_trimmed"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.col("c_name").like("Customer#%").alias("is_std_name"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+    )
+
+
+@query(
+    "scalar_date_pack",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                                        AS order_year,
+           month(o_orderdate)                                       AS order_month,
+           day(o_orderdate)                                         AS order_day,
+           CAST(dayofweek(o_orderdate) AS INTEGER)                  AS order_dow,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')   AS month_start,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')      AS due_date,
+           date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS days_to_y2k,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           CAST(quarter(o_orderdate) AS INTEGER)                    AS order_quarter
+    FROM orders WHERE o_orderkey <= 3000
+    """,
+)
+def scalar_date_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar functions. Dialect traps: Spark dayofweek is
+    1=Sunday while DuckDB is 0=Sunday (hence the -1 below), and
+    datediff argument order flips between the two dialects."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("order_dow"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate")).alias("days_to_y2k"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+    )
+
+
+@query(
+    "scalar_math_pack",
+    oracle="""
+    SELECT p_partkey,
+           abs(p_retailprice - 1000.0)                   AS price_dev,
+           round(p_retailprice / 7, 3)                   AS price_div,
+           CAST(floor(p_retailprice) AS BIGINT)          AS price_floor,
+           CAST(ceil(p_retailprice) AS BIGINT)           AS price_ceil,
+           p_size % 5                                    AS size_mod,
+           round(sqrt(p_retailprice), 6)                 AS price_sqrt,
+           round(ln(p_retailprice + 1), 6)               AS price_ln,
+           round(pow(p_size, 2), 1)                      AS size_sq,
+           greatest(p_size, 25)                          AS size_hi,
+           least(p_size, 25)                             AS size_lo,
+           CAST(sign(p_retailprice - 1200.0) AS INTEGER) AS price_sign
+    FROM part WHERE p_partkey <= 400
+    """,
+)
+def scalar_math_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 400)
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_retailprice") - 1000.0).alias("price_dev"),
+        F.round(F.col("p_retailprice") / 7, 3).alias("price_div"),
+        F.floor("p_retailprice").cast("bigint").alias("price_floor"),
+        F.ceil("p_retailprice").cast("bigint").alias("price_ceil"),
+        (F.col("p_size") % 5).alias("size_mod"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("p_retailprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow("p_size", F.lit(2)), 1).alias("size_sq"),
+        F.greatest("p_size", F.lit(25)).alias("size_hi"),
+        F.least("p_size", F.lit(25)).alias("size_lo"),
+        F.signum(F.col("p_retailprice") - 1200.0).cast("int").alias("price_sign"),
+    )
+
+
+@query(
+    "scalar_json_pack",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           {dsum("CAST(json_extract_string(props, '$.k') AS INTEGER)")} AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER))      AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER))      AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def scalar_json_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (get_json_object) over the events.props
+    JSON-string column — the engine-side equivalent of navigating the
+    reference's JSON tree (O3, extract-service/main.py:167-172)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.expr(dsum("k")).alias("sum_k"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"))
+    )
+
+
+@query(
+    "scalar_array_pack",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER)                AS n_tokens,
+           list_contains(string_split(text, ' '), 'data')               AS has_data,
+           array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS head5,
+           string_split(text, ' ')[1]                                   AS first_token,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens
+    FROM documents WHERE doc_id <= 200
+    """,
+)
+def scalar_array_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over tokenized text — split/size/contains/slice/
+    array_join generalize O12/O13 (array<struct>->string at
+    transform-service/main.py:107-110)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "data").alias("has_data"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("head5"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+@query(
+    "scalar_conditional_pack",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'rich' END                          AS wealth_band,
+           COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'N/A') AS seg_or_na,
+           (CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE c_acctbal END IS NULL) AS masked,
+           IF(c_acctbal >= 0, c_acctbal, 0.0)            AS bal_floor0
+    FROM customer WHERE c_custkey <= 500
+    """,
+)
+def scalar_conditional_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/COALESCE/NULLIF — the O15 null-default-fill semantics
+    (transform-service/main.py:123-128 'N/A' sentinel) as expressions."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("rich").alias("wealth_band"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("MACHINERY")), F.lit("N/A")).alias("seg_or_na"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("c_acctbal")).isNull().alias("masked"),
+        F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal")).otherwise(0.0).alias("bal_floor0"),
+    )
