@@ -1,0 +1,92 @@
+"""Registry entries for the pipeline plans.
+
+`nested_explode_roundtrip` / `nested_unnest_roundtrip` put the O4/O11/
+O12/O13 semantics (nest -> correlated unnest with parent columns ->
+array<struct> projection -> delimited join) under the DuckDB oracle
+using the shared `documents` table. The full JSON-file pipeline is
+exercised rows-only (`pipeline_courses_parity`) plus golden-output
+pytest coverage, since the oracle views can't see generated JSON files.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from coursera_etl_pipeline_spark.catalog import load_table
+from coursera_etl_pipeline_spark.registry import query
+
+
+def _nested_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents rolled up to one array<struct> row per source —
+    the shape of a Collection with its entities array (SURVEY §1.1)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "lang"))).alias("docs"))
+    )
+
+
+@query(
+    "nested_explode_roundtrip",
+    oracle="""
+    WITH nested AS (
+      SELECT source,
+             list(struct_pack(doc_id := doc_id, lang := lang) ORDER BY doc_id) AS docs
+      FROM documents GROUP BY source
+    )
+    SELECT source,
+           CAST(len(docs) AS INTEGER)                                         AS n_docs,
+           array_to_string(list_transform(docs, d -> d.lang), ', ')           AS langs_joined,
+           array_to_string(list_transform(docs, d -> CAST(d.doc_id AS VARCHAR)), ', ') AS ids_joined
+    FROM nested
+    """,
+)
+def nested_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12/O13 generalized: array<struct> -> project field -> delimited
+    string (transform-service/main.py:107-110), over a nested column
+    built with collect_list(struct(...))."""
+    return _nested_docs(spark, sf_dir).select(
+        "source",
+        F.size("docs").alias("n_docs"),
+        F.array_join(F.transform("docs", lambda d: d["lang"]), ", ").alias("langs_joined"),
+        F.array_join(F.transform("docs", lambda d: d["doc_id"].cast("string")), ", ").alias("ids_joined"),
+    )
+
+
+@query(
+    "nested_unnest_roundtrip",
+    oracle="""
+    WITH nested AS (
+      SELECT source,
+             list(struct_pack(doc_id := doc_id, lang := lang) ORDER BY doc_id) AS docs
+      FROM documents GROUP BY source
+    ), ex AS (SELECT source, unnest(docs) AS d FROM nested)
+    SELECT source, d.doc_id AS doc_id, d.lang AS lang FROM ex
+    """,
+)
+def nested_unnest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/O11: correlated unnest carrying the parent column down
+    (collections x entities denormalization, transform-service/
+    main.py:101-115) — explode of the nested array rebuilt above."""
+    return (
+        _nested_docs(spark, sf_dir)
+        .select("source", F.explode("docs").alias("d"))
+        .select("source", F.col("d.doc_id").alias("doc_id"), F.col("d.lang").alias("lang"))
+    )
+
+
+@query("pipeline_courses_parity")  # rows-only: inputs are generated JSON files
+def pipeline_courses_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full reference transform (O3-O17) end-to-end over generated
+    fixture files; golden-value assertions live in
+    tests/test_pipeline_parity.py."""
+    from coursera_etl_pipeline_spark.plans import fixtures, pipeline
+
+    tmp = tempfile.mkdtemp(prefix="coursera_parity_")
+    fixtures.write_response_file(fixtures.make_response(2, 3), tmp, "20240101_000000")
+    fixtures.write_response_file(
+        fixtures.make_response(3, 4, drop_optionals=True), tmp, "20240102_000000")
+    return pipeline.run_transform(spark, f"{tmp}/coursera_response_*.json")
