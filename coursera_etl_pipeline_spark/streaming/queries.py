@@ -1,0 +1,95 @@
+"""Registry entries for event-time windowing — batch-equivalent runs of
+the streaming plans (identical window semantics; Structured Streaming
+executes the same logical operators incrementally).
+
+Oracle notes: Spark tumbling windows align to the epoch, so a 1-day
+window == date_trunc('day'); sliding windows are the union of the
+size/slide epoch-aligned grids; session windows are the classic
+gap-cumsum sessionization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from coursera_etl_pipeline_spark.catalog import load_table
+from coursera_etl_pipeline_spark.registry import dsum, query
+
+
+@query(
+    "events_tumbling_window",
+    oracle=f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n, {dsum('value')} AS total_value
+    FROM events GROUP BY date_trunc('day', ts), event_type
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.expr(dsum("value")).alias("total_value"))
+        .select(F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type", "n", "total_value")
+    )
+
+
+@query(
+    "events_sliding_window",
+    oracle="""
+    WITH grid AS (
+      SELECT ts, event_type,
+             to_timestamp(CAST(floor(epoch(ts) / 43200) AS BIGINT) * 43200
+                          - s * 43200) AT TIME ZONE 'UTC' AS wstart
+      FROM events, generate_series(0, 1) AS g(s)
+    )
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           COUNT(*) AS n
+    FROM grid
+    GROUP BY wstart, event_type
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24h windows sliding every 12h — each event belongs to exactly 2
+    windows (Spark assigns via an internal explode over the slide grid;
+    the oracle reconstructs the same grid with generate_series)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day", "12 hours"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type", "n")
+    )
+
+
+@query(
+    "events_session_window",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL 4 HOUR THEN 0 ELSE 1 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER
+        (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           user_id, COUNT(*) AS n_events, {dsum('value')} AS session_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 4h inactivity gap. F.session_window's
+    merge semantics == gap-cumsum sessionization (the oracle); the
+    streaming variant in ingest.sessionized runs the same operator
+    incrementally with watermark-bounded state."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "4 hours"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.expr(dsum("value")).alias("session_value"))
+        .select(F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+                "user_id", "n_events", "session_value")
+    )

@@ -1,0 +1,109 @@
+"""Structured Streaming tests (SURVEY §5.2 item 3).
+
+File-arrival ingest with availableNow, append + dedup semantics
+(re-delivered data must NOT duplicate — the fix for the reference's
+WRITE_APPEND rerun hazard, transform-service/main.py:65), and
+batch/stream window equivalence.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from coursera_etl_pipeline_spark.catalog import load_table
+from coursera_etl_pipeline_spark.streaming import ingest
+
+
+def _sink(prefix: str) -> str:
+    return f"{prefix}_{uuid.uuid4().hex[:8]}"
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_file_stream_ingests_all_rows(spark, sf_dir, tmp_path):
+    ev = _events(spark, sf_dir)
+    landing = str(tmp_path / "landing")
+    ev.limit(200).write.parquet(landing)
+
+    stream = ingest.stream_files(spark, landing, ev.schema)
+    assert stream.isStreaming
+    name = _sink("ingest")
+    ingest.run_available_now(stream, name)
+    assert spark.table(name).count() == 200
+
+
+def test_incremental_discovery_only_new_files(spark, sf_dir, tmp_path):
+    """The checkpoint makes each file count exactly once across runs —
+    the streaming replacement for O9 latest-file bookkeeping."""
+    ev = _events(spark, sf_dir).limit(100).cache()
+    landing = str(tmp_path / "landing")
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "out")
+    ev.write.mode("append").parquet(landing)
+
+    stream = ingest.stream_files(spark, landing, ev.schema)
+    ingest.write_stream_parquet(stream, out, chk).awaitTermination()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 100
+
+    ev.write.mode("append").parquet(landing)  # second batch arrives
+    stream2 = ingest.stream_files(spark, landing, ev.schema)
+    ingest.write_stream_parquet(stream2, out, chk).awaitTermination()
+    n2 = spark.read.parquet(out).count()
+    assert n2 == 200  # +100 new, nothing reprocessed
+
+
+def test_dedup_within_watermark_drops_redelivery(spark, sf_dir, tmp_path):
+    """Same rows delivered twice -> exactly one copy per event_id."""
+    ev = _events(spark, sf_dir).limit(150).cache()
+    landing = str(tmp_path / "landing")
+    ev.write.mode("append").parquet(landing)
+    ev.write.mode("append").parquet(landing)  # duplicate delivery
+
+    stream = ingest.stream_files(spark, landing, ev.schema)
+    deduped = ingest.dedup_within_watermark(stream, ["event_id"], watermark="48 hours")
+    name = _sink("dedup")
+    ingest.run_available_now(deduped, name)
+    got = spark.table(name)
+    assert got.count() == 150
+    assert got.select("event_id").distinct().count() == 150
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir, tmp_path):
+    """The same windowed plan run incrementally (availableNow) and as a
+    batch produces identical finalized aggregates."""
+    ev = _events(spark, sf_dir)
+    landing = str(tmp_path / "landing")
+    ev.write.parquet(landing)
+
+    stream = ingest.stream_files(spark, landing, ev.schema)
+    name = _sink("tumble")
+    # 'complete' mode: all windows emitted regardless of watermark
+    q = (ingest.tumbling_counts(stream).writeStream.outputMode("complete")
+         .format("memory").queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    batch = ingest.tumbling_counts(ev)
+    stream_rows = {tuple(r) for r in spark.table(name).collect()}
+    batch_rows = {tuple(r) for r in batch.collect()}
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
+
+
+def test_sessionized_stream_runs(spark, sf_dir, tmp_path):
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 20)
+    landing = str(tmp_path / "landing")
+    ev.write.parquet(landing)
+
+    stream = ingest.stream_files(spark, landing, ev.schema)
+    name = _sink("sess")
+    q = (ingest.sessionized(stream).writeStream.outputMode("complete")
+         .format("memory").queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table(name)
+    batch = ingest.sessionized(ev)
+    assert got.count() == batch.count() > 0
