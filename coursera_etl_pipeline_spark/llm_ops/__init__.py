@@ -1,2 +1,9 @@
 """LLM-data-pipeline operators: dedup, similarity search, text
 analysis, multimodal column plumbing."""
+
+from coursera_etl_pipeline_spark.llm_ops import (  # noqa: F401  (registers)
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)

@@ -1,0 +1,313 @@
+"""Deduplication operators: exact, n-gram Jaccard, SimHash, MinHash LSH.
+
+North-star extension (SURVEY §2.2) — no reference counterpart. All
+deterministic: token hashes derive from md5 (identical hex in Spark
+and DuckDB), so the SimHash/Jaccard operators run under the value-hash
+oracle; MinHash is oracle-free (LSH recall is probabilistic) but its
+final candidate verification is exact Jaccard, so precision is 1.0 by
+construction — property tests pin recall on planted duplicates.
+
+Scale design:
+  - exact dedup: one hash-aggregate on the fingerprint — the only
+    correct O(n) approach at 100 TB (never sort, never window-over-all);
+  - Jaccard pairs: shingle-inverted-index self-join — the quadratic
+    blowup is bounded per shingle bucket, and hot shingles (stopword
+    runs) are the skew case AQE's skew-join splitting handles;
+  - SimHash: banded join on fingerprint chunks. hamming <= 3 with 4
+    chunks is pigeonhole-COMPLETE (3 differing bits can touch at most
+    3 of 4 chunks), so the banded plan returns exactly the brute-force
+    answer while joining on equality — shuffle on chunk value instead
+    of an O(n^2) cross join;
+  - MinHash LSH: the sub-quadratic path for when even one shared
+    shingle is too many candidates — band-bucket join, then exact
+    verification of the candidate set only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from coursera_etl_pipeline_spark.catalog import load_table
+from coursera_etl_pipeline_spark.registry import query
+
+M31 = 2_147_483_647  # 2^31 - 1, Mersenne prime for minhash arithmetic
+
+
+# --- shared building blocks -------------------------------------------------
+
+def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("_tokens", F.split(text_col, " "))
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per document, built JVM-side:
+    transform over an index sequence + slice + array_join."""
+    toks = F.split(text_col, " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return df.withColumn("_shingles", F.array_distinct(sh))
+
+
+def _hash32(col):
+    """Deterministic 32-bit token hash both engines can reproduce:
+    first 8 hex chars of md5, as int."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+# --- exact dedup ------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS content_fp,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*)    AS n_copies
+    FROM documents
+    GROUP BY md5(lower(trim(text)))
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as hash-groupBy on a normalized content fingerprint:
+    keep the lowest doc_id per group. One partial-aggregated shuffle on
+    a 128-bit key — the plan that survives 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("content_fp", F.md5(F.lower(F.trim(F.col("text")))))
+        .groupBy("content_fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Survivor-set form: the full rows of each group's min-id doc."""
+    fp = F.md5(F.lower(F.trim(F.col(text_col))))
+    w_min = (df.withColumn("_fp", fp)
+             .groupBy("_fp").agg(F.min(id_col).alias(id_col)))
+    return df.join(w_min, id_col, "left_semi")
+
+
+# --- n-gram Jaccard (exact near-dup) ----------------------------------------
+
+JACCARD_THRESHOLD = 0.8
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, t[s] || ' ' || t[s+1] || ' ' || t[s+2] AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           generate_series(1, 4096) AS g(s)
+      WHERE s + 2 <= len(t)
+    ), cnt AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(c * 1.0 / (ca.n + cb.n - c), 6) AS jaccard
+    FROM common
+      JOIN cnt ca ON ca.doc_id = doc_a
+      JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE c * 1.0 / (ca.n + cb.n - c) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via a shingle inverted
+    index: explode distinct shingles, self-join on shingle, count
+    common, |A∪B| = |A|+|B|-common."""
+    d = shingles(load_table(spark, sf_dir, "documents"))
+    sh = d.select("doc_id", F.explode("_shingles").alias("shingle"))
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(ca, "doc_a").join(cb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 3  # 4 chunks ⇒ banded join complete up to 3
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over distinct whitespace tokens (unit weights):
+    per bit position, sum +-1 contributions of every token's hash bit;
+    fingerprint bit = sign. Pure built-in expressions."""
+    toks = (df.select("doc_id", F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok"))
+            .withColumn("h", _hash32(F.col("tok"))))
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("pos"),
+        "h",
+    ).withColumn(
+        "contrib",
+        F.when(F.expr("(h div CAST(pow(2, pos) AS BIGINT)) % 2 = 1"), 1).otherwise(-1),
+    )
+    return (
+        bits.groupBy("doc_id", "pos").agg(F.sum("contrib").alias("s"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("s") > 0,
+                          F.expr("CAST(pow(2, pos) AS BIGINT)")).otherwise(0))
+             .alias("simhash"))
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, t AS tok
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+    ), hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+    ), bits AS (
+      SELECT doc_id, s.pos,
+             CASE WHEN (h // CAST(pow(2, s.pos) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END AS contrib
+      FROM hashed, generate_series(0, {SIMHASH_BITS - 1}) AS s(pos)
+    ), sums AS (
+      SELECT doc_id, pos, SUM(contrib) AS sgn FROM bits GROUP BY doc_id, pos
+    ), fps AS (
+      SELECT doc_id,
+             SUM(CASE WHEN sgn > 0 THEN CAST(pow(2, pos) AS BIGINT) ELSE 0 END) AS simhash
+      FROM sums GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming <= 3, via a banded equi-join:
+    split the 32-bit fingerprint into 4 byte chunks; any pair within
+    hamming 3 must agree on >= 1 chunk (pigeonhole), so joining on
+    (chunk_idx, chunk_value) finds ALL such pairs — equality shuffle
+    instead of the oracle's O(n^2) cross join, same exact answer."""
+    fps = simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+    chunks = fps.select(
+        "doc_id", "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("ci"),
+    ).withColumn("chunk", F.expr("(simhash div CAST(pow(2, ci * 8) AS BIGINT)) % 256"))
+
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.ci") == F.col("b.ci"))
+               & (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("fa"), F.col("b.simhash").alias("fb"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (cand.filter(hamming <= SIMHASH_MAX_HAMMING)
+            .select("doc_a", "doc_b", hamming.cast("int").alias("hamming")))
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+NUM_HASHES = 16
+NUM_BANDS = 4  # 4 rows per band
+
+
+def _minhash_params() -> list[tuple[int, int]]:
+    """Fixed (a, b) coefficients: an LCG unrolled at import time —
+    deterministic, no RNG state, reproducible across runs/engines."""
+    params, x = [], 1
+    for _ in range(NUM_HASHES):
+        x = (1103515245 * x + 12345) % M31
+        a = x | 1
+        x = (1103515245 * x + 12345) % M31
+        params.append((a, x))
+    return params
+
+
+def minhash_signatures(df: DataFrame, n: int = 3,
+                       text_col: str = "text") -> DataFrame:
+    """k=16 minhash values per doc over 3-gram shingles:
+    h_i(x) = (a_i * x + b_i) mod (2^31-1), x = 31-bit shingle hash.
+    One explode + one groupBy — signature computation is linear."""
+    sh = (shingles(df, n=n, text_col=text_col)
+          .select("doc_id", F.explode("_shingles").alias("shingle"))
+          .withColumn("x", _hash32(F.col("shingle")) % M31))
+    aggs = [F.min((F.lit(a) * F.col("x") + F.lit(b)) % M31).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_minhash_params())]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, threshold: float = JACCARD_THRESHOLD,
+                      n: int = 3, text_col: str = "text") -> DataFrame:
+    """Candidate pairs via band-bucket equality, then EXACT Jaccard
+    verification of candidates only — precision 1.0, recall set by the
+    (bands, rows) curve: P(candidate) = 1-(1-j^4)^4 (~0.98 at j=0.8).
+
+    This is the 100 TB near-dup plan: no pair enumeration ever happens
+    outside hash-equal buckets."""
+    sigs = minhash_signatures(df, n=n, text_col=text_col)
+    rows_per = NUM_HASHES // NUM_BANDS
+    band_cols = [
+        F.struct(F.lit(bi).alias("band"),
+                 F.md5(F.concat_ws(",", *[F.col(f"mh{bi * rows_per + r}")
+                                          for r in range(rows_per)])).alias("bucket"))
+        for bi in range(NUM_BANDS)
+    ]
+    banded = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")) \
+                 .select("doc_id", "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # exact verification of the candidate set only
+    sh = (shingles(df, n=n, text_col=text_col)
+          .select("doc_id", F.explode("_shingles").alias("shingle")))
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("sh_b"))
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("doc_b2"))
+              & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("c"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(ca, "doc_a").join(cb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query("dedup_minhash_lsh")  # rows-only: LSH recall is probabilistic
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline (oracle-checked);
+the random-hyperplane LSH variant is the scale path — at 100 TB you
+never enumerate all pairs, you bucket-join signatures and only score
+within buckets.
+
+Cosine is computed JVM-side (zip_with + aggregate over doubles, no
+Python), sequentially over the 64 dims; the oracle mirrors the same
+double-precision accumulation (see _duck_cosine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from coursera_etl_pipeline_spark.catalog import load_table
+from coursera_etl_pipeline_spark.registry import query
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors in the fixture corpus
+NEARDUP_COSINE = 0.42
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    """Double-precision cosine in DuckDB SQL, accumulation order
+    matching Spark's aggregate() exactly. (DuckDB's built-in
+    list_cosine_similarity accumulates in float32 — NOT bit-identical,
+    hence the explicit form.)"""
+    def ss(x: str, y: str) -> str:
+        return (f"list_sum(list_transform(range(1, len({x})+1), "
+                f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))")
+    return f"({ss(a, b)} / (sqrt({ss(a, a)}) * sqrt({ss(b, b)})))"
+
+
+def dot(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" 0D, (acc, v) -> acc + v)")
+
+
+def norm(a: str) -> Column:
+    return F.sqrt(F.expr(
+        f"aggregate({a}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"))
+
+
+def cosine(a: str, b: str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+@query(
+    "similarity_topk_bruteforce",
+    oracle=f"""
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+    FROM (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             {_duck_cosine('q.embedding', 'n.embedding')} AS sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_duck_cosine('q.embedding', 'n.embedding')} DESC,
+                        n.vec_id) AS rank
+      FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k per query vector: broadcast the (small) query
+    set against the corpus, rank per query. The corpus side never
+    shuffles — only the per-query heap does (window over query_id)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")))
+    n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q).crossJoin(n)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine("qv", "nv"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+@query(
+    "similarity_neardup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_duck_cosine('a.embedding', 'b.embedding')}, 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_duck_cosine('a.embedding', 'b.embedding')} >= {NEARDUP_COSINE}
+    """,
+)
+def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force, correctness
+    baseline — the LSH path below is the scale variant)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    sim = cosine("va", "vb")
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= NEARDUP_COSINE)
+        .select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))
+    )
+
+
+# --- LSH-bucketed ANN (the scale path) --------------------------------------
+
+N_PLANES = 12
+N_BANDS_ANN = 3  # three 4-bit bands: P(candidate) = 1-(1-(1-θ/π)^4)^3
+
+
+def _hyperplanes(dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes without an RNG: plane
+    component p[i][d] = sin(1 + i * dim + d) — fixed, reproducible,
+    direction-uniform enough for bucketing."""
+    import math
+    return [[math.sin(1 + i * dim + d) for d in range(dim)]
+            for i in range(N_PLANES)]
+
+
+def signatures(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Sign-bit signature per plane, banded into N_BANDS_ANN ints.
+    Built-in expressions only: one zip_with dot product per plane."""
+    planes = _hyperplanes()
+    bits = [
+        F.when(F.expr(
+            f"aggregate(zip_with({vec_col}, array({', '.join(f'{x}D' for x in p)}),"
+            f" (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)") > 0, 1
+        ).otherwise(0).alias(f"bit{i}")
+        for i, p in enumerate(planes)
+    ]
+    df = emb.select("*", *bits)
+    per_band = N_PLANES // N_BANDS_ANN
+    bands = [
+        sum(F.col(f"bit{b * per_band + j}") * (2 ** j) for j in range(per_band))
+        .alias(f"band{b}")
+        for b in range(N_BANDS_ANN)
+    ]
+    return df.select(*emb.columns, *bands)
+
+
+def ann_topk_lsh(emb: DataFrame, k: int = TOP_K,
+                 n_queries: int = N_QUERIES) -> DataFrame:
+    """Approximate top-k: score only pairs sharing an LSH band bucket.
+    At 100 TB the bucket join replaces the cross join — candidates per
+    query ~ corpus/2^bits per band, tunable via N_PLANES/N_BANDS_ANN."""
+    from pyspark.sql import Window as W
+
+    sig = signatures(emb)
+    banded = sig.select(
+        "vec_id", "embedding",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+            for b in range(N_BANDS_ANN)])).alias("bb"),
+    ).select("vec_id", "embedding", "bb.band", "bb.bucket")
+
+    q = (banded.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+                 "band", "bucket"))
+    n = banded.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").alias("nv"), "band", "bucket")
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        q.join(n, ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "nv").distinct()
+        .withColumn("sim", cosine("qv", "nv"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+@query("similarity_ann_lsh")  # rows-only: ANN recall is approximate by design
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_topk_lsh(load_table(spark, sf_dir, "embeddings"))

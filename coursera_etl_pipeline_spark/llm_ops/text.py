@@ -1,0 +1,155 @@
+"""Text analysis for training-data pipelines: token counting, language
+ID, quality scoring, document fingerprinting.
+
+No reference counterpart (north-star extension per SURVEY §2.2); all
+operators are pure built-in-function plans (JVM-side, codegen'd) over
+the `documents` table — no Python UDFs, so they scale as narrow
+per-partition work with a single optional aggregate at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from coursera_etl_pipeline_spark.catalog import load_table
+from coursera_etl_pipeline_spark.registry import davg, query
+
+# A small English-stopword marker set (public knowledge) used by the
+# language-ID heuristic and the quality score.
+EN_MARKERS = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+# BPE-ish token regex: letter runs, digit runs, or single non-space
+# symbols — the classic pre-tokenizer split.
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER)            AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS INTEGER) AS bpe_tokens,
+           CAST(ceil(n_chars / 4.0) AS BIGINT)                      AS est_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, BPE-ish regex
+    pre-tokenization, and the chars/4 estimator."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).alias("bpe_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("est_tokens"),
+    )
+
+
+_MARKER_SET_SQL = "', '".join(EN_MARKERS)
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')) AS avg_tok_len,
+             len(list_filter(string_split(text, ' '), t -> t IN ('{_MARKER_SET_SQL}')))
+               * 1.0 / len(string_split(text, ' ')) AS stop_ratio,
+             length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0 / length(text) AS alpha_ratio
+      FROM documents
+    )
+    SELECT doc_id, n_tok AS n_tokens,
+           round(avg_tok_len, 6) AS avg_token_len,
+           round(stop_ratio, 6)  AS stopword_ratio,
+           round(alpha_ratio, 6) AS alpha_ratio,
+           round( least(n_tok / 100.0, 1.0) * 0.4
+                + least(stop_ratio * 5, 1.0) * 0.3
+                + alpha_ratio * 0.3, 6)     AS quality_score
+    FROM feats
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length signal + stopword naturalness +
+    alphabetic purity (the usual pre-filter trio for LLM corpora)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    # F.filter keeps duplicate matches (array_intersect would dedup),
+    # matching the oracle's list_filter count semantics
+    stop_ratio = (F.size(F.filter(toks, lambda t: t.isin(*EN_MARKERS)))
+                  * 1.0 / n_tok)
+    avg_tok_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) * 1.0 / n_tok
+    alpha_ratio = (F.length(F.regexp_replace("text", "[^A-Za-z ]", ""))
+                   * 1.0 / F.length("text"))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(avg_tok_len, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(
+            F.least(n_tok / 100.0, F.lit(1.0)) * 0.4
+            + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
+            + alpha_ratio * 0.3, 6).alias("quality_score"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), t -> t IN ('{_MARKER_SET_SQL}')))
+               * 1.0 / len(string_split(text, ' ')) AS en_score
+      FROM documents
+    )
+    SELECT lang AS labeled_lang,
+           COUNT(*) AS n_docs,
+           {davg('en_score')} AS avg_en_score,
+           CAST(SUM(CASE WHEN en_score > 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en
+    FROM scored GROUP BY lang
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/marker-word language-ID heuristic, reported per labeled
+    lang. (The fixtures share one synthetic vocabulary across lang
+    labels, so the interesting output is the deterministic score, not
+    classification accuracy.)"""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    en_score = F.size(F.filter(toks, lambda t: t.isin(*EN_MARKERS))) * 1.0 / F.size(toks)
+    return (
+        d.withColumn("en_score", en_score)
+        .groupBy(F.col("lang").alias("labeled_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.expr(davg("en_score")).alias("avg_en_score"),
+             F.sum(F.when(F.col("en_score") > 0.02, 1).otherwise(0))
+             .cast("bigint").alias("n_pred_en"))
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text)))                                         AS content_fp,
+           md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')) AS head_fp,
+           ('0x' || substr(md5(lower(trim(text))), 1, 15))::BIGINT        AS fp_int
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-content hash (exact-dup key), an
+    8-token head fingerprint (prefix-dup key), and the 60-bit integer
+    form used as a shard/join key at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("content_fp"),
+        F.md5(F.array_join(F.slice(F.split("text", " "), 1, 8), " ")).alias("head_fp"),
+        F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("bigint").alias("fp_int"),
+    )
