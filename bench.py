@@ -1,0 +1,77 @@
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing protocol (BASELINE.md §2): per query, one warm-up run then the
+median of 3 timed runs; value = sum of per-query medians.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from coursera_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family (SURVEY §2.2), heaviest first.
+HEADLINE = [
+    "q1_pricing_summary",        # scan+filter+8 aggs
+    "q3_shipping_priority",      # 3-way join + topk
+    "q5_local_supplier_volume",  # 6-way star join
+    "join_left_outer",           # outer join + agg
+    "agg_cube",                  # multi-grouping agg
+    "window_ranking",            # window over 150k orders
+    "window_latest_per_key",     # argmax dedup pattern
+    "sort_multi_key",            # global sort
+    "events_session_window",     # sessionization
+    "events_sliding_window",     # overlapping windows
+    "scalar_json_pack",          # JSON extraction over 100k events
+    "text_quality_score",        # text featurization
+    "dedup_ngram_jaccard",       # shingle inverted-index self-join
+    "dedup_simhash",             # banded fingerprint join
+    "dedup_minhash_lsh",         # LSH candidates + exact verify
+    "similarity_topk_bruteforce",  # cosine over 2k vectors
+    "similarity_ann_lsh",        # bucketed ANN
+    "pipeline_courses_parity",   # reference-pipeline replay
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench")
+    queries = entrymod.queries()
+    per_query: dict[str, float] = {}
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        fn(spark, SF_DIR).count()  # warm-up (parquet footer/code caches)
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            samples.append(time.perf_counter() - t0)
+        per_query[name] = round(statistics.median(samples), 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(json.dumps({
+        "metric": "headline_query_median_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,15 @@ def _hash32(col):
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Materialize an intermediate used on both sides of a self-join
+    (or across stages), so it computes once instead of per-consumer.
+    Locally this is localCheckpoint; on a production cluster the same
+    role is played by persisting the shingle/signature index to
+    storage (it IS the inverted index you'd keep between runs)."""
+    return df.localCheckpoint(eager=False)
+
+
 # --- exact dedup ------------------------------------------------------------
 
 @query(
@@ -123,23 +132,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     index: explode distinct shingles, self-join on shingle, count
     common, |A∪B| = |A|+|B|-common."""
     d = shingles(load_table(spark, sf_dir, "documents"))
-    sh = d.select("doc_id", F.explode("_shingles").alias("shingle"))
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # carry |shingles(doc)| on every exploded row (computed pre-explode,
+    # no extra join): the pair aggregate then has everything it needs —
+    # one self-join + one groupBy total, instead of join+groupBy+2 joins.
+    # Join on a 64-bit shingle hash, not the string: the shuffle moves
+    # 8-byte keys and the join compares longs (collision odds across
+    # ~|corpus| distinct shingles are ~n^2/2^64 — immaterial).
+    sh = d.select("doc_id", F.size("_shingles").alias("n"),
+                  F.explode("_shingles").alias("shingle_str"))
+    sh = _materialize(
+        sh.select("doc_id", "n", F.xxhash64("shingle_str").alias("shingle")))
 
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                 F.col("a.n").alias("na"), F.col("b.n").alias("nb"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
     return (
-        common.join(ca, "doc_a").join(cb, "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
+        common.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -153,24 +168,24 @@ SIMHASH_MAX_HAMMING = 3  # 4 chunks ⇒ banded join complete up to 3
 def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """32-bit SimHash over distinct whitespace tokens (unit weights):
     per bit position, sum +-1 contributions of every token's hash bit;
-    fingerprint bit = sign. Pure built-in expressions."""
+    fingerprint bit = sign. Pure built-in expressions.
+
+    One groupBy with 32 conditional-sum aggregates (partial-agg'd
+    map-side) instead of exploding 32 position rows per token — the
+    input to the shuffle is |tokens| rows, not 32x|tokens|."""
     toks = (df.select("doc_id", F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok"))
             .withColumn("h", _hash32(F.col("tok"))))
-    bits = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("pos"),
-        "h",
-    ).withColumn(
-        "contrib",
-        F.when(F.expr("(h div CAST(pow(2, pos) AS BIGINT)) % 2 = 1"), 1).otherwise(-1),
-    )
-    return (
-        bits.groupBy("doc_id", "pos").agg(F.sum("contrib").alias("s"))
-        .groupBy("doc_id")
-        .agg(F.sum(F.when(F.col("s") > 0,
-                          F.expr("CAST(pow(2, pos) AS BIGINT)")).otherwise(0))
-             .alias("simhash"))
-    )
+    bit_sums = [
+        F.sum(F.when(F.expr(f"(h div {1 << pos}L) % 2 = 1"), 1).otherwise(-1))
+        .alias(f"s{pos}")
+        for pos in range(SIMHASH_BITS)
+    ]
+    sums = toks.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for pos in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{pos}") > 0, F.lit(1 << pos).cast("bigint")).otherwise(0)
+        fp = term if fp is None else fp + term
+    return sums.select("doc_id", fp.alias("simhash"))
 
 
 @query(
@@ -244,17 +259,21 @@ def _minhash_params() -> list[tuple[int, int]]:
     return params
 
 
+def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
+    x = sh.withColumn("x", _hash32(F.col("shingle")) % M31)
+    aggs = [F.min((F.lit(a) * F.col("x") + F.lit(b)) % M31).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_minhash_params())]
+    return x.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(df: DataFrame, n: int = 3,
                        text_col: str = "text") -> DataFrame:
     """k=16 minhash values per doc over 3-gram shingles:
     h_i(x) = (a_i * x + b_i) mod (2^31-1), x = 31-bit shingle hash.
     One explode + one groupBy — signature computation is linear."""
-    sh = (shingles(df, n=n, text_col=text_col)
-          .select("doc_id", F.explode("_shingles").alias("shingle"))
-          .withColumn("x", _hash32(F.col("shingle")) % M31))
-    aggs = [F.min((F.lit(a) * F.col("x") + F.lit(b)) % M31).alias(f"mh{i}")
-            for i, (a, b) in enumerate(_minhash_params())]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return _signatures_from_shingles(
+        shingles(df, n=n, text_col=text_col)
+        .select("doc_id", F.explode("_shingles").alias("shingle")))
 
 
 def minhash_lsh_pairs(df: DataFrame, threshold: float = JACCARD_THRESHOLD,
@@ -265,7 +284,11 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = JACCARD_THRESHOLD,
 
     This is the 100 TB near-dup plan: no pair enumeration ever happens
     outside hash-equal buckets."""
-    sigs = minhash_signatures(df, n=n, text_col=text_col)
+    sh_idx = _materialize(
+        shingles(df, n=n, text_col=text_col)
+        .select("doc_id", F.size("_shingles").alias("nsh"),
+                F.explode("_shingles").alias("shingle")))
+    sigs = _signatures_from_shingles(sh_idx)
     rows_per = NUM_HASHES // NUM_BANDS
     band_cols = [
         F.struct(F.lit(bi).alias("band"),
@@ -286,24 +309,23 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = JACCARD_THRESHOLD,
         .distinct()
     )
 
-    # exact verification of the candidate set only
-    sh = (shingles(df, n=n, text_col=text_col)
-          .select("doc_id", F.explode("_shingles").alias("shingle")))
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("sh_b"))
+    # exact verification of the candidate set only (shingle-set sizes
+    # ride along each exploded row — no post-aggregation joins); reuses
+    # the materialized shingle index from the signature stage
+    sh = sh_idx
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na"),
+                   F.col("shingle").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b2"), F.col("nsh").alias("nb"),
+                   F.col("shingle").alias("sh_b"))
     common = (
         cand.join(sa, "doc_a")
         .join(sb, (F.col("doc_b") == F.col("doc_b2"))
               & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_a", "doc_b", "na", "nb").agg(F.count(F.lit(1)).alias("c"))
     )
-    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
     return (
-        common.join(ca, "doc_a").join(cb, "doc_b")
-        .filter(jac >= threshold)
+        common.filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 

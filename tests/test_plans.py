@@ -1,0 +1,75 @@
+"""Physical-plan quality gates (the 100 TB posture, SURVEY §4):
+filters reach the parquet scan, dimension joins broadcast, aggregates
+are partial, and the pipeline plan stays shuffle-free.
+
+These assert on .explain output so a regression that silently
+de-optimizes a plan (lost pushdown, broadcast falling back to
+sort-merge-with-shuffle) fails CI, not just the benchmark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from coursera_etl_pipeline_spark.catalog import load_table
+from coursera_etl_pipeline_spark.operators.relational import (
+    q1_pricing_summary,
+    q3_shipping_priority,
+    q5_local_supplier_volume,
+)
+from coursera_etl_pipeline_spark.plans import fixtures, pipeline
+
+
+def plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(q1_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # partial (map-side) aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Batched: true" in plan  # vectorized parquet read
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    plan = plan_of(q1_pricing_summary(spark, sf_dir))
+    # ReadSchema must exclude unused columns (e.g. l_comment-free fixture
+    # still has l_partkey/l_suppkey that q1 never touches)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_partkey" not in read and "l_suppkey" not in read
+    assert "l_quantity" in read
+
+
+def test_q3_and_q5_broadcast_dimensions(spark, sf_dir):
+    for q in (q3_shipping_priority, q5_local_supplier_volume):
+        plan = plan_of(q(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, f"{q.__name__} lost its broadcast"
+
+
+def test_pipeline_plan_is_shuffle_free(spark, tmp_path):
+    """The transform (O3-O16) must stay narrow: no Exchange anywhere
+    (SURVEY §4.2 — 'this pipeline needs zero shuffles')."""
+    landing = str(tmp_path)
+    fixtures.write_response_file(fixtures.make_response(2, 3), landing, "20240101_000000")
+    df = pipeline.transform_courses(
+        pipeline.read_responses(spark, f"{landing}/coursera_response_*.json"))
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    import re
+    # exactly the two explodes (each node appears as "(N) Generate")
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 2
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    """orderBy().limit(k) must plan TakeOrderedAndProject (per-partition
+    heaps + driver merge), not a global sort."""
+    c = load_table(spark, sf_dir, "customer")
+    df = c.orderBy(F.desc("c_acctbal")).limit(5)
+    assert "TakeOrderedAndProject" in plan_of(df)
