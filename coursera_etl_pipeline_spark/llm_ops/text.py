@@ -153,3 +153,60 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(F.slice(F.split("text", " "), 1, 8), " ")).alias("head_fp"),
         F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("bigint").alias("fp_int"),
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, source, term, COUNT(*) AS f
+      FROM toks GROUP BY doc_id, source, term
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS n_docs FROM toks GROUP BY term
+    ), n AS (SELECT COUNT(*) AS total_docs FROM documents),
+    scored AS (
+      SELECT tf.source, tf.term,
+             SUM(tf.f * ln(n.total_docs * 1.0 / df.n_docs)) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+      GROUP BY tf.source, tf.term
+    )
+    SELECT source, term, round(tfidf, 6) AS tfidf, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (source, term), top-3 terms per source. Classic
+    shape: two linear aggregations + a broadcast of the (tiny) df
+    table + per-group top-k window — no quadratic stage anywhere.
+
+    ln() is IEEE-identical across engines for identical double inputs;
+    the sum is over integer tf * a shared idf constant per term, summed
+    in deterministic per-(source,term) groups (integer counts -> same
+    per-group accumulation order irrelevance: f * idf summed via
+    decimal-safe small cardinalities)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source",
+                    F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "source", "term").agg(F.count(F.lit(1)).alias("f"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("n_docs"))
+    total_docs = d.count()
+
+    idf = F.log(F.lit(float(total_docs)) / F.col("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .groupBy("source", "term")
+        .agg(F.sum(F.col("f") * idf).alias("tfidf"))
+    )
+    w = W.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("source", "term", F.round("tfidf", 6).alias("tfidf"), "rank")
+    )

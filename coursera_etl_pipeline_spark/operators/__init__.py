@@ -5,4 +5,10 @@ registry. Modules: relational (filters/joins/aggs/sorts/setops),
 windows (ranking/analytic/frames), scalars (string/date/math/json).
 """
 
-from coursera_etl_pipeline_spark.operators import relational, scalars, windows  # noqa: F401
+from coursera_etl_pipeline_spark.operators import (  # noqa: F401
+    asof,
+    relational,
+    scalars,
+    subqueries,
+    windows,
+)

@@ -1,0 +1,138 @@
+"""Subquery forms: scalar, IN, EXISTS/NOT EXISTS (correlated),
+HAVING, and unpivot — the query surface a warehouse user expects
+(generalizing O20's SQL layer, README.md:134).
+
+Catalyst decorrelates these into joins (scalar subquery -> broadcast
+of a 1-row aggregate; IN/EXISTS -> semi joins) — asserted by the fact
+that the same plans pass the oracle and carry no per-row re-execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from coursera_etl_pipeline_spark.catalog import load_table, views
+from coursera_etl_pipeline_spark.registry import dsum, query
+
+
+@query(
+    "subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           round(o_totalprice - (SELECT avg(o_totalprice) FROM orders), 4) AS dev_from_mean
+    FROM orders
+    WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: the 1-row aggregate broadcasts; no per-row
+    recomputation. avg(double) is safe here because both engines
+    compute the identical single global mean (one partial order)."""
+    views(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT o_orderkey, o_totalprice,
+               round(o_totalprice - (SELECT avg(o_totalprice) FROM orders), 4) AS dev_from_mean
+        FROM orders
+        WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+    """)
+
+
+@query(
+    "subquery_in",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+      AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+    """,
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "orders", "customer", "lineitem")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+          AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+    """)
+
+
+@query(
+    "subquery_exists_correlated",
+    oracle=f"""
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > c.c_acctbal * 40)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'P')
+    """,
+)
+def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with a cross-table predicate + anti EXISTS —
+    decorrelated by Catalyst into semi/anti joins (no nested loops)."""
+    views(spark, sf_dir, "orders", "customer")
+    return spark.sql("""
+        SELECT c_custkey, c_acctbal FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > c.c_acctbal * 40)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'P')
+    """)
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+    SELECT l_suppkey, COUNT(*) AS n_items, {dsum('l_quantity')} AS total_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING COUNT(*) > 600 AND SUM(CAST(l_quantity AS DECIMAL(38,6))) > 15000
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.expr(dsum("l_quantity")).alias("total_qty"),
+             F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("_dq"))
+        .filter((F.col("n_items") > 600) & (F.col("_dq") > 15000))
+        .drop("_dq")
+    )
+
+
+@query(
+    "unpivot_stack",
+    oracle="""
+    SELECT c_custkey, metric, val FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    ) WHERE c_custkey <= 100
+    """,
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via stack(): wide columns -> (metric, value) rows —
+    a narrow per-row expansion, no shuffle."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    return c.select(
+        "c_custkey",
+        F.expr("stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE))")
+        .alias("metric", "val"),
+    )
+
+
+@query("agg_approx")  # rows-only: HLL/quantile sketches differ across engines
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HyperLogLog++ distinct, quantile sketch)
+    — the sketches every 100 TB profile job leans on. No SQL oracle:
+    sketch internals are engine-specific; tests bound the error vs the
+    exact values instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.75]).alias("approx_iqr"),
+    )

@@ -1,0 +1,105 @@
+"""As-of join unit semantics, physical-layout sinks (partitioning,
+bucketing), observe() metrics, approx-aggregate error bounds."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from coursera_etl_pipeline_spark.catalog import load_table
+from coursera_etl_pipeline_spark.operators.asof import asof_join
+from coursera_etl_pipeline_spark.operators.subqueries import agg_approx
+from coursera_etl_pipeline_spark.sources import sinks
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 20, "e2"), (1, 5, "e0"), (2, 50, "e3")],
+        "k long, ts long, ev string")
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 15, "r15"), (2, 60, "r60")],
+        "k long, rts long, tag string")
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                    right_values=["tag"])
+    got = {r.ev: r.asof_tag for r in out.collect()}
+    assert got == {
+        "e0": None,    # no right row at/before ts=5
+        "e1": "r10",   # tie at ts=10 -> inclusive (<=)
+        "e2": "r15",   # latest at/before 20
+        "e3": None,    # right exists only after
+    }
+
+
+def test_partitioned_write_and_pruning(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders") \
+        .withColumn("order_year", F.year("o_orderdate"))
+    path = str(tmp_path / "orders_part")
+    sinks.write_partitioned(orders, path, ["order_year"])
+
+    back = sinks.read_partition_pruned(spark, path)
+    pruned = back.filter(F.col("order_year") == 1998)
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan and "order_year" in plan
+    expect = orders.filter(F.col("order_year") == 1998).count()
+    assert pruned.count() == expect > 0
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir):
+    """Two tables co-bucketed on the join key must join with no
+    Exchange — the zero-shuffle co-located join."""
+    import shutil
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a crashed run can leave the managed location behind with no
+        # catalog entry; clear it or saveAsTable refuses the name
+        loc = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(f"{loc}/{t}", ignore_errors=True)
+    sinks.write_bucketed(load_table(spark, sf_dir, "orders"), "b_orders", "o_orderkey")
+    sinks.write_bucketed(load_table(spark, sf_dir, "lineitem"), "b_lineitem", "l_orderkey")
+
+    # force the sort-merge path (tiny test data would broadcast, which
+    # bypasses bucketing; at real scale SMJ is what bucketing serves)
+    j = (spark.table("b_lineitem").hint("merge")
+         .join(spark.table("b_orders"),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+         .groupBy("o_orderstatus").count())
+    plan = _plan(j)
+    assert "SortMergeJoin" in plan
+    # no shuffle on either join key — buckets are already co-located
+    assert "hashpartitioning(l_orderkey" not in plan
+    assert "hashpartitioning(o_orderkey" not in plan
+    assert j.count() > 0
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_observe_metrics(spark, sf_dir, tmp_path):
+    """O5's len() counts as riding observations — no second pass."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 25)
+    observed, obs = sinks.with_observed_counts(li)
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    assert obs.get["n_rows"] == li.count()
+
+
+def test_approx_aggs_within_error_bounds(spark, sf_dir):
+    approx = {r.l_returnflag: r for r in agg_approx(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {r.l_returnflag: r for r in
+             li.groupBy("l_returnflag")
+             .agg(F.countDistinct("l_partkey").alias("nd"),
+                  F.expr("percentile(l_extendedprice, 0.5)").alias("med"))
+             .collect()}
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a.approx_parts - e.nd) / e.nd < 0.05          # HLL ~2% rsd
+        assert abs(a.approx_median_price - e.med) / e.med < 0.05  # quantile sketch
+        assert a.approx_iqr[0] <= a.approx_median_price <= a.approx_iqr[1]
