@@ -39,6 +39,10 @@ HEADLINE = [
     "dedup_minhash_lsh",         # LSH candidates + exact verify
     "similarity_topk_bruteforce",  # cosine over 2k vectors
     "similarity_ann_lsh",        # bucketed ANN
+    "similarity_ann_ivf",        # centroid-probe ANN
+    "join_asof",                 # as-of join via union-tag window
+    "join_salted_skew",          # skew-salted join
+    "text_tfidf_top_terms",      # TF-IDF + per-group top-k
     "pipeline_courses_parity",   # reference-pipeline replay
 ]
 

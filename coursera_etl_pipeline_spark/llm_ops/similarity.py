@@ -180,3 +180,71 @@ def ann_topk_lsh(emb: DataFrame, k: int = TOP_K,
 @query("similarity_ann_lsh")  # rows-only: ANN recall is approximate by design
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(load_table(spark, sf_dir, "embeddings"))
+
+
+# --- IVF (inverted-file) ANN — the centroid-probe scale path ----------------
+
+N_CELLS = 16
+N_PROBE = 3
+
+
+def ivf_assign(emb: DataFrame, vec_col: str = "embedding",
+               n_cells: int = N_CELLS) -> tuple[DataFrame, DataFrame]:
+    """One-pass IVF index: the first n_cells corpus vectors (by vec_id)
+    act as fixed centroids (deterministic, no iterative k-means — at
+    100 TB you'd train centroids offline on a sample and broadcast
+    them, exactly as here); every vector is assigned to its nearest
+    centroid via a broadcast cross join + one window."""
+    from pyspark.sql import Window as W
+
+    centroids = (emb.orderBy("vec_id").limit(n_cells)
+                 .select(F.monotonically_increasing_id().alias("_tmp"),
+                         F.col("vec_id").alias("cell_id"),
+                         F.col(vec_col).alias("cv"))
+                 .drop("_tmp"))
+    w = W.partitionBy("vec_id").orderBy(F.desc("sim_to_centroid"), F.asc("cell_id"))
+    assigned = (
+        emb.crossJoin(F.broadcast(centroids))
+        .withColumn("sim_to_centroid", cosine(vec_col, "cv"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", vec_col, "cell_id")
+    )
+    return assigned, centroids
+
+
+def ann_topk_ivf(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES,
+                 n_probe: int = N_PROBE) -> DataFrame:
+    """IVF search: each query scores only vectors in its n_probe
+    nearest cells — corpus contact ~ n_probe/n_cells of brute force.
+    The cell equi-join replaces the cross join; skewed cells are AQE's
+    problem, not ours."""
+    from pyspark.sql import Window as W
+
+    assigned, centroids = ivf_assign(emb)
+    queries = emb.filter(F.col("vec_id") < n_queries) \
+                 .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    wprobe = W.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cell_id"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("csim", cosine("qv", "cv"))
+        .withColumn("rk", F.row_number().over(wprobe))
+        .filter(F.col("rk") <= n_probe)
+        .select("query_id", "qv", "cell_id")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        probes.join(assigned.select(F.col("vec_id").alias("neighbor_id"),
+                                    F.col("embedding").alias("nv"), "cell_id"),
+                    "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine("qv", "nv"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+@query("similarity_ann_ivf")  # rows-only: ANN recall is approximate by design
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_topk_ivf(load_table(spark, sf_dir, "embeddings"))

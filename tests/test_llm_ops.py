@@ -155,3 +155,25 @@ def test_frame_sampling_shape(spark, sf_dir):
         assert len(r.frame_bytes) <= 64
     for idxs in per_doc.values():
         assert sorted(idxs) == list(range(len(idxs)))  # contiguous frames
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.similarity_topk_bruteforce(spark, sf_dir)
+    approx = similarity.ann_topk_ivf(emb)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.25, f"IVF recall collapsed: {recall}"
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from coursera_etl_pipeline_spark.operators.skew import salted_join
+    li = load_table(spark, sf_dir, "lineitem").limit(2000)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    plain = li.join(o, li.l_orderkey == o.o_orderkey)
+    salted = salted_join(li, o, "l_orderkey", "o_orderkey")
+    assert salted.count() == plain.count()
+    a = {tuple(r) for r in salted.select("l_orderkey", "l_linenumber", "o_orderstatus").collect()}
+    b = {tuple(r) for r in plain.select("l_orderkey", "l_linenumber", "o_orderstatus").collect()}
+    assert a == b
