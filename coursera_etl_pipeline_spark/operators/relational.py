@@ -513,3 +513,99 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
          .select(F.col("s_nationkey").alias("nk")))
     return n.exceptAll(s).distinct()
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT round(100.0 * a / b, 6) AS promo_revenue_pct
+    FROM (
+      SELECT {dsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")} AS a,
+             {dsum('l_extendedprice * (1 - l_discount)')} AS b
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-02-01 00:00:00'
+    )
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a broadcast
+    dimension join — one scalar out, zero rows shuffled beyond the
+    partial aggregates."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-02-01").cast("timestamp")))
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.expr(dsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")).alias("a"),
+            F.expr(dsum("l_extendedprice * (1 - l_discount)")).alias("b"))
+        .select(F.round(100.0 * F.col("a") / F.col("b"), 6).alias("promo_revenue_pct"))
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT COUNT(*) AS n, {dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 15)
+       OR (p_type LIKE 'PROMO%' AND l_quantity >= 40)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides — Catalyst
+    extracts the common join key and pushes per-side conjuncts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 15))
+        | (F.col("p_type").like("PROMO%") & (F.col("l_quantity") >= 40))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.expr(dsum("l_extendedprice * (1 - l_discount)")).alias("revenue"))
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c_custkey, o_orderkey, {dsum('l_quantity')} AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 120
+    )
+    GROUP BY c_custkey, o_orderkey
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over an aggregated subquery (semi join of
+    the fact table against its own aggregate) + top-k."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("q"))
+           .filter(F.col("q") > 120)
+           .select("l_orderkey"))
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "big_key"),
+                F.col("l_orderkey") == F.col("big_key"), "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(F.expr(dsum("l_quantity")).alias("total_qty"))
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )

@@ -32,7 +32,7 @@ def salted_join(large: DataFrame, small: DataFrame, key_large: str,
     because correctness never depends on WHICH salt a row gets, only
     that it matches exactly one replica of the small side."""
     salted_large = large.withColumn(
-        "_salt", (F.crc32(F.concat_ws("|", *large.columns)) % n_salts).cast("int"))
+        "_salt", F.pmod(F.xxhash64(*large.columns), F.lit(n_salts)).cast("int"))
     replicas = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     return (salted_large.join(
