@@ -209,3 +209,49 @@ def scalar_conditional_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("c_acctbal")).isNull().alias("masked"),
         F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal")).otherwise(0.0).alias("bal_floor0"),
     )
+
+
+@query(
+    "scalar_higher_order_pack",
+    oracle="""
+    SELECT vec_id,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vec_sum,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER)              AS n_positive,
+           round(list_max(list_transform(embedding, x -> CAST(abs(x) AS DOUBLE))), 6) AS max_abs,
+           round(CAST(embedding[1] AS DOUBLE) + CAST(embedding[64] AS DOUBLE), 6) AS ends_sum
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def scalar_higher_order_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (aggregate/filter/transform/
+    element_at) over the embedding column — the lambda-expression
+    surface that keeps vector math JVM-side instead of in Python."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return e.select(
+        "vec_id",
+        F.round(F.expr(
+            "aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE))"), 6).alias("vec_sum"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        F.round(F.array_max(F.transform("embedding",
+                lambda x: F.abs(x).cast("double"))), 6).alias("max_abs"),
+        F.round(F.element_at("embedding", 1).cast("double")
+                + F.element_at("embedding", 64).cast("double"), 6).alias("ends_sum"),
+    )
+
+
+@query(
+    "sort_limit_offset",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 10 OFFSET 20
+    """,
+)
+def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination: ORDER BY ... LIMIT k OFFSET n (deterministic via the
+    unique-key tiebreak). Spark plans a global sort + CollectLimit with
+    the offset applied driver-side — fine for page-sized k+n."""
+    c = load_table(spark, sf_dir, "customer")
+    return (c.select("c_custkey", "c_acctbal")
+            .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+            .offset(20).limit(10))

@@ -42,8 +42,11 @@ def start_append(courses: DataFrame, out_path: str, checkpoint: str,
         if dedup_keys:
             try:
                 existing = spark.read.parquet(out_path).select(*dedup_keys)
-                out = batch.dropDuplicates(dedup_keys).join(
-                    existing, dedup_keys, "left_anti")
+                # list-key joins move the keys to the front; restore the
+                # batch's column order so every appended file agrees
+                out = (batch.dropDuplicates(dedup_keys)
+                       .join(existing, dedup_keys, "left_anti")
+                       .select(*batch.columns))
             except Exception:
                 out = batch.dropDuplicates(dedup_keys)  # first batch: nothing on disk
         out.write.mode("append").parquet(out_path)
