@@ -2,6 +2,7 @@
 analysis, multimodal column plumbing."""
 
 from coursera_etl_pipeline_spark.llm_ops import (  # noqa: F401  (registers)
+    clusters,
     dedup,
     multimodal,
     similarity,

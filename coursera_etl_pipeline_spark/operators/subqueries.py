@@ -136,3 +136,56 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
         F.percentile_approx("l_extendedprice", [0.25, 0.75]).alias("approx_iqr"),
     )
+
+
+@query(
+    "agg_stats_pack",
+    oracle="""
+    WITH m AS (
+      SELECT c_mktsegment,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6)) * CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(c_custkey AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(c_custkey AS DECIMAL(38,6)) * CAST(c_custkey AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(c_custkey AS DECIMAL(38,6)) * CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n,
+           round(s1 / n, 6)                                    AS mean_bal,
+           round((s2 - s1 * s1 / n) / (n - 1), 4)              AS var_bal,
+           round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6)        AS stddev_bal,
+           round((sxy - sx * s1 / n)
+                 / (sqrt(sxx - sx * sx / n) * sqrt(s2 - s1 * s1 / n)), 6) AS corr_key_bal
+    FROM m
+    """,
+)
+def agg_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (mean/variance/stddev/correlation)
+    computed from exact decimal moments, NOT the built-in stddev/corr:
+    the builtins use engine-specific streaming algorithms (Welford
+    etc.) whose float results differ across engines and partition
+    orders. Moment sums in DECIMAL are order-independent and
+    bit-identical — the same trick registry.dsum uses, extended to
+    second moments. Still one partial-agg'd shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    dec = lambda col: F.col(col).cast("decimal(38,6)")  # noqa: E731
+    m = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("c_acctbal")).cast("double").alias("s1"),
+        F.sum(dec("c_acctbal") * dec("c_acctbal")).cast("double").alias("s2"),
+        F.sum(dec("c_custkey")).cast("double").alias("sx"),
+        F.sum(dec("c_custkey") * dec("c_custkey")).cast("double").alias("sxx"),
+        F.sum(dec("c_custkey") * dec("c_acctbal")).cast("double").alias("sxy"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    sx, sxx, sxy = F.col("sx"), F.col("sxx"), F.col("sxy")
+    return m.select(
+        "c_mktsegment", "n",
+        F.round(s1 / n, 6).alias("mean_bal"),
+        F.round((s2 - s1 * s1 / n) / (n - 1), 4).alias("var_bal"),
+        F.round(F.sqrt((s2 - s1 * s1 / n) / (n - 1)), 6).alias("stddev_bal"),
+        F.round((sxy - sx * s1 / n)
+                / (F.sqrt(sxx - sx * sx / n) * F.sqrt(s2 - s1 * s1 / n)), 6)
+        .alias("corr_key_bal"),
+    )

@@ -177,3 +177,26 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     a = {tuple(r) for r in salted.select("l_orderkey", "l_linenumber", "o_orderstatus").collect()}
     b = {tuple(r) for r in plain.select("l_orderkey", "l_linenumber", "o_orderstatus").collect()}
     assert a == b
+
+
+def test_connected_components_transitive(spark):
+    """A-B and B-C pairs must merge into one cluster {A,B,C} even
+    though A-C was never emitted as a pair (transitivity), and the
+    canonical label is the min id."""
+    from coursera_etl_pipeline_spark.llm_ops.clusters import (
+        connected_components,
+        dedup_survivors,
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long")
+    comp = {r.doc_id: r.component for r in connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == comp[22] == comp[23] == 20
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 5, 10, 11)],
+        "doc_id long, text string")
+    kept = {r.doc_id for r in dedup_survivors(docs, pairs).collect()}
+    assert kept == {1, 5, 10}  # min of each cluster + untouched singleton
