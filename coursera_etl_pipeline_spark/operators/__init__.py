@@ -7,6 +7,7 @@ windows (ranking/analytic/frames), scalars (string/date/math/json).
 
 from coursera_etl_pipeline_spark.operators import (  # noqa: F401
     asof,
+    merge,
     relational,
     skew,
     scalars,

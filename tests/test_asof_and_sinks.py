@@ -103,3 +103,23 @@ def test_approx_aggs_within_error_bounds(spark, sf_dir):
         assert abs(a.approx_parts - e.nd) / e.nd < 0.05          # HLL ~2% rsd
         assert abs(a.approx_median_price - e.med) / e.med < 0.05  # quantile sketch
         assert a.approx_iqr[0] <= a.approx_median_price <= a.approx_iqr[1]
+
+
+def test_merge_upsert_and_scd2_helpers(spark):
+    from coursera_etl_pipeline_spark.operators.merge import merge_upsert, scd2_apply
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, v string, x double")
+    source = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], "k long, v string, x double")
+    snap = {r.k: (r.v, r.x) for r in merge_upsert(target, source, "k").collect()}
+    assert snap == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+    hist = spark.createDataFrame(
+        [(1, 10.0, 1, True), (2, 20.0, 1, True)], "k long, x double, version int, is_current boolean")
+    changes = spark.createDataFrame([(2, 25.0), (5, 50.0)], "k long, x double")
+    out = scd2_apply(hist, changes, "k")
+    rows = {(r.k, r.version): (r.x, r.is_current) for r in out.collect()}
+    assert rows[(1, 1)] == (10.0, True)     # untouched stays current
+    assert rows[(2, 1)] == (20.0, False)    # old version closed out
+    assert rows[(2, 2)] == (25.0, True)     # new version current
+    assert rows[(5, 1)] == (50.0, True)     # brand-new key starts at v1

@@ -107,3 +107,38 @@ def test_sessionized_stream_runs(spark, sf_dir, tmp_path):
     got = spark.table(name)
     batch = ingest.sessionized(ev)
     assert got.count() == batch.count() > 0
+
+
+def test_watermark_drops_late_data(spark, sf_dir, tmp_path):
+    """Append-mode windowed agg with a watermark: a record arriving
+    far behind the advanced watermark must NOT resurrect its window.
+    (The reference has no late-data story at all — SURVEY §2.2.)"""
+    ev = _events(spark, sf_dir)
+    schema = ev.schema
+    landing = str(tmp_path / "landing")
+    chk = str(tmp_path / "chk")
+    name = _sink("late")
+
+    on_time = ev.filter(
+        (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-20").cast("timestamp")))
+    late = ev.filter(F.col("ts") < F.lit("2024-01-03").cast("timestamp"))
+    assert late.count() > 0
+    on_time.write.mode("append").parquet(landing)
+
+    stream = ingest.stream_files(spark, landing, schema)
+    agg = ingest.tumbling_counts(stream, size="1 day", watermark="2 days")
+    q = (agg.writeStream.outputMode("append").format("memory").queryName(name)
+         .option("checkpointLocation", chk).start())
+    q.processAllAvailable()
+
+    late.write.mode("append").parquet(landing)  # arrives days too late
+    q.processAllAvailable()
+    q.stop()
+
+    from datetime import datetime
+
+    got_windows = {r.window_start for r in spark.table(name).collect()}
+    # no window before 2024-01-10 may appear: the late batch was dropped
+    assert got_windows, "no finalized windows emitted"
+    assert min(got_windows) >= datetime(2024, 1, 10)
