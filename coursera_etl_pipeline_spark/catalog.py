@@ -31,7 +31,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects by
     default; read it as nanos-since-epoch (legacy conf) and convert to
     a microsecond TimestampType — floor division, matching DuckDB's
-    ns->us truncation, so oracle values stay bit-identical."""
+    ns->us truncation, so oracle values stay bit-identical.
+
+    Session timezone is pinned to UTC here (runtime-settable) so
+    timestamp formatting matches the DuckDB oracle even when the
+    caller's SparkSession (e.g. the driver harness) didn't set it."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
