@@ -255,3 +255,52 @@ def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (c.select("c_custkey", "c_acctbal")
             .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
             .offset(20).limit(10))
+
+
+@query(
+    "scalar_map_pack",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+           1                                                  AS n_keys,
+           'k'                                                AS first_key
+    FROM events WHERE event_id <= 2000
+    """,
+)
+def scalar_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse the props JSON string into a real
+    map<string,int>, then map_keys/size/element_at — the typed-map
+    alternative to per-path get_json_object."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    mp = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.element_at(mp, "k").alias("k_value"),
+        F.size(F.map_keys(mp)).alias("n_keys"),
+        F.element_at(F.map_keys(mp), 1).alias("first_key"),
+    )
+
+
+@query(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS median_price,
+           round(quantile_cont(l_extendedprice, 0.9), 4)  AS p90_price,
+           round(min(l_extendedprice), 4)                 AS min_price,
+           round(max(l_extendedprice), 4)                 AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`: both sort and linearly interpolate — identical
+    doubles in, identical out). The approx sketch variant for 100 TB
+    is agg_approx; this is the exact baseline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+    )
