@@ -95,17 +95,55 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (brute force, correctness
-    baseline — the LSH path below is the scale variant)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
-    sim = cosine("va", "vb")
+    """Embedding-cosine near-duplicate pairs, exact, as a
+    block-partitioned equi-join (see neardup_pairs_blocked)."""
+    return neardup_pairs_blocked(load_table(spark, sf_dir, "embeddings"))
+
+
+N_BLOCKS = 32  # B(B+1)/2 = 528 uniform work units; pick B ~ sqrt(2*cores)
+
+
+def neardup_pairs_blocked(emb: DataFrame, threshold: float = NEARDUP_COSINE,
+                          n_blocks: int = N_BLOCKS) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via block-pair equi-join.
+
+    Why not LSH candidates here: at threshold 0.42 (theta ~ 65 deg)
+    random-hyperplane banding cannot reach recall 1.0 sub-quadratically
+    — p_bit = 1 - theta/pi ~ 0.64, so the ~50 four-bit bands needed for
+    recall ~1 admit ~98% of ALL pairs as candidates, i.e. LSH degrades
+    to brute force plus explode overhead. Exact low-threshold all-pairs
+    is inherently Theta(n^2) comparisons; the scalable form distributes
+    them evenly instead of pruning: split the corpus into B blocks,
+    make every unordered block pair (bi <= bj) one work unit keyed by
+    (bi, bj), and realize the pairing as a shuffled equi-join — no
+    BroadcastNestedLoopJoin, no driver fan-out, B(B+1)/2 uniform tasks
+    that a 1000-executor cluster spreads evenly. Each side is
+    replicated ~B/2x into the shuffle, which is dwarfed by the n^2/2
+    comparison output it feeds. At high thresholds (>= ~0.8, where
+    p_band is selective) prefer the banded candidates+verify path
+    (ann_topk_lsh / minhash_lsh_pairs shape) instead.
+    """
+    spark = emb.sparkSession
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi INT, bj INT")
+    v = emb.select(
+        "vec_id", "embedding",
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("blk"))
+    left = (v.join(F.broadcast(bp), F.col("blk") == F.col("bi"))
+            .select(F.col("vec_id").alias("id_l"),
+                    F.col("embedding").alias("vl"), "bi", "bj"))
+    right = (v.join(F.broadcast(bp), F.col("blk") == F.col("bj"))
+             .select(F.col("vec_id").alias("id_r"),
+                     F.col("embedding").alias("vr"), "bi", "bj"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("sim", sim)
-        .filter(F.col("sim") >= NEARDUP_COSINE)
-        .select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))
+        left.join(right, ["bi", "bj"])
+        .filter((F.col("bi") < F.col("bj")) | (F.col("id_l") < F.col("id_r")))
+        .withColumn("sim", cosine("vl", "vr"))
+        .filter(F.col("sim") >= threshold)
+        .select(F.least("id_l", "id_r").alias("vec_a"),
+                F.greatest("id_l", "id_r").alias("vec_b"),
+                F.round("sim", 6).alias("sim"))
     )
 
 
@@ -198,10 +236,8 @@ def ivf_assign(emb: DataFrame, vec_col: str = "embedding",
     from pyspark.sql import Window as W
 
     centroids = (emb.orderBy("vec_id").limit(n_cells)
-                 .select(F.monotonically_increasing_id().alias("_tmp"),
-                         F.col("vec_id").alias("cell_id"),
-                         F.col(vec_col).alias("cv"))
-                 .drop("_tmp"))
+                 .select(F.col("vec_id").alias("cell_id"),
+                         F.col(vec_col).alias("cv")))
     w = W.partitionBy("vec_id").orderBy(F.desc("sim_to_centroid"), F.asc("cell_id"))
     assigned = (
         emb.crossJoin(F.broadcast(centroids))

@@ -67,6 +67,17 @@ def test_pipeline_plan_is_shuffle_free(spark, tmp_path):
     assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 2
 
 
+def test_neardup_pairs_no_nested_loop_join(spark, sf_dir):
+    """The exact all-pairs cosine must plan as a shuffled equi-join on
+    block-pair keys — never a BroadcastNestedLoopJoin over the corpus
+    (the O(n^2)-on-one-executor shape flagged in round 1)."""
+    from coursera_etl_pipeline_spark.llm_ops.similarity import similarity_neardup_pairs
+
+    plan = plan_of(similarity_neardup_pairs(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_topk_plans_take_ordered(spark, sf_dir):
     """orderBy().limit(k) must plan TakeOrderedAndProject (per-partition
     heaps + driver merge), not a global sort."""
