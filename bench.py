@@ -47,10 +47,25 @@ HEADLINE = [
 ]
 
 
+def _materialize(df) -> None:
+    """Execute the FULL query — every row and column through the sink.
+
+    NOT .count(): Catalyst legally prunes count-invariant work (orders
+    under EliminateSorts, unused window/projection expressions under
+    ColumnPruning), so counting a sorted/projected query times a bare
+    scan. The `noop` sink consumes each row without writing, matching
+    the DuckDB side's fetchall() work (tools/bench_duckdb.py).
+    """
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
     spark = get_spark("bench")
+    # ERROR only: keeps the one-line JSON contract's surroundings clean
+    # (e.g. the benign FileStreamSink WARN probe during JSON globbing).
+    spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
     per_query: dict[str, float] = {}
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -59,11 +74,11 @@ def main() -> None:
         fn = queries.get(name)
         if fn is None:
             continue
-        fn(spark, SF_DIR).count()  # warm-up (parquet footer/code caches)
+        _materialize(fn(spark, SF_DIR))  # warm-up (parquet footer/code caches)
         samples = []
         for _ in range(3):
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).count()
+            _materialize(fn(spark, SF_DIR))
             samples.append(time.perf_counter() - t0)
         per_query[name] = round(statistics.median(samples), 3)
 

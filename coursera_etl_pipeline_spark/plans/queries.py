@@ -10,6 +10,7 @@ pytest coverage, since the oracle views can't see generated JSON files.
 
 from __future__ import annotations
 
+import functools
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -78,15 +79,26 @@ def nested_unnest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pipeline_courses_parity")  # rows-only: inputs are generated JSON files
-def pipeline_courses_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full reference transform (O3-O17) end-to-end over generated
-    fixture files; golden-value assertions live in
-    tests/test_pipeline_parity.py."""
-    from coursera_etl_pipeline_spark.plans import fixtures, pipeline
+@functools.lru_cache(maxsize=1)
+def _parity_fixture_dir() -> str:
+    """Write the parity fixture files once per process (bench/oracle
+    runs invoke the query repeatedly; a fresh mkdtemp per call leaked
+    directories)."""
+    from coursera_etl_pipeline_spark.plans import fixtures
 
     tmp = tempfile.mkdtemp(prefix="coursera_parity_")
     fixtures.write_response_file(fixtures.make_response(2, 3), tmp, "20240101_000000")
     fixtures.write_response_file(
         fixtures.make_response(3, 4, drop_optionals=True), tmp, "20240102_000000")
-    return pipeline.run_transform(spark, f"{tmp}/coursera_response_*.json")
+    return tmp
+
+
+@query("pipeline_courses_parity")  # rows-only: inputs are generated JSON files
+def pipeline_courses_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full reference transform (O3-O17) end-to-end over generated
+    fixture files; golden-value assertions live in
+    tests/test_pipeline_parity.py."""
+    from coursera_etl_pipeline_spark.plans import pipeline
+
+    return pipeline.run_transform(
+        spark, f"{_parity_fixture_dir()}/coursera_response_*.json")

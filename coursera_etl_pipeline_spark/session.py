@@ -43,6 +43,7 @@ def get_spark(app_name: str = "coursera_etl_pipeline_spark",
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
     )
     spark = builder.getOrCreate()
