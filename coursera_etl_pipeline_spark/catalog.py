@@ -19,9 +19,36 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Tables whose downstream operators are map-side compute-heavy per row
+# (shingling, token hashing, per-vector cosine): fan these out when the
+# scan can't parallelize on its own. Deliberately NOT the relational
+# tables — their map-side work is light, and benchmarks show the extra
+# round-robin exchange (plus its determinism sort) costs more than the
+# parallelism buys there.
+FANOUT_TABLES = frozenset({"documents", "embeddings"})
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Ensure at least one scan partition per core.
+
+    The local fixtures are single-file, single-row-group parquet — such
+    a scan yields exactly one partition no matter what
+    maxPartitionBytes/minPartitionNum say (parquet splits at row-group
+    boundaries), so every map-side stage before the first shuffle runs
+    on one core. A round-robin repartition to defaultParallelism fixes
+    that for ~10 MB of local data; on a real cluster the inputs arrive
+    as many multi-row-group files, the partition count already exceeds
+    core count, and this is a no-op (no exchange added). Predicate
+    pushdown and column pruning pass through Repartition, so scan-level
+    PushedFilters/ReadSchema are unaffected."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -41,10 +68,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        df = spark.read.parquet(table_path(sf_dir, name))
+        df = _fan_out(spark, spark.read.parquet(table_path(sf_dir, name)))
         # integer div — float division would lose precision on 1.7e18 ns
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name in FANOUT_TABLES:
+        df = _fan_out(spark, df)
+    return df
 
 
 def views(spark: SparkSession, sf_dir: str, *names: str) -> None:
@@ -62,10 +92,11 @@ def load_tables(spark: SparkSession, sf_dir: str,
     as a temp view (idempotent; cheap — schema-only until an action)."""
     out: dict[str, DataFrame] = {}
     for name in names:
-        path = table_path(sf_dir, name)
-        if not os.path.exists(path):
+        if not os.path.exists(table_path(sf_dir, name)):
             continue
-        df = spark.read.parquet(path)
+        # delegate so per-table handling (events nanos->micros ts,
+        # fan-out) applies here too, not just to direct loads
+        df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

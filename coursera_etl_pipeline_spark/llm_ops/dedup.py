@@ -42,12 +42,19 @@ def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """Distinct word n-gram shingles per document, built JVM-side:
-    transform over an index sequence + slice + array_join."""
-    toks = F.split(text_col, " ")
+    transform over an index sequence + slice + array_join.
+
+    The token array is materialized as its own column first: inlining
+    `split()` in the lambda re-evaluates it per element (interpreted
+    higher-order eval has no common-subexpression elimination), turning
+    shingling O(tokens^2) per document."""
+    toks = F.col("_toks")
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i, n), " "))
-    return df.withColumn("_shingles", F.array_distinct(sh))
+    return (df.withColumn("_toks", F.split(text_col, " "))
+            .withColumn("_shingles", F.array_distinct(sh))
+            .drop("_toks"))
 
 
 def _hash32(col):

@@ -23,16 +23,20 @@ SALT_BUCKETS = 8
 
 def salted_join(large: DataFrame, small: DataFrame, key_large: str,
                 key_small: str, n_salts: int = SALT_BUCKETS,
-                how: str = "inner") -> DataFrame:
+                how: str = "inner",
+                salt_cols: list[str] | None = None) -> DataFrame:
     """Inner/left equi-join with the large (skewed) side salted.
 
-    The salt on the large side must be DETERMINISTIC per row yet
-    uniform per key — hash of the whole row's natural identity would
-    do; a cheap uniform spread over monotonically increasing ids works
-    because correctness never depends on WHICH salt a row gets, only
-    that it matches exactly one replica of the small side."""
+    The salt on the large side must be DETERMINISTIC per row (so task
+    retries recompute the same shuffle) yet spread uniformly WITHIN a
+    key — correctness never depends on which salt a row gets, only
+    that it matches exactly one replica of the small side. Pass
+    `salt_cols` naming a per-row identity (e.g. the natural key) to
+    hash just those; default hashes the whole row, which is correct
+    but moves every column through the hash."""
     salted_large = large.withColumn(
-        "_salt", F.pmod(F.xxhash64(*large.columns), F.lit(n_salts)).cast("int"))
+        "_salt", F.pmod(F.xxhash64(*(salt_cols or large.columns)),
+                        F.lit(n_salts)).cast("int"))
     replicas = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     return (salted_large.join(
@@ -56,7 +60,8 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (the oracle IS the plain join), different shuffle shape."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    joined = salted_join(li, o, "l_orderkey", "o_orderkey")
+    joined = salted_join(li, o, "l_orderkey", "o_orderkey",
+                         salt_cols=["l_orderkey", "l_linenumber"])
     return (joined.groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.expr(dsum("l_extendedprice")).alias("total")))

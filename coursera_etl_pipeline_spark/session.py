@@ -45,6 +45,15 @@ def get_spark(app_name: str = "coursera_etl_pipeline_spark",
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # InferFiltersFromGenerate clones the generator's child expression
+        # into a size()>0 filter and pushes it below exchanges — for the
+        # explode-of-computed-array pipelines here (shingles, token sets,
+        # band structs) that re-evaluates an expensive higher-order
+        # expression in the (often single-partition) scan stage for zero
+        # pruning: the arrays are non-empty by construction and explode
+        # skips empties anyway. Excluding the rule never changes results.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

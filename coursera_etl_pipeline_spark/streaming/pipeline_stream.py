@@ -13,6 +13,7 @@ This removes both reference hazards at once:
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
@@ -47,8 +48,14 @@ def start_append(courses: DataFrame, out_path: str, checkpoint: str,
                 out = (batch.dropDuplicates(dedup_keys)
                        .join(existing, dedup_keys, "left_anti")
                        .select(*batch.columns))
-            except Exception:
-                out = batch.dropDuplicates(dedup_keys)  # first batch: nothing on disk
+            except AnalysisException as e:
+                # only the first-batch missing-path case skips the
+                # anti-join; transient IO / corrupt footers must fail the
+                # batch (the checkpoint will retry it) rather than
+                # silently append duplicates
+                if "PATH_NOT_FOUND" not in str(e):
+                    raise
+                out = batch.dropDuplicates(dedup_keys)
         out.write.mode("append").parquet(out_path)
 
     return (courses.writeStream

@@ -169,7 +169,10 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
 
 def test_salted_join_equals_plain_join(spark, sf_dir):
     from coursera_etl_pipeline_spark.operators.skew import salted_join
-    li = load_table(spark, sf_dir, "lineitem").limit(2000)
+    # deterministic subset — a bare limit() over a multi-partition scan
+    # picks whichever partitions finish first, so the two evaluations
+    # below (plain vs salted) would see different rows
+    li = load_table(spark, sf_dir, "lineitem").filter("l_orderkey < 800")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     plain = li.join(o, li.l_orderkey == o.o_orderkey)
     salted = salted_join(li, o, "l_orderkey", "o_orderkey")
