@@ -111,14 +111,105 @@ def drop_exact_duplicates(df: DataFrame, text_col: str = "text",
 JACCARD_THRESHOLD = 0.8
 
 
+def _shingle_index(df: DataFrame, n: int = 3,
+                   text_col: str = "text") -> DataFrame:
+    """Materialized inverted-index postings (doc_id, nsh, shingle):
+    one row per distinct shingle per doc, with the doc's shingle-set
+    size carried on every row (computed pre-explode — no extra join).
+    Postings key on a 64-bit shingle hash, not the string: the shuffle
+    moves 8-byte keys and joins compare longs (collision odds across
+    ~|corpus| distinct shingles are ~n^2/2^64 — immaterial)."""
+    d = shingles(df, n=n, text_col=text_col)
+    sh = d.select("doc_id", F.size("_shingles").alias("nsh"),
+                  F.explode("_shingles").alias("shingle_str"))
+    return _materialize(
+        sh.select("doc_id", "nsh", F.xxhash64("shingle_str").alias("shingle")))
+
+
+def _verify_exact_jaccard(cand: DataFrame, sh_idx: DataFrame,
+                          threshold: float) -> DataFrame:
+    """Exact Jaccard over a candidate-pair set: join each (doc_a,
+    doc_b) to both docs' postings, count common shingles,
+    |A∪B| = |A|+|B|-common. Work is bounded by |candidates| x
+    shingles-per-doc — never all-pairs."""
+    sa = sh_idx.select(F.col("doc_id").alias("doc_a"),
+                       F.col("nsh").alias("na"), F.col("shingle").alias("sh_a"))
+    sb = sh_idx.select(F.col("doc_id").alias("doc_b2"),
+                       F.col("nsh").alias("nb"), F.col("shingle").alias("sh_b"))
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("doc_b2"))
+              & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b", "na", "nb").agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def jaccard_pairs_prefix(sh_idx: DataFrame,
+                         threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """EXACT Jaccard >= t pairs via prefix filtering (AllPairs/PPJoin,
+    Bayardo et al. WWW'07) — the 100 TB shape for exact set-similarity.
+
+    Order every doc's shingles by global document frequency ascending
+    (rarest first). If J(A,B) >= t, the two docs MUST share a shingle
+    inside their (n - ceil(t*n) + 1)-length prefixes under any common
+    total order — so joining PREFIX postings only finds every
+    qualifying pair (recall 1.0 by theorem, no sampling caveat).
+
+    This also solves hot-shingle skew structurally: a stopword-run
+    shingle with huge df sorts LAST, so it enters a prefix only for
+    docs made almost entirely of hot shingles — candidate buckets stay
+    near-uniform without AQE rescue. df=1 shingles are dropped before
+    ranking (they cannot create a pair; removing unique elements only
+    raises J, so the prefix guarantee still holds for the true sets).
+    Candidates then get exact verification against the FULL index."""
+    from pyspark.sql import Window as W
+
+    df_cnt = (sh_idx.groupBy("shingle")
+              .agg(F.count(F.lit(1)).alias("df"))
+              .filter(F.col("df") >= 2))
+    w = W.partitionBy("doc_id")
+    ranked = (
+        sh_idx.join(df_cnt, "shingle")
+        .select("doc_id", "nsh", "shingle",
+                F.row_number().over(w.orderBy("df", "shingle")).alias("rk"),
+                F.count(F.lit(1)).over(w).alias("n2"))
+    )
+    # ceil with epsilon: t*n2 computed in floating point can land a hair
+    # ABOVE an exact integer (0.8*10 -> 8.000000000000002), which would
+    # shrink the prefix below the theorem's bound and lose pairs
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n2") - F.ceil(F.lit(threshold) * F.col("n2") - 1e-9) + 1)
+
+    pa = prefix.select(F.col("doc_id").alias("doc_a"),
+                       F.col("nsh").alias("na"), "shingle")
+    pb = prefix.select(F.col("doc_id").alias("doc_b"),
+                       F.col("nsh").alias("nb"), "shingle")
+    cand = (
+        pa.join(pb, "shingle")
+        .filter((F.col("doc_a") < F.col("doc_b"))
+                # length filter: J >= t forces min(|A|,|B|) >= t*max
+                # (epsilon again guards the exact-boundary float case)
+                & (F.least("na", "nb")
+                   >= F.lit(threshold) * F.greatest("na", "nb") - 1e-9))
+        .select("doc_a", "doc_b").distinct()
+    )
+    return _verify_exact_jaccard(cand, sh_idx, threshold)
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH sh AS (
-      SELECT DISTINCT doc_id, t[s] || ' ' || t[s+1] || ' ' || t[s+2] AS shingle
-      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-           generate_series(1, 4096) AS g(s)
-      WHERE s + 2 <= len(t)
+      SELECT DISTINCT doc_id, shingle
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                          s -> t[s] || ' ' || t[s+1] || ' ' || t[s+2])) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
     ), cnt AS (
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
     ), common AS (
@@ -135,35 +226,12 @@ JACCARD_THRESHOLD = 0.8
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs via a shingle inverted
-    index: explode distinct shingles, self-join on shingle, count
-    common, |A∪B| = |A|+|B|-common."""
-    d = shingles(load_table(spark, sf_dir, "documents"))
-    # carry |shingles(doc)| on every exploded row (computed pre-explode,
-    # no extra join): the pair aggregate then has everything it needs —
-    # one self-join + one groupBy total, instead of join+groupBy+2 joins.
-    # Join on a 64-bit shingle hash, not the string: the shuffle moves
-    # 8-byte keys and the join compares longs (collision odds across
-    # ~|corpus| distinct shingles are ~n^2/2^64 — immaterial).
-    sh = d.select("doc_id", F.size("_shingles").alias("n"),
-                  F.explode("_shingles").alias("shingle_str"))
-    sh = _materialize(
-        sh.select("doc_id", "n", F.xxhash64("shingle_str").alias("shingle")))
-
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-                 F.col("a.n").alias("na"), F.col("b.n").alias("nb"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
-    return (
-        common.filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    """Exact 3-gram Jaccard near-dup pairs; the oracle is the naive
+    full inverted-index self-join (shingling bounded by each doc's own
+    token count), the Spark plan is the prefix-filtered equivalent —
+    identical results, sub-quadratic candidate generation."""
+    return jaccard_pairs_prefix(
+        _shingle_index(load_table(spark, sf_dir, "documents")))
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -315,26 +383,9 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = JACCARD_THRESHOLD,
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-
-    # exact verification of the candidate set only (shingle-set sizes
-    # ride along each exploded row — no post-aggregation joins); reuses
-    # the materialized shingle index from the signature stage
-    sh = sh_idx
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na"),
-                   F.col("shingle").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b2"), F.col("nsh").alias("nb"),
-                   F.col("shingle").alias("sh_b"))
-    common = (
-        cand.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("doc_b2"))
-              & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b", "na", "nb").agg(F.count(F.lit(1)).alias("c"))
-    )
-    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
-    return (
-        common.filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    # exact verification of the candidate set only, reusing the
+    # materialized shingle index from the signature stage
+    return _verify_exact_jaccard(cand, sh_idx, threshold)
 
 
 @query("dedup_minhash_lsh")  # rows-only: LSH recall is probabilistic

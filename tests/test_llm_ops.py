@@ -61,6 +61,43 @@ def test_minhash_lsh_finds_planted_near_dup(planted_docs):
         assert r.doc_a < r.doc_b  # canonical orientation, no self-pairs
 
 
+def test_jaccard_prefix_equals_bruteforce_under_hot_shingles(spark):
+    """Adversarial skew corpus: every doc shares one hot stopword run
+    (df = n_docs shingles), only one pair is a true near-dup. The
+    prefix-filtered join must return exactly the brute-force answer —
+    the prefix theorem guarantees recall 1.0, and hot shingles must not
+    inflate it with false candidates."""
+    hot = "to be or not to be that is the question of the day again"
+    rows = []
+    for i in range(30):
+        uniq = " ".join(f"u{i}q{j}" for j in range(12))
+        rows.append((i, f"{hot} {uniq}"))
+    near = rows[7][1].split()
+    near[-1] = "changed"
+    rows.append((200, " ".join(near)))  # near-dup of doc 7
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = dedup._shingle_index(docs)
+    fast = dedup.jaccard_pairs_prefix(sh, threshold=0.5)
+
+    # brute force: full inverted-index self-join (the oracle shape)
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"),
+                       F.col("a.nsh").alias("na"), F.col("b.nsh").alias("nb"))
+              .agg(F.count(F.lit(1)).alias("c")))
+    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    slow = (common.filter(jac >= 0.5)
+            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))
+
+    got = {(r.doc_a, r.doc_b, r.jaccard) for r in fast.collect()}
+    want = {(r.doc_a, r.doc_b, r.jaccard) for r in slow.collect()}
+    assert got == want
+    assert (7, 200) in {(x, y) for x, y, _ in got}
+
+
 def test_minhash_identical_signatures_for_identical_docs(planted_docs):
     sigs = dedup.minhash_signatures(planted_docs)
     rows = {r.doc_id: tuple(r[c] for c in sigs.columns if c.startswith("mh"))
