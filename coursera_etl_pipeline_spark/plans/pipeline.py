@@ -205,6 +205,32 @@ def run_transform(spark: SparkSession, in_path: str, *,
     return transform_courses(df, parity=parity)
 
 
+# Explicit schema of the parity CSV: the three typed columns are the
+# ones the reference's autodetect would discover (booleans from
+# True/False literals); everything else — including course_count and
+# is_cost_free, whose 'N/A' sentinels force string — stays string.
+COURSES_CSV_SCHEMA = T.StructType(
+    [T.StructField(c, T.BooleanType() if c in (
+        "is_part_of_coursera_plus", "is_pathway_content") else T.StringType())
+     for c in COURSE_COLUMNS])
+
+
+def read_courses_csv(spark: SparkSession, path: str, *,
+                     infer_schema: bool = False) -> DataFrame:
+    """O19 ingest-side read of the courses CSV.
+
+    infer_schema=True mirrors the reference's warehouse autodetect load
+    (transform-service/main.py:64, autodetect=True): the schema is
+    discovered from the data at the cost of one extra pass over the
+    files — fine for a daily batch, wrong for a 100 TB backfill, where
+    the explicit default reads each file once and guarantees a stable
+    schema across partitions."""
+    reader = spark.read.option("header", "true")
+    if infer_schema:
+        return reader.option("inferSchema", "true").csv(path)
+    return reader.schema(COURSES_CSV_SCHEMA).csv(path)
+
+
 def write_csv(df: DataFrame, path: str) -> None:
     """O17: CSV sink with header, fixed column order
     (transform-service/main.py:159-166)."""

@@ -9,12 +9,17 @@ parsing into the typed tree is a separate operator
 raw-JSON-to-GCS then parse split (O6 -> O10).
 
 The reference issues exactly ONE unpaginated POST (extract-service/
-main.py:46-49,152), so the source plans a single input partition. A
-paginated API would map one partition per page — the hook is
-``partitions()``.
+main.py:46-49,152), so the source plans a single input partition by
+default. A paginated API maps one partition per page: pass
+``pages=N`` (and optionally ``page_var``, default ``page``) and each
+of the N partitions issues its own POST with the page index injected
+into the GraphQL variables — the fetch fans out across executors
+instead of serializing through the driver.
 
 Offline use (tests, this container): pass ``mock_response`` with the
-JSON payload instead of ``url``; no network is touched.
+JSON payload instead of ``url`` — or ``mock_pages`` (a JSON array
+whose i-th element is page i's payload) for the paginated path; no
+network is touched.
 """
 
 from __future__ import annotations
@@ -59,19 +64,26 @@ class GraphQLReader(DataSourceReader):
         self.options = options
 
     def partitions(self):
-        # single unpaginated request == single partition
-        return [InputPartition(0)]
+        # one partition per page; the reference's single unpaginated
+        # request is the pages=1 default
+        return [InputPartition(i) for i in range(int(self.options.get("pages", "1")))]
 
     def read(self, partition):
+        page = partition.value
+        mock_pages = self.options.get("mock_pages")
         mock = self.options.get("mock_response")
-        if mock is not None:
+        if mock_pages is not None:
+            payload = json.loads(mock_pages)[page]
+        elif mock is not None:
             payload = json.loads(mock)
-            if not isinstance(payload, list):
-                payload = [payload]
         else:
+            variables = json.loads(self.options.get("variables", "{}"))
+            if int(self.options.get("pages", "1")) > 1:
+                variables[self.options.get("page_var", "page")] = page
             payload = fetch_graphql(
-                self.options["url"], self.options["query"],
-                json.loads(self.options.get("variables", "{}")))
+                self.options["url"], self.options["query"], variables)
+        if not isinstance(payload, list):
+            payload = [payload]
         if self.options.get("validate", "true") == "true":
             payload = validate_payload(payload)
         for element in payload:

@@ -39,6 +39,22 @@ def test_source_into_pipeline(registered):
     assert out.columns == pipeline.COURSE_COLUMNS
 
 
+def test_paginated_source_one_partition_per_page(registered):
+    """pages=N plans N input partitions, each reading its own page;
+    rows from every page land in the result exactly once."""
+    pages = [fixtures.make_response(1, i + 1) for i in range(3)]
+    df = (registered.read.format("http_graphql")
+          .option("pages", "3")
+          .option("mock_pages", json.dumps(pages)).load())
+    assert df.rdd.getNumPartitions() == 3
+    rows = [json.loads(r.value) for r in df.collect()]
+    assert len(rows) == 3
+    # page i's single collection carries i+1 entities — all distinct pages present
+    sizes = sorted(len(p["data"]["DiscoveryCollections"]["queryCollections"][0]["entities"])
+                   for p in rows)
+    assert sizes == [1, 2, 3]
+
+
 def test_error_payload_fails_job(registered):
     df = (registered.read.format("http_graphql")
           .option("mock_response", json.dumps(fixtures.ERROR_RESPONSE)).load())

@@ -126,6 +126,28 @@ def test_csv_sink_roundtrip(spark, landing, tmp_path):
     assert back.count() == 3
 
 
+def test_csv_ingest_autodetect_matches_explicit(spark, landing, tmp_path):
+    """O19 autodetect parity (transform-service/main.py:64,
+    autodetect=True): schema inference over the parity CSV must land on
+    exactly the documented explicit schema — booleans for the two
+    True/False columns, string everywhere the 'N/A' sentinel appears —
+    and read identical rows."""
+    fixtures.write_response_file(
+        fixtures.make_response(2, 3, drop_optionals=True), landing, "20240101_000000")
+    out = pipeline.run_transform(spark, f"{landing}/coursera_response_*.json")
+    dest = str(tmp_path / "courses_csv")
+    pipeline.write_csv(out, dest)
+
+    inferred = pipeline.read_courses_csv(spark, dest, infer_schema=True)
+    explicit = pipeline.read_courses_csv(spark, dest)
+    assert [(f.name, f.dataType) for f in inferred.schema.fields] == \
+           [(f.name, f.dataType) for f in explicit.schema.fields]
+    key = pipeline.COURSE_COLUMNS
+    assert sorted(map(tuple, inferred.select(*key).collect())) == \
+           sorted(map(tuple, explicit.select(*key).collect()))
+    assert inferred.count() == 6
+
+
 def test_append_dedup_idempotent(spark, landing, tmp_path):
     """SURVEY §7.0.3: re-delivering the same rows must NOT duplicate
     (the reference's WRITE_APPEND rerun hazard, transform-service/
