@@ -9,8 +9,9 @@ iterations ~ log(diameter), and duplicate clusters are almost always
 diameter <= 3).
 
 At 100 TB this is the standard large-scale connected-components
-pattern (alternating small/large-star joins); the loop materializes
-each frontier with localCheckpoint to keep lineage flat.
+pattern (alternating small/large-star joins); the loop persists each
+frontier (unpersisting the stale one) so every iteration reads a
+materialized parent instead of replaying the whole chain.
 """
 
 from __future__ import annotations
@@ -28,10 +29,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     component[v] = min(component[v], min over neighbors) to fixpoint."""
     edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
              .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-             .distinct().localCheckpoint(eager=False))
+             .distinct().persist())
     labels = (edges.select(F.col("src").alias("doc_id"))
               .distinct().withColumn("component", F.col("doc_id")))
 
+    prev = None
     for _ in range(max_iter):
         # neighbor's current label, folded into each node's label
         neighbor_min = (
@@ -44,13 +46,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
             .select("doc_id",
                     F.least("component", F.coalesce("nbr_min", "component"))
                     .alias("component"))
-            .localCheckpoint(eager=False)
+            .persist()  # evictable frontier cache; lineage stays intact
         )
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "doc_id")
                    .filter(F.col("n.component") != F.col("o.component"))
                    .limit(1).count())
-        labels = new_labels
+        if prev is not None:
+            prev.unpersist()  # stale frontier: new one is materialized
+        prev, labels = labels, new_labels
         if changed == 0:
             break
     return labels

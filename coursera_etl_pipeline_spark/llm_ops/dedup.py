@@ -66,10 +66,17 @@ def _hash32(col):
 def _materialize(df: DataFrame) -> DataFrame:
     """Materialize an intermediate used on both sides of a self-join
     (or across stages), so it computes once instead of per-consumer.
-    Locally this is localCheckpoint; on a production cluster the same
-    role is played by persisting the shingle/signature index to
-    storage (it IS the inverted index you'd keep between runs)."""
-    return df.localCheckpoint(eager=False)
+
+    persist(), NOT localCheckpoint(): checkpoint blocks truncate
+    lineage, so they are pinned unevictable until RDD GC — across
+    repeated invocations (bench loops, interactive reuse) they pile up
+    and thrash the block manager, and their recompute-impossible stages
+    spam 'non-existent accumulator' errors on late task completions.
+    Cached blocks are LRU-evictable and rebuild from lineage on loss.
+    On a production cluster the same role is played by persisting the
+    shingle/signature index to storage (it IS the inverted index you'd
+    keep between runs)."""
+    return df.persist()
 
 
 # --- exact dedup ------------------------------------------------------------
