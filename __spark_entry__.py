@@ -56,6 +56,9 @@ _FIRST = [
     "events_sliding_window",
     "events_session_window",
     "pipeline_courses_parity",
+    # new in round 2 — need their first green row
+    "similarity_ann_recall",
+    "similarity_ivf_recall",
 ]
 _LAST = [
     # heaviest self-join/scan queries — keep outside a time-capped window;

@@ -220,6 +220,73 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(load_table(spark, sf_dir, "embeddings"))
 
 
+def _duck_lsh_sig() -> str:
+    """DuckDB replica of signatures(): band buckets from the same
+    sin-derived hyperplanes. Plane i component d = sin(1 + i*64 + d),
+    d 0-based; with x = d+1 the term is sin((band*4 + j)*64 + x)."""
+    dot_plane = ("list_sum(list_transform(range(1, 65), x -> "
+                 "CAST(embedding[x] AS DOUBLE) * sin((b.band * 4 + j) * 64 + x)))")
+    return f"""
+    SELECT vec_id, b.band,
+           list_sum(list_transform(range(0, 4), j ->
+             CASE WHEN {dot_plane} > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END))
+             AS bucket
+    FROM embeddings, (SELECT unnest([0, 1, 2]) AS band) b
+    """
+
+
+@query(
+    "similarity_ann_recall",
+    oracle=f"""
+    WITH exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_duck_cosine('q.embedding', 'n.embedding')} DESC,
+                          n.vec_id) AS rank
+        FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rank <= {TOP_K}
+    ), sig AS ({_duck_lsh_sig()}
+    ), cand AS (
+      SELECT DISTINCT qs.vec_id AS query_id, ns.vec_id AS neighbor_id
+      FROM sig qs JOIN sig ns ON qs.band = ns.band AND qs.bucket = ns.bucket
+      WHERE qs.vec_id < {N_QUERIES} AND qs.vec_id <> ns.vec_id
+    ), ann AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT c.query_id, c.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY {_duck_cosine('q.embedding', 'n.embedding')} DESC,
+                          c.neighbor_id) AS rank
+        FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+                    JOIN embeddings n ON n.vec_id = c.neighbor_id
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT e.query_id,
+           round(count(a.neighbor_id) * 1.0 / {TOP_K}, 6) AS recall
+    FROM exact e LEFT JOIN ann a USING (query_id, neighbor_id)
+    GROUP BY e.query_id
+    """,
+)
+def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the LSH ANN against the exact brute-force top-k,
+    per query vector. The hyperplanes are fixed (no RNG), so this is a
+    DETERMINISTIC quality metric with an exact SQL oracle — it pins the
+    (planes, bands) operating point under the value-hash gate instead
+    of a rows-only count, and regresses loudly if bucketing drifts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = (ann_topk_lsh(emb).select("query_id", "neighbor_id")
+           .withColumn("_hit", F.lit(1)))
+    return (
+        exact.join(ann, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.round(F.count("_hit") * 1.0 / TOP_K, 6).alias("recall"))
+    )
+
+
 # --- IVF (inverted-file) ANN — the centroid-probe scale path ----------------
 
 N_CELLS = 16
@@ -284,3 +351,67 @@ def ann_topk_ivf(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES,
 @query("similarity_ann_ivf")  # rows-only: ANN recall is approximate by design
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivf(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "similarity_ivf_recall",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cell_id, embedding AS cv
+      FROM embeddings ORDER BY vec_id LIMIT {N_CELLS}
+    ), assigned AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_duck_cosine('e.embedding', 'c.cv')} DESC, c.cell_id) AS rk
+        FROM embeddings e, cent c
+      ) WHERE rk = 1
+    ), probes AS (
+      SELECT query_id, cell_id FROM (
+        SELECT q.vec_id AS query_id, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_duck_cosine('q.embedding', 'c.cv')} DESC, c.cell_id) AS rk
+        FROM embeddings q, cent c WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rk <= {N_PROBE}
+    ), ann AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY {_duck_cosine('q.embedding', 'n.embedding')} DESC, a.vec_id) AS rank
+        FROM probes p JOIN assigned a ON a.cell_id = p.cell_id
+             JOIN embeddings q ON q.vec_id = p.query_id
+             JOIN embeddings n ON n.vec_id = a.vec_id
+        WHERE a.vec_id <> p.query_id
+      ) WHERE rank <= {TOP_K}
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_duck_cosine('q.embedding', 'n.embedding')} DESC,
+                          n.vec_id) AS rank
+        FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT e.query_id,
+           round(count(a.neighbor_id) * 1.0 / {TOP_K}, 6) AS recall
+    FROM exact e LEFT JOIN ann a USING (query_id, neighbor_id)
+    GROUP BY e.query_id
+    """,
+)
+def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the IVF probe search vs exact top-k — deterministic
+    (fixed first-N centroids, tie-broken assignments), so it carries an
+    exact SQL oracle pinning the (n_cells, n_probe) operating point."""
+    exact = similarity_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = (ann_topk_ivf(load_table(spark, sf_dir, "embeddings"))
+           .select("query_id", "neighbor_id").withColumn("_hit", F.lit(1)))
+    return (
+        exact.join(ann, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.round(F.count("_hit") * 1.0 / TOP_K, 6).alias("recall"))
+    )
