@@ -2,16 +2,15 @@
 components -> one canonical survivor per cluster.
 
 The iterative-algorithm class (SURVEY §5.2 item 5: non-SQL-expressible
-ops): min-label propagation to a fixed point. Each iteration is one
-self-join + one aggregate — a bounded number of shuffles (components
-from near-dup pairs are shallow: label distance halves each round, so
-iterations ~ log(diameter), and duplicate clusters are almost always
-diameter <= 3).
-
-At 100 TB this is the standard large-scale connected-components
-pattern (alternating small/large-star joins); the loop persists each
-frontier (unpersisting the stale one) so every iteration reads a
-materialized parent instead of replaying the whole chain.
+ops). Components are computed with the alternating large-star /
+small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14) — the standard shuffle-bounded form
+for 100 TB graphs: each round is two groupBy-join passes over the
+edge list, edges always point toward smaller ids, and convergence is
+O(log^2 n) rounds on ANY graph shape (vs label propagation's
+O(diameter) rounds, which dies on chain-shaped clusters). Every round
+localCheckpoints its frontier so the logical plan stays O(1) deep (see
+the in-loop comment for why persist() is insufficient here).
 """
 
 from __future__ import annotations
@@ -23,41 +22,75 @@ from coursera_etl_pipeline_spark.catalog import load_table
 from coursera_etl_pipeline_spark.registry import query
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
-    """(doc_a, doc_b) undirected pairs -> (doc_id, component) where
-    component = min doc_id reachable. Label propagation:
-    component[v] = min(component[v], min over neighbors) to fixpoint."""
-    edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-             .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-             .distinct().persist())
-    labels = (edges.select(F.col("src").alias("doc_id"))
-              .distinct().withColumn("component", F.col("doc_id")))
+def _large_star(edges: DataFrame) -> DataFrame:
+    """large-star(u): m = min(Γ(u) ∪ {u}); connect every LARGER
+    neighbor v > u directly to m. Operates on the symmetric neighbor
+    list so each undirected edge is seen from both endpoints."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (sym.groupBy("u")
+            .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+    return (sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
 
-    prev = None
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """small-star(u): over the canonical (u -> smaller v) orientation,
+    m = min neighbor; connect u and all its smaller neighbors to m."""
+    canon = edges.select(F.greatest("u", "v").alias("u"),
+                         F.least("u", "v").alias("v"))
+    mins = canon.groupBy("u").agg(F.min("v").alias("m"))
+    joined = canon.join(mins, "u")
+    relinked = joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    selfed = joined.select("u", F.col("m").alias("v"))
+    return (relinked.union(selfed)
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(doc_a, doc_b) undirected pairs -> (doc_id, component) where
+    component = min doc_id reachable. Alternating large-star /
+    small-star to a fixed point; at convergence every edge points
+    directly at its component's root."""
+    # localCheckpoint, deliberately NOT persist: each round's plan
+    # embeds the previous frontier TWICE (the large-star self-union),
+    # so without plan truncation the logical tree doubles per round and
+    # Catalyst analysis goes exponential. localCheckpoint rewraps the
+    # frontier as a LogicalRDD — O(1) plan size per round — which
+    # persist() (data-only reuse, full lineage kept) cannot do.
+    edges = (pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+             .filter(F.col("u") != F.col("v"))
+             .distinct().localCheckpoint(eager=False))
+    nodes = (edges.select(F.col("u").alias("doc_id"))
+             .union(edges.select(F.col("v").alias("doc_id")))
+             .distinct())
+
+    def _sig(df: DataFrame) -> tuple:
+        # convergence = identical edge SET; count + commutative hash sum
+        # is one cheap aggregate (exact equality would be an anti-join).
+        # decimal accumulator: a long sum of 64-bit hashes overflows
+        # under ANSI arithmetic.
+        r = df.agg(F.count(F.lit(1)).alias("n"),
+                   F.coalesce(F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                               F.lit(0)).alias("h")).first()
+        return (r.n, r.h)
+
+    sig_old = _sig(edges)
     for _ in range(max_iter):
-        # neighbor's current label, folded into each node's label
-        neighbor_min = (
-            edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-            .groupBy("src").agg(F.min("component").alias("nbr_min"))
-            .withColumnRenamed("src", "doc_id")
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select("doc_id",
-                    F.least("component", F.coalesce("nbr_min", "component"))
-                    .alias("component"))
-            .persist()  # evictable frontier cache; lineage stays intact
-        )
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "doc_id")
-                   .filter(F.col("n.component") != F.col("o.component"))
-                   .limit(1).count())
-        if prev is not None:
-            prev.unpersist()  # stale frontier: new one is materialized
-        prev, labels = labels, new_labels
-        if changed == 0:
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        sig_new = _sig(new_edges)
+        edges = new_edges
+        if sig_new == sig_old:
             break
-    return labels
+        sig_old = sig_new
+
+    # converged star edges: u -> root; roots themselves never appear as u
+    labels = nodes.join(edges.withColumnRenamed("u", "doc_id"), "doc_id", "left")
+    return labels.select(
+        "doc_id", F.coalesce("v", "doc_id").alias("component"))
 
 
 def dedup_survivors(docs: DataFrame, pairs: DataFrame) -> DataFrame:

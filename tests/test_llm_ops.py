@@ -240,3 +240,17 @@ def test_connected_components_transitive(spark):
         "doc_id long, text string")
     kept = {r.doc_id for r in dedup_survivors(docs, pairs).collect()}
     assert kept == {1, 5, 10}  # min of each cluster + untouched singleton
+
+
+def test_connected_components_long_chain(spark):
+    """A 30-node path graph (diameter 29): the star algorithm must
+    converge in O(log^2 n) rounds — label propagation at one hop per
+    round would need 29. Also exercises reversed/duplicated edges."""
+    from coursera_etl_pipeline_spark.llm_ops.clusters import connected_components
+
+    chain = [(i, i + 1) for i in range(29)]
+    noisy = chain + [(b, a) for a, b in chain[::3]] + chain[::5]
+    pairs = spark.createDataFrame(noisy, "doc_a long, doc_b long")
+    comp = {r.doc_id: r.component for r in connected_components(pairs).collect()}
+    assert len(comp) == 30
+    assert set(comp.values()) == {0}
