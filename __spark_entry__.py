@@ -59,6 +59,11 @@ _FIRST = [
     # new in round 2 — need their first green row
     "similarity_ann_recall",
     "similarity_ivf_recall",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q7_nation_volume",
+    "q22_dormant_customers",
+    "dedup_components",
 ]
 _LAST = [
     # heaviest self-join/scan queries — keep outside a time-capped window;

@@ -78,6 +78,19 @@ def test_neardup_pairs_no_nested_loop_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6 is the pushdown showcase: every filterable predicate must
+    reach the parquet scan, and the plan must contain no join and no
+    more than the one aggregate exchange."""
+    from coursera_etl_pipeline_spark.operators.relational import q6_forecast_revenue
+
+    plan = plan_of(q6_forecast_revenue(spark, sf_dir))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to scan"
+    assert "Join" not in plan
+
+
 def test_topk_plans_take_ordered(spark, sf_dir):
     """orderBy().limit(k) must plan TakeOrderedAndProject (per-partition
     heaps + driver merge), not a global sort."""
