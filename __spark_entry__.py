@@ -64,6 +64,7 @@ _FIRST = [
     "q7_nation_volume",
     "q22_dormant_customers",
     "dedup_components",
+    "events_interval_join",
 ]
 _LAST = [
     # heaviest self-join/scan queries — keep outside a time-capped window;

@@ -64,6 +64,34 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_interval_join",
+    oracle="""
+    SELECT a.event_id AS view_id, b.event_id AS click_id,
+           a.user_id AS user_id,
+           strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS delay_sec
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'click'
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch-equivalent run: view->click
+    attribution within 1 hour per user. The same attribution_join plan
+    executes incrementally under watermarks in streaming mode (state
+    bounded by the gap — see streaming/joins.py; stream parity is
+    pinned in tests/test_streaming.py)."""
+    from coursera_etl_pipeline_spark.streaming.joins import attribution_join
+
+    e = load_table(spark, sf_dir, "events")
+    return attribution_join(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "click"))
+
+
+@query(
     "events_session_window",
     oracle=f"""
     WITH marked AS (

@@ -109,6 +109,36 @@ def test_sessionized_stream_runs(spark, sf_dir, tmp_path):
     assert got.count() == batch.count() > 0
 
 
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
+    """The attribution interval join run as a REAL stream-stream join
+    (two file streams, watermarked, availableNow) must emit exactly the
+    batch result — and the time bound keeps its state finite, which is
+    why append mode accepts it at all."""
+    from coursera_etl_pipeline_spark.streaming.joins import attribution_join
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 200)
+    views_dir, clicks_dir = str(tmp_path / "views"), str(tmp_path / "clicks")
+    ev.filter(F.col("event_type") == "view").write.parquet(views_dir)
+    ev.filter(F.col("event_type") == "click").write.parquet(clicks_dir)
+
+    v_stream = ingest.stream_files(spark, views_dir, ev.schema)
+    c_stream = ingest.stream_files(spark, clicks_dir, ev.schema)
+    joined = attribution_join(v_stream, c_stream)
+    assert joined.isStreaming
+    name = _sink("attrib")
+    q = (joined.writeStream.outputMode("append").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    batch = attribution_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"))
+    stream_rows = {tuple(r) for r in spark.table(name).collect()}
+    batch_rows = {tuple(r) for r in batch.collect()}
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
+
+
 def test_watermark_drops_late_data(spark, sf_dir, tmp_path):
     """Append-mode windowed agg with a watermark: a record arriving
     far behind the advanced watermark must NOT resurrect its window.
