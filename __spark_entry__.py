@@ -65,6 +65,8 @@ _FIRST = [
     "q22_dormant_customers",
     "dedup_components",
     "events_interval_join",
+    "sample_stratified_hash",
+    "text_pack_sequences",
 ]
 _LAST = [
     # heaviest self-join/scan queries — keep outside a time-capped window;

@@ -219,6 +219,50 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert a == b
 
 
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    from coursera_etl_pipeline_spark.llm_ops import sampling
+
+    s1 = sampling.sample_stratified_hash(spark, sf_dir)
+    s2 = sampling.sample_stratified_hash(spark, sf_dir)
+    rows1 = {r.doc_id for r in s1.collect()}
+    rows2 = {r.doc_id for r in s2.collect()}
+    assert rows1 == rows2  # reproducible selection, not a Bernoulli draw
+
+    d = load_table(spark, sf_dir, "documents")
+    total = {r.lang: r.cnt for r in
+             d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    kept = {r.lang: r.cnt for r in
+            s1.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    en_rate = kept.get("en", 0) / total["en"]
+    other = [lang for lang in total if lang != "en"]
+    other_rate = sum(kept.get(x, 0) for x in other) / sum(total[x] for x in other)
+    assert 0.08 < en_rate < 0.35          # targets 20%
+    assert 0.45 < other_rate < 0.75       # targets 60%
+    assert en_rate < other_rate           # the stratification actually bites
+
+
+def test_sequence_packing_contiguous_and_bounded(spark, sf_dir):
+    """Packs are contiguous runs of doc_ids per source, pack ids are
+    non-decreasing in doc order, and no pack STARTS past its budget
+    boundary (a doc may straddle the end — packing by start offset)."""
+    from coursera_etl_pipeline_spark.llm_ops.sampling import PACK_BUDGET, text_pack_sequences
+
+    rows = sorted(
+        text_pack_sequences(spark, sf_dir).collect(),
+        key=lambda r: (r.source, r.doc_id))
+    by_source: dict = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    assert len(by_source) > 1
+    for docs in by_source.values():
+        cum = 0
+        for r in docs:
+            assert r.pack_id == cum // PACK_BUDGET
+            cum += r.n_tok
+        packs = [r.pack_id for r in docs]
+        assert packs == sorted(packs)  # non-decreasing in doc order
+
+
 def test_connected_components_transitive(spark):
     """A-B and B-C pairs must merge into one cluster {A,B,C} even
     though A-C was never emitted as a pair (transitivity), and the
