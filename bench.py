@@ -44,6 +44,11 @@ HEADLINE = [
     "join_salted_skew",          # skew-salted join
     "text_tfidf_top_terms",      # TF-IDF + per-group top-k
     "pipeline_courses_parity",   # reference-pipeline replay
+    "q6_forecast_revenue",       # pure pushdown scan-agg
+    "q10_returned_items",        # 4-way join + top-k
+    "events_interval_join",      # stream-stream attribution (batch run)
+    "sample_stratified_hash",    # deterministic corpus sampling
+    "text_pack_sequences",       # token-budget packing
 ]
 
 
