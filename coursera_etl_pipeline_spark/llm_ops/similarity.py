@@ -207,8 +207,12 @@ def ann_topk_lsh(emb: DataFrame, k: int = TOP_K,
     return (
         q.join(n, ["band", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "nv").distinct()
+        # score BEFORE deduplicating: a pair colliding in 2-3 bands is
+        # scored that many times (cosine is cheap), but the dedup then
+        # shuffles only (id, id, sim) rows — never a distinct() keyed on
+        # the 64-float embedding arrays, which dominated this plan's cost
         .withColumn("sim", cosine("qv", "nv"))
+        .groupBy("query_id", "neighbor_id").agg(F.min("sim").alias("sim"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
