@@ -50,6 +50,35 @@ def as_blobs(df: DataFrame, content_col: str = "text",
     )
 
 
+def read_blob_files(spark: SparkSession, path: str,
+                    pattern: str = "*") -> DataFrame:
+    """Ingest raw media files via Spark's built-in `binaryFile` source
+    (one row per file: path, modificationTime, length, content) and
+    normalize to the engine's blob schema. This is how image/audio
+    corpora actually arrive at 100 TB — millions of object-store files
+    read in parallel by input split, no driver-side listing loop. The
+    md5-of-path doc_id is deterministic and collision-safe at corpus
+    scale (128-bit)."""
+    raw = (spark.read.format("binaryFile")
+           .option("pathGlobFilter", pattern).load(path))
+    ext = F.lower(F.element_at(F.split(F.col("path"), "\\."), -1))
+    media = (F.when(ext.isin("jpg", "jpeg", "png", "gif"),
+                    F.concat(F.lit("image/"), ext))
+             .when(ext.isin("wav", "mp3", "flac"),
+                   F.concat(F.lit("audio/"), ext))
+             .when(ext.isin("mp4", "avi", "mkv"),
+                   F.concat(F.lit("video/"), ext))
+             .otherwise(F.lit("application/octet-stream")))
+    return raw.select(
+        F.conv(F.substring(F.md5(F.col("path")), 1, 15), 16, 10)
+         .cast("long").alias("doc_id"),
+        F.col("content").alias("payload"),
+        media.alias("media_type"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.col("path").alias("source_path"),
+    )
+
+
 def decode_media(payload: bytes, media_type: str):  # pragma: no cover
     """STUB: real image/audio decode (PIL/libsndfile/ffmpeg) is not
     available in this container. The Spark-side plumbing around it is

@@ -43,6 +43,20 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
        .format("parquet").saveAsTable(table))
 
 
+def write_range_clustered(df: DataFrame, path: str, cluster_col: str,
+                          n_files: int = 8, mode: str = "overwrite") -> None:
+    """Range-clustered layout: repartitionByRange gives each output
+    file a DISJOINT value range of cluster_col, and the within-file
+    sort tightens parquet row-group min/max stats. Range predicates on
+    cluster_col then skip whole files/row-groups at scan time — the
+    data-skipping layout (a poor man's Z-ORDER for one dimension) that
+    at 100 TB decides whether a time-range query reads 1% or 100% of
+    the dataset. Sampling for range boundaries costs one extra job."""
+    (df.repartitionByRange(n_files, cluster_col)
+       .sortWithinPartitions(cluster_col)
+       .write.mode(mode).parquet(path))
+
+
 def with_observed_counts(df: DataFrame, name: str = "metrics") -> tuple[DataFrame, Observation]:
     """O5 row-count metric as a zero-cost observation riding the job
     (no second action): obs.get after the action returns the counts."""

@@ -123,3 +123,61 @@ def test_merge_upsert_and_scd2_helpers(spark):
     assert rows[(2, 1)] == (20.0, False)    # old version closed out
     assert rows[(2, 2)] == (25.0, True)     # new version current
     assert rows[(5, 1)] == (50.0, True)     # brand-new key starts at v1
+
+
+def test_range_clustered_layout_disjoint_file_stats(spark, sf_dir, tmp_path):
+    """write_range_clustered must produce files whose parquet footer
+    min/max ranges on the cluster column are non-overlapping (boundary
+    values may touch) — the property that lets range predicates skip
+    whole files at scan time."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = str(tmp_path / "orders_clustered")
+    sinks.write_range_clustered(orders, path, "o_orderkey", n_files=6)
+
+    ranges = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # o_orderkey
+            assert col.path_in_schema == "o_orderkey"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 4  # range partitioner actually split the data
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "file value ranges overlap - no data skipping"
+
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+
+
+def test_binaryfile_blob_ingest(spark, tmp_path):
+    """read_blob_files: real binaryFile source -> blob schema; media
+    type from extension; features computable over the payloads."""
+    from coursera_etl_pipeline_spark.llm_ops import multimodal
+
+    (tmp_path / "a.png").write_bytes(b"\x89PNG fake image bytes")
+    (tmp_path / "b.wav").write_bytes(b"RIFF fake audio bytes!!")
+    (tmp_path / "c.bin").write_bytes(b"\x00\x01\x02")
+
+    blobs = multimodal.read_blob_files(spark, str(tmp_path))
+    rows = {r.source_path.rsplit("/", 1)[-1]: r for r in blobs.collect()}
+    assert set(rows) == {"a.png", "b.wav", "c.bin"}
+    assert rows["a.png"].media_type == "image/png"
+    assert rows["b.wav"].media_type == "audio/wav"
+    assert rows["c.bin"].media_type == "application/octet-stream"
+    assert rows["a.png"].n_bytes == 21
+    assert bytes(rows["c.bin"].payload) == b"\x00\x01\x02"
+    assert len({r.doc_id for r in rows.values()}) == 3  # distinct ids
+
+    feats = multimodal.extract_features(blobs.drop("source_path")).collect()
+    assert len(feats) == 3
+    for r in feats:
+        assert len(r.features) == multimodal.N_FEATURES
+        assert abs(sum(r.features) - 1.0) < 1e-9
