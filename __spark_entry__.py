@@ -67,6 +67,12 @@ _FIRST = [
     "events_interval_join",
     "sample_stratified_hash",
     "text_pack_sequences",
+    # upgraded rows-only -> value-hash oracle in round 2: need their first
+    # HASH-verified row (their r01 rows were rows-only)
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
 ]
 _LAST = [
     # heaviest self-join/scan queries — keep outside a time-capped window;
@@ -74,12 +80,8 @@ _LAST = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
     "similarity_topk_bruteforce",
     "similarity_neardup_pairs",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
 ]
 
 

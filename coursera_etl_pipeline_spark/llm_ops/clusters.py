@@ -144,11 +144,51 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(dedup_ngram_jaccard(spark, sf_dir))
 
 
-@query("dedup_clusters")  # rows-only: iterative, not single-statement SQL
+@query(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                          s -> t[s] || ' ' || t[s+1] || ' ' || t[s+2])) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+    ), cnt AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM common
+        JOIN cnt ca ON ca.doc_id = doc_a
+        JOIN cnt cb ON cb.doc_id = doc_b
+      WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.8
+    ), edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(u, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+    ), labels AS (
+      SELECT u AS doc_id, MIN(r) AS component FROM reach GROUP BY u
+    )
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS member_ids
+    FROM labels
+    GROUP BY component
+    HAVING COUNT(*) >= 2
+    """,
+)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters over the documents table: jaccard pairs ->
     components -> (component, size, member ids). Completes the dedup
-    story: pairs are diagnostics, clusters are what you delete by."""
+    story: pairs are diagnostics, clusters are what you delete by.
+    Oracle: the same clusters from a recursive-CTE transitive closure
+    (round 2 — previously rows-only; the star-rounds loop is
+    deterministic, so the full member lists value-hash match)."""
     from coursera_etl_pipeline_spark.llm_ops.dedup import dedup_ngram_jaccard
 
     pairs = dedup_ngram_jaccard(spark, sf_dir)

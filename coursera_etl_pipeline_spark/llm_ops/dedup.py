@@ -2,10 +2,12 @@
 
 North-star extension (SURVEY §2.2) — no reference counterpart. All
 deterministic: token hashes derive from md5 (identical hex in Spark
-and DuckDB), so the SimHash/Jaccard operators run under the value-hash
-oracle; MinHash is oracle-free (LSH recall is probabilistic) but its
-final candidate verification is exact Jaccard, so precision is 1.0 by
-construction — property tests pin recall on planted duplicates.
+and DuckDB) and the minhash coefficients are fixed at import, so every
+operator here — including MinHash-LSH — runs under the value-hash
+oracle ("probabilistic" describes LSH's recall guarantee, not its
+output); candidate verification is exact Jaccard, so precision is 1.0
+by construction, and property tests additionally pin recall on planted
+duplicates.
 
 Scale design:
   - exact dedup: one hash-aggregate on the fingerprint — the only
@@ -396,6 +398,65 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = JACCARD_THRESHOLD,
     return _verify_exact_jaccard(cand, sh_idx, threshold)
 
 
-@query("dedup_minhash_lsh")  # rows-only: LSH recall is probabilistic
+def _duck_minhash_oracle() -> str:
+    """DuckDB replica of the full minhash-LSH pipeline. The LCG
+    coefficients are fixed at import, so signatures, band buckets, the
+    candidate set, and the verified output are all exact expectations —
+    'probabilistic' describes the recall GUARANTEE, not the result."""
+    params = _minhash_params()
+    mh_cols = ",\n             ".join(
+        f"MIN(({a} * x + {b}) % {M31}) AS mh{i}"
+        for i, (a, b) in enumerate(params))
+    rows_per = NUM_HASHES // NUM_BANDS
+    band_cases = "\n          ".join(
+        "WHEN {b} THEN md5({concat})".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"CAST(mh{b * rows_per + r} AS VARCHAR)" for r in range(rows_per)))
+        for b in range(NUM_BANDS))
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                          s -> t[s] || ' ' || t[s+1] || ' ' || t[s+2])) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+    ), xs AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT % {M31} AS x
+      FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             {mh_cols}
+      FROM xs GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, b.band,
+        CASE b.band
+          {band_cases}
+        END AS bucket
+      FROM sig, (SELECT unnest(range(0, {NUM_BANDS})) AS band) b
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ), cnt AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS cc
+      FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(cc * 1.0 / (ca.n + cb.n - cc), 6) AS jaccard
+    FROM common
+      JOIN cnt ca ON ca.doc_id = doc_a
+      JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE cc * 1.0 / (ca.n + cb.n - cc) >= {JACCARD_THRESHOLD}
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_duck_minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))

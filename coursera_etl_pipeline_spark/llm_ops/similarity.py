@@ -219,11 +219,6 @@ def ann_topk_lsh(emb: DataFrame, k: int = TOP_K,
     )
 
 
-@query("similarity_ann_lsh")  # rows-only: ANN recall is approximate by design
-def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ann_topk_lsh(load_table(spark, sf_dir, "embeddings"))
-
-
 def _duck_lsh_sig() -> str:
     """DuckDB replica of signatures(): band buckets from the same
     sin-derived hyperplanes. Plane i component d = sin(1 + i*64 + d),
@@ -237,6 +232,35 @@ def _duck_lsh_sig() -> str:
              AS bucket
     FROM embeddings, (SELECT unnest([0, 1, 2]) AS band) b
     """
+
+
+@query(
+    "similarity_ann_lsh",
+    oracle=f"""
+    WITH sig AS ({_duck_lsh_sig()}
+    ), cand AS (
+      SELECT DISTINCT qs.vec_id AS query_id, ns.vec_id AS neighbor_id
+      FROM sig qs JOIN sig ns ON qs.band = ns.band AND qs.bucket = ns.bucket
+      WHERE qs.vec_id < {N_QUERIES} AND qs.vec_id <> ns.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim FROM (
+      SELECT c.query_id, c.neighbor_id,
+             {_duck_cosine('q.embedding', 'n.embedding')} AS sim,
+             row_number() OVER (
+               PARTITION BY c.query_id
+               ORDER BY {_duck_cosine('q.embedding', 'n.embedding')} DESC,
+                        c.neighbor_id) AS rank
+      FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+                  JOIN embeddings n ON n.vec_id = c.neighbor_id
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN top-k. Deterministic (fixed sin-derived hyperplanes), so
+    despite being 'approximate' relative to exact search, its OUTPUT is
+    an exact expectation — the oracle replicates bucketing + in-bucket
+    ranking in SQL and the rows value-hash match."""
+    return ann_topk_lsh(load_table(spark, sf_dir, "embeddings"))
 
 
 @query(
@@ -352,8 +376,51 @@ def ann_topk_ivf(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES,
     )
 
 
-@query("similarity_ann_ivf")  # rows-only: ANN recall is approximate by design
+_DUCK_IVF_ANN = f"""
+    WITH cent AS (
+      SELECT vec_id AS cell_id, embedding AS cv
+      FROM embeddings ORDER BY vec_id LIMIT {N_CELLS}
+    ), assigned AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_duck_cosine('e.embedding', 'c.cv')} DESC, c.cell_id) AS rk
+        FROM embeddings e, cent c
+      ) WHERE rk = 1
+    ), probes AS (
+      SELECT query_id, cell_id FROM (
+        SELECT q.vec_id AS query_id, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_duck_cosine('q.embedding', 'c.cv')} DESC, c.cell_id) AS rk
+        FROM embeddings q, cent c WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rk <= {N_PROBE}
+    )
+"""
+
+
+@query(
+    "similarity_ann_ivf",
+    oracle=f"""
+    {_DUCK_IVF_ANN}
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim FROM (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_duck_cosine('q.embedding', 'n.embedding')} AS sim,
+             row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY {_duck_cosine('q.embedding', 'n.embedding')} DESC, a.vec_id) AS rank
+      FROM probes p JOIN assigned a ON a.cell_id = p.cell_id
+           JOIN embeddings q ON q.vec_id = p.query_id
+           JOIN embeddings n ON n.vec_id = a.vec_id
+      WHERE a.vec_id <> p.query_id
+    ) WHERE rank <= {TOP_K}
+    """,
+)
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k — deterministic (fixed first-N centroids,
+    tie-broken assignment/probes), so the oracle replicates the full
+    assign -> probe -> rank pipeline in SQL and rows value-hash match."""
     return ann_topk_ivf(load_table(spark, sf_dir, "embeddings"))
 
 
