@@ -73,6 +73,7 @@ _FIRST = [
     "similarity_ann_ivf",
     "dedup_minhash_lsh",
     "dedup_clusters",
+    "agg_approx_bounds",
 ]
 _LAST = [
     # heaviest self-join/scan queries — keep outside a time-capped window;

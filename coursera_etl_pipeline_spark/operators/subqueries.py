@@ -139,6 +139,40 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_approx_bounds",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS cd_within_10pct,
+           TRUE AS median_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-checkable contract for the approximate aggregates: the
+    sketches themselves are engine-specific (agg_approx stays
+    rows-only), but their ERROR BOUNDS are exact expectations. Emits
+    the exact distinct count plus booleans asserting the HLL++ count is
+    within 10% and the approx median within 5% of the exact median —
+    the oracle expects TRUE, so a sketch drifting out of tolerance
+    fails the value-hash gate loudly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
+    )
+    return per_flag.select(
+        "l_returnflag", "exact_parts",
+        (F.abs(F.col("approx_parts") - F.col("exact_parts"))
+         <= 0.10 * F.col("exact_parts")).alias("cd_within_10pct"),
+        (F.abs(F.col("approx_median") - F.col("exact_median"))
+         <= 0.05 * F.col("exact_median")).alias("median_within_5pct"),
+    )
+
+
+@query(
     "agg_stats_pack",
     oracle="""
     WITH m AS (

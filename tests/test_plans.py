@@ -91,6 +91,30 @@ def test_q6_all_predicates_pushed(spark, sf_dir):
     assert "Join" not in plan
 
 
+def test_q10_broadcasts_dims_and_takes_ordered(spark, sf_dir):
+    from coursera_etl_pipeline_spark.operators.relational import q10_returned_items
+
+    plan = plan_of(q10_returned_items(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q22_nested_loop_only_for_scalar_subquery(spark, sf_dir):
+    """The only nested-loop join allowed is the 1-row scalar-subquery
+    broadcast (the standard physical shape for a scalar threshold);
+    the NOT EXISTS must plan as a hash anti join, never a loop."""
+    from coursera_etl_pipeline_spark.operators.relational import q22_dormant_customers
+
+    import re
+
+    plan = plan_of(q22_dormant_customers(spark, sf_dir))
+    # explain('formatted') prints each node in the tree AND the detail
+    # section — count numbered tree nodes only
+    loops = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
+    assert len(loops) <= 1
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
 def test_topk_plans_take_ordered(spark, sf_dir):
     """orderBy().limit(k) must plan TakeOrderedAndProject (per-partition
     heaps + driver merge), not a global sort."""
