@@ -19,3 +19,49 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+__all__ = [
+    "get_spark",
+    "load_table",
+    "run_transform",
+    "write_csv",
+    "append_to_table",
+    "attribution_join",
+    "drop_exact_duplicates",
+    "minhash_lsh_pairs",
+    "jaccard_pairs_prefix",
+    "dedup_survivors",
+    "connected_components",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "sample_stratified_hash",
+    "text_pack_sequences",
+]
+
+
+def __getattr__(name):
+    """Lazy public API: importing the package stays cheap (no Spark
+    classes touched); the first attribute access resolves the symbol."""
+    import importlib
+
+    homes = {
+        "get_spark": "session",
+        "load_table": "catalog",
+        "run_transform": "plans.pipeline",
+        "write_csv": "plans.pipeline",
+        "append_to_table": "plans.pipeline",
+        "attribution_join": "streaming.joins",
+        "drop_exact_duplicates": "llm_ops.dedup",
+        "minhash_lsh_pairs": "llm_ops.dedup",
+        "jaccard_pairs_prefix": "llm_ops.dedup",
+        "dedup_survivors": "llm_ops.clusters",
+        "connected_components": "llm_ops.clusters",
+        "ann_topk_lsh": "llm_ops.similarity",
+        "ann_topk_ivf": "llm_ops.similarity",
+        "sample_stratified_hash": "llm_ops.sampling",
+        "text_pack_sequences": "llm_ops.sampling",
+    }
+    if name in homes:
+        mod = importlib.import_module(f"{__name__}.{homes[name]}")
+        return getattr(mod, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
