@@ -263,6 +263,33 @@ def test_sequence_packing_contiguous_and_bounded(spark, sf_dir):
         assert packs == sorted(packs)  # non-decreasing in doc order
 
 
+def test_salted_join_correct_under_planted_skew(spark):
+    """One key holding 90% of the large side (the shape that stalls a
+    plain shuffle join on one reducer): salting must return exactly the
+    plain join's result, with the hot key spread across all salts."""
+    from coursera_etl_pipeline_spark.operators.skew import SALT_BUCKETS, salted_join
+
+    rows = [(7, i) for i in range(9000)] + [(k, k * 10) for k in range(1000)]
+    large = spark.createDataFrame(rows, "k long, payload long")
+    small = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(1000)], "sk long, name string")
+
+    salted = salted_join(large, small, "k", "sk", salt_cols=["k", "payload"])
+    plain = large.join(small, large.k == small.sk)
+    assert salted.count() == plain.count() == 10000
+    got = {(r.k, r.payload, r.name) for r in salted.collect()}
+    want = {(r.k, r.payload, r.name) for r in plain.collect()}
+    assert got == want
+
+    # the hot key's rows actually spread over the salt space
+    from pyspark.sql import functions as F2
+    hot = (large.filter(F2.col("k") == 7)
+           .withColumn("_salt", F2.pmod(F2.xxhash64("k", "payload"),
+                                        F2.lit(SALT_BUCKETS)).cast("int")))
+    n_salts = hot.select("_salt").distinct().count()
+    assert n_salts == SALT_BUCKETS
+
+
 def test_connected_components_transitive(spark):
     """A-B and B-C pairs must merge into one cluster {A,B,C} even
     though A-C was never emitted as a pair (transitivity), and the
