@@ -32,7 +32,7 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Ensure at least one scan partition per core.
 
     The local fixtures are single-file, single-row-group parquet — such
@@ -68,12 +68,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        df = _fan_out(spark, spark.read.parquet(table_path(sf_dir, name)))
+        df = fan_out(spark, spark.read.parquet(table_path(sf_dir, name)))
         # integer div — float division would lose precision on 1.7e18 ns
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     df = spark.read.parquet(table_path(sf_dir, name))
     if name in FANOUT_TABLES:
-        df = _fan_out(spark, df)
+        df = fan_out(spark, df)
     return df
 
 

@@ -49,6 +49,15 @@ from coursera_etl_pipeline_spark.registry import davg, dsum, query
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # the 8 decimal partial aggregates are the heavy map-side work here;
+    # fan_out is a no-op whenever the scan already yields >= core-count
+    # partitions (any real multi-file input) and only round-robins the
+    # local single-row-group fixture so partial aggregation parallelizes.
+    # Deliberately NOT applied to multi-scan join queries (q18-style):
+    # there each extra exchange costs more than the parallelism buys.
+    from coursera_etl_pipeline_spark.catalog import fan_out
+
+    li = fan_out(spark, li)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
