@@ -43,6 +43,24 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
        .format("parquet").saveAsTable(table))
 
 
+def overwrite_partitions(df: DataFrame, path: str,
+                         partition_cols: list[str]) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in df, leaving every other partition's files untouched — the
+    idempotent daily-backfill primitive (re-running a day's load
+    rewrites that day, never the table). Static overwrite mode would
+    drop the whole dataset first; at 100 TB that difference is the
+    job."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (df.write.mode("overwrite").partitionBy(*partition_cols)
+           .format("parquet").save(path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def write_range_clustered(df: DataFrame, path: str, cluster_col: str,
                           n_files: int = 8, mode: str = "overwrite") -> None:
     """Range-clustered layout: repartitionByRange gives each output

@@ -181,3 +181,36 @@ def test_binaryfile_blob_ingest(spark, tmp_path):
     for r in feats:
         assert len(r.features) == multimodal.N_FEATURES
         assert abs(sum(r.features) - 1.0) < 1e-9
+
+
+def test_dynamic_partition_overwrite_touches_only_loaded_partitions(spark, sf_dir, tmp_path):
+    """Re-loading one year must rewrite ONLY that year's partition
+    directory; other partitions' files stay byte-identical (same names,
+    same mtimes) — the idempotent-backfill contract."""
+    import glob
+    import os
+
+    orders = load_table(spark, sf_dir, "orders") \
+        .withColumn("order_year", F.year("o_orderdate"))
+    path = str(tmp_path / "orders_dyn")
+    sinks.write_partitioned(orders, path, ["order_year"])
+
+    def snapshot(year):
+        return {f: os.path.getmtime(f)
+                for f in glob.glob(f"{path}/order_year={year}/*.parquet")}
+
+    before_1996 = snapshot(1996)
+    before_1998 = snapshot(1998)
+    assert before_1996 and before_1998
+
+    redo = orders.filter(F.col("order_year") == 1998) \
+        .withColumn("o_orderpriority", F.lit("5-LOW"))
+    sinks.overwrite_partitions(redo, path, ["order_year"])
+
+    assert snapshot(1996) == before_1996          # untouched partition intact
+    assert snapshot(1998) != before_1998          # reloaded partition replaced
+    back = spark.read.parquet(path)
+    assert back.filter("order_year = 1998") \
+        .select("o_orderpriority").distinct().collect()[0][0] == "5-LOW"
+    n96 = orders.filter("order_year = 1996").count()
+    assert back.filter("order_year = 1996").count() == n96
