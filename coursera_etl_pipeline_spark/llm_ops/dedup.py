@@ -304,7 +304,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming 3 must agree on >= 1 chunk (pigeonhole), so joining on
     (chunk_idx, chunk_value) finds ALL such pairs — equality shuffle
     instead of the oracle's O(n^2) cross join, same exact answer."""
-    fps = simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+    # materialize: the chunk self-join consumes the fingerprint index on
+    # BOTH sides — without it the token-explode + 32-agg stage runs twice
+    fps = _materialize(simhash_fingerprints(load_table(spark, sf_dir, "documents")))
 
     chunks = fps.select(
         "doc_id", "simhash",
