@@ -190,13 +190,18 @@ def ann_topk_lsh(emb: DataFrame, k: int = TOP_K,
     query ~ corpus/2^bits per band, tunable via N_PLANES/N_BANDS_ANN."""
     from pyspark.sql import Window as W
 
+    from coursera_etl_pipeline_spark.llm_ops.dedup import _materialize
+
     sig = signatures(emb)
-    banded = sig.select(
+    # materialized: both the query side and the corpus side of the
+    # bucket join read this — without it the 12 hyperplane dot products
+    # per vector run twice
+    banded = _materialize(sig.select(
         "vec_id", "embedding",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
             for b in range(N_BANDS_ANN)])).alias("bb"),
-    ).select("vec_id", "embedding", "bb.band", "bb.bucket")
+    ).select("vec_id", "embedding", "bb.band", "bb.bucket"))
 
     q = (banded.filter(F.col("vec_id") < n_queries)
          .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
