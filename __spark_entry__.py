@@ -74,6 +74,9 @@ _FIRST = [
     "dedup_minhash_lsh",
     "dedup_clusters",
     "agg_approx_bounds",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
 ]
 _LAST = [
     # heaviest self-join/scan queries — keep outside a time-capped window;

@@ -829,3 +829,125 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.expr(dsum("c_acctbal")).alias("totacctbal"))
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    WITH vol AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+                    JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN customer ON o_custkey = c_custkey
+                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                    JOIN region   ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    )
+    SELECT o_year,
+           round({dsum("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END")}
+                 / {dsum('volume')}, 6) AS mkt_share
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's yearly order
+    volume — six-table join where every dimension chain (supplier->
+    nation, customer->nation->region) broadcasts; only the lineitem x
+    orders join shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region"))
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"))
+        .select(F.year("o_orderdate").cast("int").alias("o_year"),
+                F.col("supp_nation"),
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
+    )
+    share = (F.expr(dsum("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END"))
+             / F.expr(dsum("volume")))
+    return (vol.groupBy("o_year")
+            .agg(F.round(share, 6).alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             {dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate-then-argmax — the revenue 'view' is
+    computed once, materialized, and consumed by both the max scalar
+    subquery and the equality filter (no second scan of lineitem)."""
+    from coursera_etl_pipeline_spark.llm_ops.dedup import _materialize
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+    rev = _materialize(
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.expr(dsum("l_extendedprice * (1 - l_discount)")).alias("total_revenue")))
+    top = rev.agg(F.max("total_revenue").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == F.col("mx"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name",
+                F.round("total_revenue", 2).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    SELECT round({dsum('l_extendedprice')} / 7.0, 6) AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l_quantity < 0.5 * (SELECT {davg('l_quantity')} FROM lineitem
+                              WHERE l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated average — each line compared against
+    its part's mean quantity. The correlated subquery becomes one
+    aggregate of lineitem re-joined on partkey (computed once, not per
+    row), then the threshold filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    avg_q = (li.groupBy(F.col("l_partkey").alias("avg_pk"))
+             .agg(F.expr(davg("l_quantity")).alias("avg_qty")))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_q, li.l_partkey == F.col("avg_pk"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(F.round(F.expr(dsum("l_extendedprice")) / 7.0, 6).alias("avg_yearly"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
