@@ -84,18 +84,23 @@ def views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """Register the named tables as temp views (for spark.sql queries).
 
     Re-registration is idempotent and schema-only; queries re-register
-    per call so the same session can serve multiple sf_dirs."""
-    for name in names:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    per call so the same session can serve multiple sf_dirs. Single
+    registration path: delegates to load_tables, so per-table handling
+    (events nanos->micros ts, fan-out) applies identically everywhere."""
+    load_tables(spark, sf_dir, names)
 
 
 def load_tables(spark: SparkSession, sf_dir: str,
                 names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     """Load every fixture table present under sf_dir and register each
-    as a temp view (idempotent; cheap — schema-only until an action)."""
+    as a temp view (idempotent; cheap — schema-only until an action).
+    Explicitly-requested names must exist (a typo'd view name should
+    fail here, not as a missing relation later); only the default
+    load-everything sweep skips absent fixtures."""
     out: dict[str, DataFrame] = {}
+    sweep = names is TABLES
     for name in names:
-        if not os.path.exists(table_path(sf_dir, name)):
+        if sweep and not os.path.exists(table_path(sf_dir, name)):
             continue
         # delegate so per-table handling (events nanos->micros ts,
         # fan-out) applies here too, not just to direct loads

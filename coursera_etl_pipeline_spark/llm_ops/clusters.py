@@ -79,13 +79,24 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         return (r.n, r.h)
 
     sig_old = _sig(edges)
+    converged = False
     for _ in range(max_iter):
         new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         sig_new = _sig(new_edges)
         edges = new_edges
         if sig_new == sig_old:
+            converged = True
             break
         sig_old = sig_new
+    if not converged:
+        # Without a fixed point the edge set need not be a star forest,
+        # and the left join below would silently emit multiple rows per
+        # doc_id with arbitrary labels. Convergence is O(log^2 n) rounds
+        # (Kiveris et al.), so hitting this means max_iter is far too
+        # small for the graph — fail loudly rather than mislabel.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (star contraction needs O(log^2 n) rounds)")
 
     # converged star edges: u -> root; roots themselves never appear as u
     labels = nodes.join(edges.withColumnRenamed("u", "doc_id"), "doc_id", "left")

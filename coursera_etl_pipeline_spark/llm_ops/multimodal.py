@@ -56,9 +56,15 @@ def read_blob_files(spark: SparkSession, path: str,
     (one row per file: path, modificationTime, length, content) and
     normalize to the engine's blob schema. This is how image/audio
     corpora actually arrive at 100 TB — millions of object-store files
-    read in parallel by input split, no driver-side listing loop. The
-    md5-of-path doc_id is deterministic and collision-safe at corpus
-    scale (128-bit)."""
+    read in parallel by input split, no driver-side listing loop.
+
+    doc_id is the first 15 hex chars (60 bits) of md5(path) — a compact
+    join key, deterministic across engines (the DuckDB oracle rebuilds
+    it with the same substr), but only 60 bits: birthday collisions
+    become material around ~10^9 files (~n^2/2^61). `source_path` is
+    retained as the true unique key; any pipeline joining billions of
+    blobs should key on it (or widen doc_id) rather than assume the
+    60-bit surrogate is collision-free."""
     raw = (spark.read.format("binaryFile")
            .option("pathGlobFilter", pattern).load(path))
     ext = F.lower(F.element_at(F.split(F.col("path"), "\\."), -1))

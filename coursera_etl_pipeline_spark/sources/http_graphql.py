@@ -65,7 +65,17 @@ class GraphQLReader(DataSourceReader):
 
     def partitions(self):
         # one partition per page; the reference's single unpaginated
-        # request is the pages=1 default
+        # request is the pages=1 default. When mock_pages supplies the
+        # payloads, the payload list IS the page count — silently
+        # reading fewer pages than were provided would drop data.
+        mock_pages = self.options.get("mock_pages")
+        if mock_pages is not None:
+            n = len(json.loads(mock_pages))
+            pages = int(self.options.get("pages", str(n)))
+            if pages != n:
+                raise ValueError(
+                    f"mock_pages supplies {n} pages but pages={pages}")
+            return [InputPartition(i) for i in range(n)]
         return [InputPartition(i) for i in range(int(self.options.get("pages", "1")))]
 
     def read(self, partition):

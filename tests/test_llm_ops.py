@@ -180,6 +180,22 @@ def test_multimodal_decode_stub_raises():
         multimodal.decode_media(b"xx", "image/png")
 
 
+def test_multimodal_real_mode_raises_per_batch_not_plan_time(spark, sf_dir):
+    """mode='real' wiring: building the plan must succeed (the stub is
+    called per Arrow batch inside mapInPandas, not at plan time), and
+    executing it must surface the NotImplementedError cleanly — the
+    guarantee that swapping in a real codec is a pure function swap."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    blobs = multimodal.as_blobs(docs)
+    feats = multimodal.extract_features(blobs, mode="real")  # plan: fine
+    assert [f.name for f in feats.schema.fields] == [
+        "doc_id", "media_type", "n_bytes", "features"]
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        feats.collect()  # execution: the stub raises inside the batch
+
+
 def test_frame_sampling_shape(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(5)
     blobs = multimodal.as_blobs(docs)

@@ -101,7 +101,12 @@ def build_scaled(spark, k: int) -> str:
         for i in range(k):
             r = df
             for c in keys:
-                r = r.withColumn(c, (F.col(c) + F.lit(i * SHIFT)).cast(df.schema[c].dataType))
+                # bigint, NOT the source type: casting the shift back to a
+                # 32-bit column wraps silently once i*SHIFT exceeds int32
+                # (k > ~21), corrupting the disjoint-key invariant. Both
+                # sides of every replica join shift together, so the
+                # widened types stay join-compatible.
+                r = r.withColumn(c, F.col(c).cast("bigint") + F.lit(i * SHIFT))
             replicas.append(r)
         out = replicas[0]
         for r in replicas[1:]:
