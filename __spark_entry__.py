@@ -99,6 +99,13 @@ _NEXT = [
     "dedup_components",
     "dedup_clusters",
     "multimodal_blob_metadata",
+    # new in round 3 (operators/tpch_extra.py) — first green row needed
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
+    "q9_product_type_profit",
+    "q16_supplier_part_count",
+    "q20_excess_suppliers",
+    "q11_important_parts",
 ]
 
 

@@ -12,5 +12,6 @@ from coursera_etl_pipeline_spark.operators import (  # noqa: F401
     skew,
     scalars,
     subqueries,
+    tpch_extra,
     windows,
 )

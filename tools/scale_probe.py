@@ -79,9 +79,12 @@ PROBE_QUERIES = [
 SHIFT = 100_000_000  # far above any fixture key range
 
 
-def build_scaled(spark, k: int) -> str:
-    dest = f"{OUT_DIR}_sf{k}x"
+def build_scaled(spark, k: int, dest: str | None = None,
+                 reuse: bool = False) -> str:
+    dest = dest or f"{OUT_DIR}_sf{k}x"
     if os.path.exists(dest):
+        if reuse:
+            return dest
         shutil.rmtree(dest)
     os.makedirs(dest)
     # events carries TIMESTAMP(NANOS): read it as a raw long (same as
