@@ -106,6 +106,7 @@ _NEXT = [
     "q16_supplier_part_count",
     "q20_excess_suppliers",
     "q11_important_parts",
+    "stream_dedup_parity",
 ]
 
 

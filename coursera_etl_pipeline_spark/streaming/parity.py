@@ -104,3 +104,53 @@ def stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         _RAN.add(key)
     return spark.table(name)
+
+
+@query(
+    "stream_dedup_parity",
+    # the doubled stream deduplicated on event_id is exactly the
+    # distinct event set; event_ids are unique in the fixture, so this
+    # is the full events relation
+    oracle="""
+    SELECT event_id,
+           strftime(ts AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS ts_str,
+           user_id, event_type, value
+    FROM events
+    """,
+)
+def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DEDUP state store under the value-hash oracle: the
+    events stream self-unioned (every event arrives twice, as in an
+    at-least-once ingest) then `dropDuplicates(event_id)` — the real
+    micro-batch dedup operator holding per-key state — written to a
+    memory sink in append mode via availableNow. A hash match against
+    the plain relation proves exactly-once output from at-least-once
+    input.
+
+    Scale posture: dedup state partitions on event_id (high-cardinality,
+    unskewed); production would add `withWatermark` +
+    dropDuplicatesWithinWatermark to bound state (pytest-covered in
+    streaming tests); the bounded availableNow run here needs no
+    eviction. The memory sink is harness plumbing; the production path
+    is the checkpointed parquet sink in pipeline_stream.py."""
+    key = ("dedup", id(spark), sf_dir)
+    name = "stream_dedup_" + re.sub(r"\W", "_", sf_dir).strip("_")
+    if key not in _RAN:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        src = (spark.readStream.schema(_EVENTS_RAW)
+               .option("pathGlobFilter", "events.parquet")
+               .parquet(sf_dir))
+        doubled = src.union(src)
+        deduped = (
+            doubled.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            .dropDuplicates(["event_id"])
+            .select("event_id",
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+                    "user_id", "event_type", "value")
+        )
+        q = (deduped.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        _RAN.add(key)
+    return spark.table(name)
