@@ -124,22 +124,55 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx")  # rows-only: HLL/quantile sketches differ across engines
+@query(
+    "agg_approx",
+    # The sketch VALUES are engine-specific (HLL++/KLL internals), so
+    # the hash-checkable contract is the error bound: the oracle pins
+    # the exact distinct count and expects every within-tolerance flag
+    # to be TRUE — a sketch drifting out of tolerance fails the
+    # value-hash gate loudly (same pattern as agg_approx_bounds).
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS cd_within_10pct,
+           TRUE AS median_within_5pct,
+           TRUE AS p25_within_5pct,
+           TRUE AS p75_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HyperLogLog++ distinct, quantile sketch)
-    — the sketches every 100 TB profile job leans on. No SQL oracle:
-    sketch internals are engine-specific; tests bound the error vs the
-    exact values instead (and agg_approx_bounds hash-checks the error
-    contract). The IQR quantiles are emitted as scalar p25/p75 columns
-    — one sketch pass still computes both, and scalar columns keep the
-    result canonicalizable (array columns aren't hashable row-wise)."""
+    — the sketches every 100 TB profile job leans on. One sketch pass
+    computes the median AND the IQR quantiles (array-form
+    percentile_approx); the exact counterparts ride the same shuffle.
+    Emitted as within-error-bound booleans plus the exact distinct
+    count as a hash anchor, because the raw sketch values differ
+    across engines. agg_approx_bounds keeps the narrower
+    count+median contract; this entry certifies the array-form
+    quantile sketch as well."""
     li = load_table(spark, sf_dir, "lineitem")
     iqr = F.percentile_approx("l_extendedprice", F.array(F.lit(0.25), F.lit(0.75)))
-    return li.groupBy("l_returnflag").agg(
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
+        F.expr("percentile(l_extendedprice, 0.25)").alias("exact_p25"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("exact_p75"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
         iqr.getItem(0).alias("approx_p25"),
         iqr.getItem(1).alias("approx_p75"),
+    )
+
+    def _within(approx: str, exact: str, tol: float) -> F.Column:
+        return F.abs(F.col(approx) - F.col(exact)) <= tol * F.abs(F.col(exact))
+
+    return per_flag.select(
+        "l_returnflag", "exact_parts",
+        _within("approx_parts", "exact_parts", 0.10).alias("cd_within_10pct"),
+        _within("approx_median", "exact_median", 0.05).alias("median_within_5pct"),
+        _within("approx_p25", "exact_p25", 0.05).alias("p25_within_5pct"),
+        _within("approx_p75", "exact_p75", 0.05).alias("p75_within_5pct"),
     )
 
 
