@@ -3,11 +3,28 @@ skew-join splitting isn't available (e.g. bucketed join paths or
 pre-3.0 clusters). SURVEY §4.3: skewed keys are the canonical 100 TB
 join hazard.
 
-Mechanics: replicate the build side R times with salt 0..R-1; scatter
-the probe side's hot keys uniformly over the R salted copies; join on
-(key, salt). Row multiplication is R x |build|, shuffle skew drops by
-R on the probe side. Semantics are EXACTLY an inner equi-join — the
-registry entry is oracle-checked against the plain SQL join.
+Two forms, in order of preference at scale:
+
+1. ``salted_join_hotkey`` (the registered plan): a cheap map-side-
+   combined frequency aggregation finds the keys that actually skew,
+   the hot-key set is broadcast (it is tiny by construction — a key
+   is only hot if it alone holds a partition-sized share of rows),
+   ONLY hot-key probe rows are salted and ONLY hot-key build rows are
+   replicated; everything else takes the plain shuffle join. At
+   uniform keys the salting machinery vanishes and the cost is one
+   extra count-aggregate over the probe side; under planted skew the
+   hot reducer's rows spread across R salts. This is the plan you'd
+   run at 100 TB when AQE's skew split can't fire.
+
+2. ``salted_join`` (utility + worst-case bound): salts the ENTIRE
+   probe side and replicates the FULL build side R times,
+   unconditionally. Simple, deterministic shape — but at uniform keys
+   it is pure tax (measured 41x vs the plain join at sf1, see
+   BASELINE.md §4), so it exists as the building block the hot-key
+   form reuses and as the documented upper bound.
+
+Both are semantically EXACT equi-joins — the registry entry is
+oracle-checked against the plain SQL join.
 """
 
 from __future__ import annotations
@@ -19,6 +36,12 @@ from coursera_etl_pipeline_spark.catalog import load_table
 from coursera_etl_pipeline_spark.registry import dsum, query
 
 SALT_BUCKETS = 8
+# A key is hot when its row count exceeds max(floor, multiplier x the
+# mean per-key count). The floor keeps tiny fixtures from flagging
+# noise; the multiplier is the skew ratio at which one reducer's key
+# meaningfully outweighs its peers. Both are overridable per call.
+HOT_FREQ_FLOOR = 64
+HOT_FREQ_MULTIPLIER = 10
 
 
 def salted_join(large: DataFrame, small: DataFrame, key_large: str,
@@ -47,6 +70,57 @@ def salted_join(large: DataFrame, small: DataFrame, key_large: str,
         .drop("_salt"))
 
 
+def hot_keys(large: DataFrame, key: str,
+             hot_threshold: int | None = None) -> DataFrame:
+    """One-column DataFrame of the probe-side keys whose frequency
+    crosses the hot threshold. One map-side-combined count shuffle —
+    the same per-key stats pass AQE's runtime skew detection does,
+    expressed relationally. When ``hot_threshold`` is None the
+    threshold is data-derived (mean per-key count x multiplier,
+    floored) via a broadcast 1-row stats join, so the plan stays fully
+    lazy — no driver-side collect."""
+    freq = large.groupBy(key).agg(F.count(F.lit(1)).alias("_freq"))
+    if hot_threshold is not None:
+        return freq.filter(F.col("_freq") >= hot_threshold).select(key)
+    stats = freq.agg(F.avg("_freq").alias("_mean_freq"))
+    return (freq.crossJoin(F.broadcast(stats))
+            .filter(F.col("_freq") >= F.greatest(
+                F.lit(float(HOT_FREQ_FLOOR)),
+                F.col("_mean_freq") * HOT_FREQ_MULTIPLIER))
+            .select(key))
+
+
+def salted_join_hotkey(large: DataFrame, small: DataFrame, key_large: str,
+                       key_small: str, n_salts: int = SALT_BUCKETS,
+                       how: str = "inner",
+                       salt_cols: list[str] | None = None,
+                       hot_threshold: int | None = None) -> DataFrame:
+    """Skew join that pays the salting tax only where skew exists.
+
+    Phase 1: frequency-aggregate the probe side, broadcast the hot-key
+    set. Phase 2: split both sides on hot-set membership (broadcast
+    semi/anti joins — no shuffle for the split itself); plain-join the
+    cold slices; ``salted_join`` the hot slices (replicating only the
+    hot build rows, typically a handful); union. Row multiplication is
+    R x |hot build rows| instead of R x |build|.
+
+    ``how`` supports 'inner' and 'left' (a left row lands in exactly
+    one slice, so unmatched preservation survives the union)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join_hotkey supports inner/left, got {how}")
+    hot = F.broadcast(
+        hot_keys(large, key_large, hot_threshold)
+        .withColumnRenamed(key_large, "_hot_key"))
+    l_hot = large.join(hot, large[key_large] == hot["_hot_key"], "left_semi")
+    l_cold = large.join(hot, large[key_large] == hot["_hot_key"], "left_anti")
+    s_hot = small.join(hot, small[key_small] == hot["_hot_key"], "left_semi")
+    s_cold = small.join(hot, small[key_small] == hot["_hot_key"], "left_anti")
+    cold = l_cold.join(s_cold, l_cold[key_large] == s_cold[key_small], how)
+    hot_joined = salted_join(l_hot, s_hot, key_large, key_small,
+                             n_salts, how, salt_cols)
+    return cold.unionByName(hot_joined)
+
+
 @query(
     "join_salted_skew",
     oracle=f"""
@@ -56,12 +130,16 @@ def salted_join(large: DataFrame, small: DataFrame, key_large: str,
     """,
 )
 def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Salted lineitem x orders — byte-identical result to the plain
-    join (the oracle IS the plain join), different shuffle shape."""
+    """Hot-key-salted lineitem x orders — byte-identical result to the
+    plain join (the oracle IS the plain join). At the fixture's uniform
+    orderkeys the hot set is empty and the plan degenerates to the
+    plain shuffle join plus one count-aggregate; under real skew only
+    the hot keys pay the salting tax. This is the scale-safe plan; the
+    uniform-salting worst case stays available as ``salted_join``."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    joined = salted_join(li, o, "l_orderkey", "o_orderkey",
-                         salt_cols=["l_orderkey", "l_linenumber"])
+    joined = salted_join_hotkey(li, o, "l_orderkey", "o_orderkey",
+                                salt_cols=["l_orderkey", "l_linenumber"])
     return (joined.groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.expr(dsum("l_extendedprice")).alias("total")))

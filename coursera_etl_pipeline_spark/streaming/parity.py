@@ -25,6 +25,7 @@ on a 1000-executor cluster against a landing zone.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,9 +48,17 @@ _EVENTS_RAW = StructType([
 ])
 
 # One stream run per (session, sf_dir): the memory sink's table is
-# static after awaitTermination, so repeated calls (bench loops, the
-# driver's collect) reuse it instead of restarting the stream.
-_RAN: set[tuple[int, str]] = set()
+# static after awaitTermination, so repeated calls (the driver's
+# collect) reuse it instead of restarting the stream. Memoization is
+# the sink table's own existence in the session catalog — not a
+# process-global cache keyed on id(spark), which could misfire if
+# CPython recycled a garbage-collected session's id. Pass force=True
+# to rerun the stream (bench hygiene: a warm-run benchmark must time
+# the stream, not a memory-table read).
+
+
+def _needs_run(spark: SparkSession, name: str, force: bool) -> bool:
+    return force or not spark.catalog.tableExists(name)
 
 
 @query(
@@ -69,15 +78,15 @@ _RAN: set[tuple[int, str]] = set()
     GROUP BY 1, 2
     """,
 )
-def stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_batch_parity(spark: SparkSession, sf_dir: str,
+                        force: bool = False) -> DataFrame:
     """Runs the REAL stream: file-source readStream over the events
     parquet, 1-day watermark, 12h tumbling window aggregation, memory
     sink via writeStream + availableNow; returns the sink table. The
     oracle recomputes the same aggregation relationally — a hash match
     proves the incremental execution is value-identical to batch."""
-    key = (id(spark), sf_dir)
     name = "stream_parity_" + re.sub(r"\W", "_", sf_dir).strip("_")
-    if key not in _RAN:
+    if _needs_run(spark, name, force):
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # FileStreamSource requires a directory (it sets basePath to the
@@ -102,7 +111,6 @@ def stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (agg.writeStream.format("memory").queryName(name)
              .outputMode("complete").trigger(availableNow=True).start())
         q.awaitTermination()
-        _RAN.add(key)
     return spark.table(name)
 
 
@@ -110,15 +118,19 @@ def stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_dedup_parity",
     # the doubled stream deduplicated on event_id is exactly the
     # distinct event set; event_ids are unique in the fixture, so this
-    # is the full events relation
+    # is the full events relation. The view's naive ts is already UTC,
+    # so strftime renders it directly — an AT TIME ZONE 'UTC' cast
+    # would re-render through the DuckDB session TimeZone and shift
+    # the string on non-UTC hosts.
     oracle="""
     SELECT event_id,
-           strftime(ts AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS ts_str,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
            user_id, event_type, value
     FROM events
     """,
 )
-def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_dedup_parity(spark: SparkSession, sf_dir: str,
+                        force: bool = False) -> DataFrame:
     """Streaming DEDUP state store under the value-hash oracle: the
     events stream self-unioned (every event arrives twice, as in an
     at-least-once ingest) then `dropDuplicates(event_id)` — the real
@@ -133,9 +145,8 @@ def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming tests); the bounded availableNow run here needs no
     eviction. The memory sink is harness plumbing; the production path
     is the checkpointed parquet sink in pipeline_stream.py."""
-    key = ("dedup", id(spark), sf_dir)
     name = "stream_dedup_" + re.sub(r"\W", "_", sf_dir).strip("_")
-    if key not in _RAN:
+    if _needs_run(spark, name, force):
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         src = (spark.readStream.schema(_EVENTS_RAW)

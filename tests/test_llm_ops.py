@@ -306,6 +306,71 @@ def test_salted_join_correct_under_planted_skew(spark):
     assert n_salts == SALT_BUCKETS
 
 
+def test_salted_join_hotkey_under_planted_skew(spark):
+    """Hot-key-only salting: the planted hot key (90% of rows) is
+    detected by the frequency pass and salted; result is exactly the
+    plain join. This is the registered scale-safe plan."""
+    from coursera_etl_pipeline_spark.operators.skew import (
+        hot_keys,
+        salted_join_hotkey,
+    )
+
+    rows = [(7, i) for i in range(9000)] + [(k, k * 10) for k in range(1000)]
+    large = spark.createDataFrame(rows, "k long, payload long")
+    small = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(1000)], "sk long, name string")
+
+    detected = {r.k for r in hot_keys(large, "k").collect()}
+    assert detected == {7}  # 9000 rows vs mean ~10 -> only the planted key
+
+    salted = salted_join_hotkey(large, small, "k", "sk",
+                                salt_cols=["k", "payload"])
+    plain = large.join(small, large.k == small.sk)
+    assert salted.count() == plain.count() == 10000
+    got = {(r.k, r.payload, r.name) for r in salted.collect()}
+    want = {(r.k, r.payload, r.name) for r in plain.collect()}
+    assert got == want
+
+
+def test_salted_join_hotkey_uniform_degenerates_to_plain(spark, sf_dir):
+    """At uniform keys the hot set is empty, no row is salted or
+    replicated, and the result is the plain join byte-for-byte."""
+    from coursera_etl_pipeline_spark.operators.skew import (
+        hot_keys,
+        salted_join_hotkey,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").filter("l_orderkey < 800")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    assert hot_keys(li, "l_orderkey").count() == 0
+    salted = salted_join_hotkey(li, o, "l_orderkey", "o_orderkey")
+    plain = li.join(o, li.l_orderkey == o.o_orderkey)
+    a = {tuple(r) for r in salted.select("l_orderkey", "l_linenumber", "o_orderstatus").collect()}
+    b = {tuple(r) for r in plain.select("l_orderkey", "l_linenumber", "o_orderstatus").collect()}
+    assert a == b
+
+
+def test_salted_join_hotkey_left_preserves_unmatched(spark):
+    """LEFT form: unmatched probe rows (hot and cold) survive exactly
+    once across the cold/hot union."""
+    from coursera_etl_pipeline_spark.operators.skew import salted_join_hotkey
+
+    rows = ([(7, i) for i in range(500)]          # hot, matched
+            + [(999, i) for i in range(400)]      # hot, UNmatched
+            + [(k, k) for k in range(50)])        # cold, half matched
+    large = spark.createDataFrame(rows, "k long, payload long")
+    small = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(0, 50, 2)] + [(7, "dim7")],
+        "sk long, name string")
+    out = salted_join_hotkey(large, small, "k", "sk", how="left",
+                             hot_threshold=100)
+    plain = large.join(small, large.k == small.sk, "left")
+    assert out.count() == plain.count()
+    got = {(r.k, r.payload, r.name) for r in out.collect()}
+    want = {(r.k, r.payload, r.name) for r in plain.collect()}
+    assert got == want
+
+
 def test_connected_components_transitive(spark):
     """A-B and B-C pairs must merge into one cluster {A,B,C} even
     though A-C was never emitted as a pair (transitivity), and the
