@@ -54,14 +54,35 @@ def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a fixture timestamp column to microsecond TimestampType.
+
+    The driver's generated parquet has shipped the column three ways
+    across regenerations: TIMESTAMP(NANOS) (Spark reads it as
+    nanos-since-epoch bigint under the nanosAsLong legacy conf),
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (Spark 4 reads it as
+    TIMESTAMP_NTZ), and plain UTC-adjusted TIMESTAMP. All three encode
+    the same UTC wall-clock instants; with the session timezone pinned
+    to UTC the normalized values are bit-identical to what the DuckDB
+    oracle sees reading the same file."""
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        # integer div — float division would lose precision on 1.7e18 ns
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    if dt == "timestamp_ntz":
+        # naive-UTC -> instant; exact under the pinned UTC session tz
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One table: a vectorized parquet scan with pushdown/pruning free
     via Catalyst (PushedFilters/ReadSchema in .explain).
 
-    `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects by
-    default; read it as nanos-since-epoch (legacy conf) and convert to
-    a microsecond TimestampType — floor division, matching DuckDB's
-    ns->us truncation, so oracle values stay bit-identical.
+    `events.ts` is normalized to microsecond TimestampType whatever the
+    generated file's physical type (see normalize_ts).
 
     Session timezone is pinned to UTC here (runtime-settable) so
     timestamp formatting matches the DuckDB oracle even when the
@@ -69,11 +90,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
         df = fan_out(spark, spark.read.parquet(table_path(sf_dir, name)))
-        # integer div — float division would lose precision on 1.7e18 ns
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return normalize_ts(df)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name in FANOUT_TABLES:
         df = fan_out(spark, df)

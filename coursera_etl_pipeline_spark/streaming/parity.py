@@ -25,7 +25,6 @@ on a 1000-executor cluster against a landing zone.
 
 from __future__ import annotations
 
-import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -59,6 +58,19 @@ _EVENTS_RAW = StructType([
 
 def _needs_run(spark: SparkSession, name: str, force: bool) -> bool:
     return force or not spark.catalog.tableExists(name)
+
+
+def _await_or_cleanup(spark: SparkSession, q, name: str) -> None:
+    """awaitTermination, dropping the memory sink's temp view if the
+    stream fails: the view is registered at start(), so leaving it
+    behind would make the tableExists memoization serve a partial
+    table to the next caller."""
+    try:
+        q.awaitTermination()
+    except Exception:
+        q.stop()
+        spark.catalog.dropTempView(name)
+        raise
 
 
 @query(
@@ -110,7 +122,7 @@ def stream_batch_parity(spark: SparkSession, sf_dir: str,
         # fires" availableNow corner — the oracle covers ALL windows.
         q = (agg.writeStream.format("memory").queryName(name)
              .outputMode("complete").trigger(availableNow=True).start())
-        q.awaitTermination()
+        _await_or_cleanup(spark, q, name)
     return spark.table(name)
 
 
@@ -162,6 +174,5 @@ def stream_dedup_parity(spark: SparkSession, sf_dir: str,
         )
         q = (deduped.writeStream.format("memory").queryName(name)
              .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination()
-        _RAN.add(key)
+        _await_or_cleanup(spark, q, name)
     return spark.table(name)
