@@ -69,8 +69,9 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 
     dt = dict(df.dtypes).get(col)
     if dt == "bigint":
-        # integer div — float division would lose precision on 1.7e18 ns
-        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        # integer div — float division would lose precision on 1.7e18 ns;
+        # backtick-quote the identifier so non-word column names parse
+        return df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
     if dt == "timestamp_ntz":
         # naive-UTC -> instant; exact under the pinned UTC session tz
         return df.withColumn(col, F.col(col).cast("timestamp"))

@@ -29,22 +29,31 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
-                               StructType)
 
+from coursera_etl_pipeline_spark.catalog import normalize_ts, table_path
 from coursera_etl_pipeline_spark.registry import dsum, query
 
-# events.parquet carries TIMESTAMP(NANOS); the file-source stream reads
-# it as nanos-since-epoch (legacy conf, same treatment as
-# catalog.load_table) and converts to microsecond timestamps in-plan.
-_EVENTS_RAW = StructType([
-    StructField("event_id", LongType()),
-    StructField("ts", LongType()),
-    StructField("user_id", LongType()),
-    StructField("event_type", StringType()),
-    StructField("value", DoubleType()),
-    StructField("props", StringType()),
-])
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet with `ts` normalized to
+    microsecond TimestampType whatever the fixture's physical encoding.
+
+    The driver has regenerated the file under three encodings across
+    rounds — TIMESTAMP(NANOS), TIMESTAMP(MICROS, NTZ), UTC TIMESTAMP —
+    and a hardcoded stream schema broke on each flip (round 5: a nanos
+    `ts div 1000` applied to micros collapsed all windows to ~1970).
+    readStream needs an explicit schema, so take it from a batch footer
+    read of the same file: under the nanosAsLong conf a nanos file
+    surfaces `ts` as bigint, exactly what the stream will then see, and
+    `catalog.normalize_ts` dispatches on the observed dtype — one
+    conversion policy for the batch and streaming paths."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    src = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir))
+    return normalize_ts(src)
 
 # One stream run per (session, sf_dir): the memory sink's table is
 # static after awaitTermination, so repeated calls (the driver's
@@ -64,10 +73,11 @@ def _await_or_cleanup(spark: SparkSession, q, name: str) -> None:
     """awaitTermination, dropping the memory sink's temp view if the
     stream fails: the view is registered at start(), so leaving it
     behind would make the tableExists memoization serve a partial
-    table to the next caller."""
+    table to the next caller. BaseException too — a KeyboardInterrupt
+    mid-await must not leave a partial table memoized."""
     try:
         q.awaitTermination()
-    except Exception:
+    except BaseException:
         q.stop()
         spark.catalog.dropTempView(name)
         raise
@@ -99,14 +109,10 @@ def stream_batch_parity(spark: SparkSession, sf_dir: str,
     proves the incremental execution is value-identical to batch."""
     name = "stream_parity_" + re.sub(r"\W", "_", sf_dir).strip("_")
     if _needs_run(spark, name, force):
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # FileStreamSource requires a directory (it sets basePath to the
-        # input path); point it at the sf dir and glob the one table.
-        src = (spark.readStream.schema(_EVENTS_RAW)
-               .option("pathGlobFilter", "events.parquet")
-               .parquet(sf_dir))
-        ev = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # input path); _events_stream points it at the sf dir and globs
+        # the one table, normalizing ts to micro TimestampType.
+        ev = _events_stream(spark, sf_dir)
         agg = (
             ev.withWatermark("ts", "1 day")
             .groupBy(F.window("ts", "12 hours"), "event_type")
@@ -159,14 +165,9 @@ def stream_dedup_parity(spark: SparkSession, sf_dir: str,
     is the checkpointed parquet sink in pipeline_stream.py."""
     name = "stream_dedup_" + re.sub(r"\W", "_", sf_dir).strip("_")
     if _needs_run(spark, name, force):
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        src = (spark.readStream.schema(_EVENTS_RAW)
-               .option("pathGlobFilter", "events.parquet")
-               .parquet(sf_dir))
-        doubled = src.union(src)
+        src = _events_stream(spark, sf_dir)
         deduped = (
-            doubled.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            src.union(src)
             .dropDuplicates(["event_id"])
             .select("event_id",
                     F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),

