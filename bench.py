@@ -75,7 +75,12 @@ def main() -> None:
     per_query: dict[str, float] = {}
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
-    for name in HEADLINE:
+    # Order-sensitivity probe: a leak that taxes LATER queries (e.g. the
+    # round-5 persist accumulation) shows up as the same query being
+    # fast in one order and slow in the other. Results should be
+    # order-invariant; this knob lets a round prove it.
+    order = HEADLINE[::-1] if os.environ.get("SPARK_GRAFT_BENCH_REVERSE") else HEADLINE
+    for name in order:
         fn = queries.get(name)
         if fn is None:
             continue
