@@ -26,93 +26,85 @@ import coursera_etl_pipeline_spark.streaming  # noqa: E402,F401
 from coursera_etl_pipeline_spark.registry import ORACLE, QUERIES  # noqa: E402
 
 # The driver verifies queries in dict order and caps the check at 50 per
-# round.  Order the dict explicitly so every query holds a green CORRECTNESS
-# row against CURRENT code: round 3 rotates in the 38 queries whose only green
-# row predates the round-2 rewrites, plus the queries living in files edited
-# this round (their round-2 rows went stale with the edit), plus new entries.
-# The 48 queries certified green in CORRECTNESS_r02 against code untouched
-# since then move behind the window — their rows stay valid.
+# round.  Round 6 FINALLY rotates (rounds 3-5 shipped an identical 50-name
+# window, leaving 46 queries on round-2 rows that predate the events-fixture
+# regeneration): _FIRST now holds exactly those 46 never-re-certified queries
+# — events_* batch family at the very front, since their input encoding
+# changed — plus the two repaired real-stream parities and the two dedup.py
+# queries whose implementing file changed this round.  The 48 queries green
+# in CORRECTNESS_r05 against files untouched this round sit behind the
+# window; their r5 rows stay valid.
 _FIRST = [
-    # rewritten after their only (r1) green row — re-certify first
-    "q1_pricing_summary",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "similarity_neardup_pairs",
-    # fixed/upgraded this round — first clean row
-    "agg_approx",
-    "pipeline_courses_parity",
-    # new this round
+    # events batch family: input encoding changed with the fixture regen —
+    # their r2 rows are the most urgently stale evidence in the repo
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_interval_join",
+    "events_session_window",
+    # real-stream parities: failed r5 on the ts-unit bug, repaired this round
     "stream_batch_parity",
-    # r1-only green rows; implementations touched in round 2
-    "scd2_versions",
-    "q2_filter_predicates",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    "join_left_semi",
-    "join_left_anti",
-    "join_cross",
-    "join_nonequi_range",
-    "agg_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "sort_topk",
-    "sort_multi_key",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "q14_promo_revenue",
-    "q19_disjunctive_predicates",
-    "q18_large_orders",
-    "q4_order_priority",
-    "q12_shipmode_priority",
-    "join_salted_skew",
-    "scalar_string_pack",
-    "scalar_date_pack",
-    "scalar_math_pack",
-    "scalar_json_pack",
-    # new in round 3 (operators/tpch_extra.py, streaming/parity.py) — a
-    # first-ever green row outranks re-certifying queries whose file was
-    # edited elsewhere (see _NEXT note below)
-    "q13_customer_distribution",
-    "q21_waiting_suppliers",
-    "q9_product_type_profit",
-    "q16_supplier_part_count",
-    "q20_excess_suppliers",
-    "q11_important_parts",
     "stream_dedup_parity",
-    # clusters.py gained a convergence guard this round (results unchanged
-    # at fixture scale, but the implementing file changed) — re-certify
-    "dedup_components",
-    "dedup_clusters",
-    # heaviest self-joins kept at the back of the 50-slot window
-    "dedup_exact",
-    "similarity_topk_bruteforce",
-]
-_LAST: list[str] = []
-# First in line for the round-4 window. These hold green r2 rows and their
-# round-3 file edits are provably localized to OTHER functions (the
-# subqueries.py diff touches only agg_approx, the plans/queries.py diff only
-# pipeline_courses_parity — see git diff 186c4e3..HEAD), so their r2 rows
-# remain valid; they still rotate first next round to refresh the file-level
-# staleness heuristic. multimodal_blob_metadata's round-3 edit was
-# docstring-only.
-_NEXT = [
-    "subquery_scalar",
-    "subquery_in",
-    "subquery_exists_correlated",
+    # dedup.py changed this round (_materialize memoization + simhash
+    # one-shuffle plan) — first rows against the new code
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    # window functions: no green row since r2
+    "window_ranking",
+    "window_analytic",
+    "window_frame_rows",
+    "window_frame_range",
+    "window_latest_per_key",
+    # joins / merge on r2 rows
+    "join_asof",
+    "merge_upsert_snapshot",
+    # TPC-H shapes on r2 rows
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q22_dormant_customers",
+    # scalar packs on r2 rows
+    "scalar_array_pack",
+    "scalar_conditional_pack",
+    "scalar_higher_order_pack",
+    "scalar_map_pack",
+    # sorts / aggs on r2 rows
+    "sort_limit_offset",
+    "agg_percentile_exact",
     "agg_having",
     "agg_stats_pack",
     "agg_approx_bounds",
+    # subqueries / unpivot / nested on r2 rows
+    "subquery_scalar",
+    "subquery_in",
+    "subquery_exists_correlated",
     "unpivot_stack",
     "nested_explode_roundtrip",
     "nested_unnest_roundtrip",
+    # llm-ops on r2 rows
     "multimodal_blob_metadata",
+    "sample_stratified_hash",
+    "text_pack_sequences",
+    "text_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_tfidf_top_terms",
+    "dedup_minhash_lsh",
+    "similarity_ann_lsh",
+    "similarity_ann_recall",
+    "similarity_ann_ivf",
+    "similarity_ivf_recall",
+]
+_LAST: list[str] = []
+# First in line for round 7: dedup_exact lives in this round's edited
+# dedup.py but its function body is untouched and it doesn't call
+# _materialize — semantically zero change, so it yields its window slot to
+# the 46 never-re-certified queries this round.
+_NEXT = [
+    "dedup_exact",
 ]
 
 
