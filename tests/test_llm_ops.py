@@ -406,3 +406,48 @@ def test_connected_components_long_chain(spark):
     comp = {r.doc_id: r.component for r in connected_components(pairs).collect()}
     assert len(comp) == 30
     assert set(comp.values()) == {0}
+
+
+def test_materialize_memoizes_per_plan(spark, sf_dir):
+    """Repeated invocations of the same query must reuse ONE persisted
+    intermediate, not pin a fresh copy per call (the round-5 bench
+    creep): the per-session cache gains at most one entry across three
+    identical runs, and results stay value-identical."""
+    from coursera_etl_pipeline_spark.llm_ops.dedup import (
+        _MATERIALIZED,
+        clear_materialized,
+        dedup_ngram_jaccard,
+    )
+
+    clear_materialized(spark)
+    before = sum(len(b) for d in _MATERIALIZED.values() for b in d.values())
+    first = sorted(map(tuple, dedup_ngram_jaccard(spark, sf_dir).collect()))
+    for _ in range(2):
+        again = sorted(map(tuple, dedup_ngram_jaccard(spark, sf_dir).collect()))
+        assert again == first
+    after = sum(len(b) for d in _MATERIALIZED.values() for b in d.values())
+    assert after - before == 1
+
+    clear_materialized(spark)
+    assert spark not in _MATERIALIZED
+    # still computable after release (lineage intact, just uncached)
+    assert sorted(map(tuple, dedup_ngram_jaccard(spark, sf_dir).collect())) == first
+    clear_materialized(spark)
+
+
+def test_simhash_banded_join_equals_bruteforce(spark, sf_dir):
+    """The banded plan (pigeonhole chunks + first-zero-byte uniqueness
+    filter, no distinct) must return EXACTLY the brute-force pair set —
+    each qualifying pair once, none missed, none duplicated."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = dedup.simhash_fingerprints(docs)
+    a = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fa"))
+    b = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fb"))
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    brute = (a.crossJoin(b)
+             .filter((F.col("doc_a") < F.col("doc_b"))
+                     & (ham <= dedup.SIMHASH_MAX_HAMMING))
+             .select("doc_a", "doc_b", ham.cast("int").alias("hamming")))
+    banded_rows = [tuple(r) for r in dedup.dedup_simhash(spark, sf_dir).collect()]
+    assert len(banded_rows) == len(set(banded_rows))  # no duplicate emissions
+    assert sorted(banded_rows) == sorted(map(tuple, brute.collect()))
