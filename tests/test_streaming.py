@@ -172,3 +172,49 @@ def test_watermark_drops_late_data(spark, sf_dir, tmp_path):
     # no window before 2024-01-10 may appear: the late batch was dropped
     assert got_windows, "no finalized windows emitted"
     assert min(got_windows) >= datetime(2024, 1, 10)
+
+
+def test_events_stream_normalizes_every_fixture_encoding(spark, tmp_path):
+    """The driver has shipped events.ts three ways across fixture
+    regenerations — TIMESTAMP(NANOS), TIMESTAMP(MICROS, NTZ), and
+    UTC-adjusted TIMESTAMP — and a hardcoded stream schema broke on a
+    flip (round 5). _events_stream must stream-read all three to the
+    IDENTICAL microsecond instants."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from coursera_etl_pipeline_spark.streaming.parity import _events_stream
+
+    micros = [1_700_000_000_000_000 + i * 3_600_000_000 for i in range(24)]
+    base = {
+        "event_id": pa.array(range(24), pa.int64()),
+        "user_id": pa.array([i % 5 for i in range(24)], pa.int64()),
+        "event_type": pa.array([f"t{i % 3}" for i in range(24)]),
+        "value": pa.array([float(i) for i in range(24)]),
+        "props": pa.array(["{}"] * 24),
+    }
+    encodings = {
+        "nanos": pa.array([m * 1000 for m in micros],
+                          pa.timestamp("ns")),
+        "micros_ntz": pa.array(micros, pa.timestamp("us")),
+        "micros_utc": pa.array(micros, pa.timestamp("us", tz="UTC")),
+    }
+    results = {}
+    for enc, ts_arr in encodings.items():
+        d = dict(base)
+        d["ts"] = ts_arr
+        sf = tmp_path / enc
+        sf.mkdir()
+        pq.write_table(pa.table(d), sf / "events.parquet")
+        src = _events_stream(spark, str(sf))
+        assert dict(src.dtypes)["ts"] == "timestamp"
+        name = _sink(f"enc_{enc}")
+        q = (src.select("event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+                        .alias("ts_str"))
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        results[enc] = sorted(map(tuple, spark.table(name).collect()))
+        spark.catalog.dropTempView(name)
+    assert results["nanos"] == results["micros_ntz"] == results["micros_utc"]
+    assert results["nanos"][0] == (0, "2023-11-14 22:13:20")  # known instant
