@@ -26,94 +26,62 @@ import coursera_etl_pipeline_spark.streaming  # noqa: E402,F401
 from coursera_etl_pipeline_spark.registry import ORACLE, QUERIES  # noqa: E402
 
 # The driver verifies queries in dict order and caps the check at 50 per
-# round.  Round 6 FINALLY rotates (rounds 3-5 shipped an identical 50-name
-# window, leaving 46 queries on round-2 rows that predate the events-fixture
-# regeneration): _FIRST now holds exactly those 46 never-re-certified queries
-# — events_* batch family at the very front, since their input encoding
-# changed — plus the two repaired real-stream parities and the two dedup.py
-# queries whose implementing file changed this round.  The 48 queries green
-# in CORRECTNESS_r05 against files untouched this round sit behind the
-# window; their r5 rows stay valid.
-_FIRST = [
-    # events batch family: input encoding changed with the fixture regen —
-    # their r2 rows are the most urgently stale evidence in the repo
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_interval_join",
-    "events_session_window",
-    # real-stream parities: failed r5 on the ts-unit bug, repaired this round
-    "stream_batch_parity",
-    "stream_dedup_parity",
-    # dedup.py changed this round (_materialize memoization + simhash
-    # one-shuffle plan) — first rows against the new code
+# round, so dict ORDER decides which queries get a current-round green row.
+# Rounds 3-5 shipped a hand-maintained static order that silently stopped
+# rotating (the list held exactly 50 names, so everything behind it was
+# never re-certified — and the events-fixture encoding changed underneath
+# those stale rows).  The order is now SELF-ROTATING: read the recorded
+# CORRECTNESS_r*.json files and put least-recently-certified queries first
+# (never-certified and last-round failures sort earliest), so every query
+# is re-certified at least every ceil(96/50)=2 rounds no matter what —
+# the rotation can't stall again because it is computed, not promised.
+_EDITED_THIS_ROUND = [
+    # Queries whose implementing FILE changed this round: their recorded
+    # green rows predate the change, so they outrank everything the history
+    # says is current.  Update per round alongside the round's edits.
+    # Round 6: dedup.py gained _materialize memoization and the simhash
+    # plan dropped its candidate .distinct() for a first-zero-byte filter.
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    # window functions: no green row since r2
-    "window_ranking",
-    "window_analytic",
-    "window_frame_rows",
-    "window_frame_range",
-    "window_latest_per_key",
-    # joins / merge on r2 rows
-    "join_asof",
-    "merge_upsert_snapshot",
-    # TPC-H shapes on r2 rows
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q22_dormant_customers",
-    # scalar packs on r2 rows
-    "scalar_array_pack",
-    "scalar_conditional_pack",
-    "scalar_higher_order_pack",
-    "scalar_map_pack",
-    # sorts / aggs on r2 rows
-    "sort_limit_offset",
-    "agg_percentile_exact",
-    "agg_having",
-    "agg_stats_pack",
-    "agg_approx_bounds",
-    # subqueries / unpivot / nested on r2 rows
-    "subquery_scalar",
-    "subquery_in",
-    "subquery_exists_correlated",
-    "unpivot_stack",
-    "nested_explode_roundtrip",
-    "nested_unnest_roundtrip",
-    # llm-ops on r2 rows
-    "multimodal_blob_metadata",
-    "sample_stratified_hash",
-    "text_pack_sequences",
-    "text_token_count",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_tfidf_top_terms",
-    "dedup_minhash_lsh",
-    "similarity_ann_lsh",
-    "similarity_ann_recall",
-    "similarity_ann_ivf",
-    "similarity_ivf_recall",
 ]
-_LAST: list[str] = []
-# First in line for round 7: dedup_exact lives in this round's edited
-# dedup.py but its function body is untouched and it doesn't call
-# _materialize — semantically zero change, so it yields its window slot to
-# the 46 never-re-certified queries this round.
-_NEXT = [
-    "dedup_exact",
-]
+
+
+def _latest_green() -> dict[str, int]:
+    """query name -> highest round with a green CORRECTNESS row (hash
+    match, or rows match for rows-only entries). Absent/failed-only
+    queries are simply missing (treated as round 0 = most stale)."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, rec in rows.items():
+            if not isinstance(rec, dict):
+                continue
+            ok = rec.get("hash_match")
+            if ok is None:  # rows-only entry (no oracle): weaker gate
+                ok = rec.get("rows_match")
+            if ok:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def _ordered(names: list[str]) -> list[str]:
-    first = [n for n in _FIRST if n in names]
-    nxt = [n for n in _NEXT if n in names]
-    last = [n for n in _LAST if n in names]
-    mid = [n for n in names if n not in set(first) | set(nxt) | set(last)]
-    return first + nxt + mid + last
+    latest = _latest_green()
+    pos = {n: i for i, n in enumerate(names)}  # stable within a cohort
+    forced = {n: -1 for n in _EDITED_THIS_ROUND}
+    return sorted(names, key=lambda n: (forced.get(n, latest.get(n, 0)), pos[n]))
 
 
 def entry(spark: SparkSession) -> DataFrame:

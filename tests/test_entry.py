@@ -1,17 +1,19 @@
-"""Driver-contract integrity: queries()/oracle_sql() shape, explicit
-ordering lists stay in sync with the registry (a typo in _FIRST/_LAST
-would silently demote a query out of the driver's verified window)."""
+"""Driver-contract integrity: queries()/oracle_sql() shape, and the
+self-rotating certification order (least-recently-certified first, so
+no query can silently fall out of the driver's 50-slot verified window
+for more than one round)."""
 
 from __future__ import annotations
 
 import __spark_entry__ as entry
 
+WINDOW = 50  # the driver's per-round verification cap
 
-def test_ordering_lists_reference_real_queries():
+
+def test_forced_list_references_real_queries():
     names = set(entry.QUERIES)
-    assert set(entry._FIRST) <= names, set(entry._FIRST) - names
-    assert set(entry._LAST) <= names, set(entry._LAST) - names
-    assert not set(entry._FIRST) & set(entry._LAST)
+    assert set(entry._EDITED_THIS_ROUND) <= names, \
+        set(entry._EDITED_THIS_ROUND) - names
 
 
 def test_queries_and_oracles_consistent():
@@ -22,8 +24,29 @@ def test_queries_and_oracles_consistent():
     # every oracle is non-empty SQL; every query is callable
     assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())
     assert all(callable(fn) for fn in qs.values())
-    # the unverified-first window actually leads the dict
-    assert list(qs)[: len(entry._FIRST)] == [n for n in entry._FIRST if n in qs]
+
+
+def test_rotation_puts_stalest_queries_in_window():
+    """The driver checks the first WINDOW entries, so every query whose
+    recorded certification is older than the newest cohort must be in
+    the window (or the forced re-cert list must be displacing it)."""
+    qs = list(entry.queries())
+    latest = entry._latest_green()
+    if not latest:  # fresh clone without CORRECTNESS files
+        return
+    window, behind = set(qs[:WINDOW]), qs[WINDOW:]
+    newest_cohort = max(latest.get(n, 0) for n in qs)
+    stale = [n for n in qs if latest.get(n, 0) < newest_cohort]
+    overflow = max(0, len(stale) + len(entry._EDITED_THIS_ROUND) - WINDOW)
+    missed = [n for n in stale if n not in window
+              and n not in entry._EDITED_THIS_ROUND]
+    assert len(missed) <= overflow, missed
+    # behind-window entries are never staler than in-window ones
+    if behind:
+        worst_behind = min(latest.get(n, 0) for n in behind)
+        worst_window = min(latest.get(n, 0) for n in qs[:WINDOW]
+                           if n not in entry._EDITED_THIS_ROUND)
+        assert worst_behind >= worst_window
 
 
 def test_entry_returns_dataframe(spark):
