@@ -103,15 +103,22 @@ def main() -> None:
         if os.path.exists(p):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
-    # replica events.ts is written back as raw INT64 nanos (see
-    # build_scaled); rebuild the timestamp view the same way
-    # catalog.load_table does (floor-div to micros).
+    # replica events.ts carries whatever physical type the CURRENT
+    # fixture shipped (the driver has regenerated it as nanos-bigint,
+    # micros-NTZ, and UTC timestamp across rounds — build_scaled writes
+    # back what Spark read). Dispatch on the observed type exactly like
+    # catalog.normalize_ts: raw int64 nanos -> floor-div to micros;
+    # any real timestamp type -> passthrough.
+    ts_type = con.execute(
+        "SELECT typeof(ts) FROM read_parquet('{}/events.parquet/*.parquet') LIMIT 1"
+        .format(dest)).fetchone()[0]
+    ts_expr = "make_timestamp(ts // 1000)" if ts_type == "BIGINT" else "ts"
     con.execute("""
         CREATE OR REPLACE VIEW events AS
-        SELECT event_id, make_timestamp(ts // 1000) AS ts,
+        SELECT event_id, {} AS ts,
                user_id, event_type, value, props
         FROM read_parquet('{}/events.parquet/*.parquet')
-    """.format(dest))
+    """.format(ts_expr, dest))
     oracles = entrymod.oracle_sql()
     duck: dict[str, float] = {}
     for name in bench_queries:

@@ -87,9 +87,12 @@ def build_scaled(spark, k: int, dest: str | None = None,
             return dest
         shutil.rmtree(dest)
     os.makedirs(dest)
-    # events carries TIMESTAMP(NANOS): read it as a raw long (same as
-    # catalog.load_table) and write it back as plain INT64 nanos, so
-    # load_table's ts-div-1000 conversion applies to the replica too
+    # events.ts encoding varies across fixture regenerations (nanos /
+    # micros-NTZ / UTC); under nanosAsLong a nanos file surfaces as raw
+    # INT64 and is written back as such, any real timestamp type round-
+    # trips as-is — catalog.normalize_ts handles either form in the
+    # replica, and bench_scale's DuckDB view dispatches on the observed
+    # type the same way.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for t in TABLES:
         src = table_path(SF_DIR, t)
