@@ -360,12 +360,21 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP via pre-aggregation (see agg_cube for the rationale):
+    aggregate to the finest group first, then roll up the tiny
+    intermediate — Expand replicates |distinct groups| rows, not
+    |fact rows|. Decimal addition is associative, so the two-level
+    sum is bit-identical to the direct rollup."""
     o = load_table(spark, sf_dir, "orders")
-    return (
+    base = (
         o.withColumn("order_year", F.year("o_orderdate"))
-        .rollup("order_year", "o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n"), F.expr(dsum("o_totalprice")).alias("total"))
+        .groupBy("order_year", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("_n"),
+             F.expr("SUM(CAST(o_totalprice AS DECIMAL(38,6)))").alias("_total"))
     )
+    return base.rollup("order_year", "o_orderstatus").agg(
+        F.sum("_n").alias("n"),
+        F.expr("CAST(SUM(_total) AS DOUBLE)").alias("total"))
 
 
 @query(
@@ -376,9 +385,25 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE via pre-aggregation: Spark's Expand operator replicates
+    every input row once per grouping set (4x for a 2-col cube) BEFORE
+    the shuffle, so cubing the raw fact table shuffles |grouping sets|
+    x |fact rows| — the worst-scaling row in BASELINE §4 (41x vs
+    DuckDB at sf10). count and decimal-sum are decomposable, so
+    aggregate to the finest group first (one ordinary partial-agg'd
+    shuffle, result ~|distinct group combos|), then cube the tiny
+    intermediate. Decimal addition is associative and the single cast
+    to double still happens once at the end, so the result is
+    bit-identical to the direct cube — same NULL-group semantics too,
+    since a data-NULL group is just another base row that the second
+    level groups/subtotals exactly as the direct plan would."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"), F.expr(dsum("l_quantity")).alias("qty"))
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.expr("SUM(CAST(l_quantity AS DECIMAL(38,6)))").alias("_qty"))
+    return base.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("_n").alias("n"),
+        F.expr("CAST(SUM(_qty) AS DOUBLE)").alias("qty"))
 
 
 @query(
@@ -390,10 +415,18 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via pre-aggregation (see agg_cube): the 3-set
+    Expand runs over the pre-aggregated (flag, status) combos, not the
+    fact table."""
     views(spark, sf_dir, "lineitem")
-    return spark.sql(f"""
-        SELECT l_returnflag, l_linestatus, {dsum('l_extendedprice')} AS price
-        FROM lineitem
+    return spark.sql("""
+        WITH base AS (
+          SELECT l_returnflag, l_linestatus,
+                 SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS _price
+          FROM lineitem GROUP BY l_returnflag, l_linestatus
+        )
+        SELECT l_returnflag, l_linestatus, CAST(SUM(_price) AS DOUBLE) AS price
+        FROM base
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """)
 
