@@ -82,7 +82,16 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_ratio = (F.size(F.filter(toks, lambda t: t.isin(*EN_MARKERS)))
                   * 1.0 / n_tok)
     avg_tok_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) * 1.0 / n_tok
-    alpha_ratio = (F.length(F.regexp_replace("text", "[^A-Za-z ]", ""))
+    # count of [A-Za-z ] chars via translate (per-char map lookup), not
+    # regexp_replace: the regex engine was ~90% of this query's runtime
+    # (1.7s of 1.9s at sf1) for what is just a character-class count.
+    # translate DELETES the listed chars, so length(text) minus the
+    # remainder counts exactly the chars the oracle's [^A-Za-z ]
+    # replacement keeps — both sides are ASCII-explicit, so unicode
+    # text behaves identically.
+    _alpha_space = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz "
+    alpha_ratio = ((F.length("text")
+                    - F.length(F.translate(F.col("text"), _alpha_space, "")))
                    * 1.0 / F.length("text"))
     return d.select(
         "doc_id",
