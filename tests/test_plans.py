@@ -121,3 +121,19 @@ def test_topk_plans_take_ordered(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     df = c.orderBy(F.desc("c_acctbal")).limit(5)
     assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_no_unexpected_plan_antipatterns(spark, sf_dir):
+    """Every registered query's physical plan is free of scale
+    anti-patterns (cartesian products, nested-loop joins, Python eval
+    nodes) except the documented allowlist in tools/plan_audit.py —
+    a new query acquiring one fails here until re-planned or
+    explicitly justified. Stream/iterative queries whose construction
+    executes jobs are covered by their own tests; this gate audits the
+    plan-only majority."""
+    from tools.plan_audit import EXECUTES_ON_BUILD, audit
+
+    import __spark_entry__ as entrymod
+
+    names = [n for n in entrymod.queries() if n not in EXECUTES_ON_BUILD]
+    assert audit(spark, sf_dir, names) == []

@@ -1,0 +1,113 @@
+"""Physical-plan anti-pattern audit over every registered query.
+
+Renders each queries() entry's formatted physical plan at a small
+fixture and flags the operators that do not survive a 100 TB scale-up:
+
+- CartesianProduct          unpartitioned all-pairs; never acceptable
+- BroadcastNestedLoopJoin   acceptable ONLY when the broadcast side is
+                            provably tiny (documented allowlist below)
+- BatchEvalPython           row-at-a-time Python UDF on the hot path
+- ArrowEvalPython /         Python with Arrow batching — acceptable only
+  FlatMapGroupsInPandas /   where no native expression exists
+  MapInPandas               (multimodal feature extraction)
+
+The allowlist is part of the contract: every entry names the design
+that justifies the operator, so a NEW query acquiring one of these
+nodes fails tests/test_plans.py::test_no_unexpected_plan_antipatterns
+until it is either re-planned or explicitly justified here.
+
+Usage: python tools/plan_audit.py [sf_dir]   (default sf0.001; prints
+one line per flagged query and exits non-zero on unexpected flags)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# (query, node) pairs that are deliberate, documented designs.
+ALLOWED = {
+    # broadcast top-k/cross designs: the broadcast side is the N_QUERIES
+    # query vectors or an O(1) aggregate — tiny by construction
+    ("similarity_topk_bruteforce", "BroadcastNestedLoopJoin"),
+    ("similarity_ann_recall", "BroadcastNestedLoopJoin"),
+    ("similarity_ivf_recall", "BroadcastNestedLoopJoin"),
+    ("join_cross", "BroadcastNestedLoopJoin"),  # the cross-join surface itself
+    ("q22_dormant_customers", "BroadcastNestedLoopJoin"),  # scalar-threshold broadcast
+    ("q11_important_parts", "BroadcastNestedLoopJoin"),    # scalar-threshold broadcast
+    ("q15_top_supplier", "BroadcastNestedLoopJoin"),       # max-scalar broadcast
+    ("agg_approx_bounds", "BroadcastNestedLoopJoin"),      # O(1) bounds row
+    ("agg_approx", "BroadcastNestedLoopJoin"),             # O(1) bounds row
+    ("subquery_scalar", "BroadcastNestedLoopJoin"),        # scalar subquery
+    # 3-row band table broadcast against the fact scan: the interval
+    # predicate is the query's entire point, and the fact side never
+    # shuffles (relational.py join_nonequi_range docstring)
+    ("join_nonequi_range", "BroadcastNestedLoopJoin"),
+    # skew plan's phase-1: broadcast 1-row frequency-stats join +
+    # broadcast hot-key membership split (skew.py:80-111) — both sides
+    # of the BNLJ are O(1)/O(hot keys), the fact tables hash-join
+    ("join_salted_skew", "BroadcastNestedLoopJoin"),
+    # centroid assignment: corpus x broadcast(n_cells centroids) — at
+    # 100 TB centroids are trained offline and stay broadcast-sized
+    # (similarity.py IVF docstring)
+    ("similarity_ann_ivf", "BroadcastNestedLoopJoin"),
+    # Python-with-Arrow where no native expression exists (SURVEY §2.2
+    # UDF posture): multimodal feature extraction over binary payloads
+    ("multimodal_blob_metadata", "ArrowEvalPython"),
+    ("multimodal_blob_metadata", "MapInPandas"),
+    ("multimodal_blob_metadata", "FlatMapGroupsInPandas"),
+}
+
+NODES = (
+    "CartesianProduct",
+    "BroadcastNestedLoopJoin",
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
+)
+
+# Queries whose CONSTRUCTION executes jobs (real streams, iterative
+# convergence loops): planning them is not side-effect-free, so the
+# audit runs them at the smoke fixture where that execution is cheap.
+EXECUTES_ON_BUILD = {"stream_batch_parity", "stream_dedup_parity",
+                     "dedup_components", "dedup_clusters"}
+
+
+def formatted_plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def audit(spark, sf_dir: str, names=None) -> list[tuple[str, str]]:
+    """Returns [(query, node)] for every unexpected anti-pattern."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    flags: list[tuple[str, str]] = []
+    for name in (names or qs):
+        plan = formatted_plan(qs[name](spark, sf_dir))
+        for node in NODES:
+            if node in plan and (name, node) not in ALLOWED:
+                flags.append((name, node))
+    return flags
+
+
+def main() -> int:
+    from coursera_etl_pipeline_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("plan_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    flags = audit(spark, sf_dir)
+    for name, node in flags:
+        print(f"FLAG  {name}: {node}")
+    print(f"{len(flags)} unexpected anti-pattern(s)")
+    return 1 if flags else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
