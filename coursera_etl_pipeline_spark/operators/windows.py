@@ -148,7 +148,16 @@ def window_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O9 generalized (latest-partition argmax, transform-service/
     main.py:89): latest event per user via row_number()=1. At scale this
     is the dedup-to-latest pattern — one shuffle on the key; AQE handles
-    skewed users."""
+    skewed users.
+
+    Measured negative result (round 6, 10M-row replica): the tempting
+    `max_by(struct(...), struct(ts, event_id))` hash-aggregate form is
+    5.4x SLOWER (5.1 s vs 0.94 s) — struct aggregation buffers are not
+    UnsafeRow-mutable, so Spark plans SortAggregate on BOTH the partial
+    and final stages, sorting all rows twice and forfeiting the
+    map-side-combine advantage the rewrite was meant to buy. The
+    sort-window below is the right physical plan until HashAggregate
+    supports struct buffers."""
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
