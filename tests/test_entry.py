@@ -53,3 +53,13 @@ def test_entry_returns_dataframe(spark):
     df = entry.entry(spark)
     assert df.columns[0] == "l_returnflag"
     assert df.count() > 0
+
+
+def test_bench_headline_names_are_registered():
+    """bench.py times queries by name; a renamed/removed registry entry
+    must fail loudly here, not silently drop out of the bench total
+    (the `continue` in bench.main would hide it)."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in entry.QUERIES]
+    assert missing == [], missing
