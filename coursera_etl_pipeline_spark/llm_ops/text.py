@@ -200,11 +200,20 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-safe small cardinalities)."""
     from pyspark.sql import Window as W
 
+    from coursera_etl_pipeline_spark.llm_ops.dedup import _materialize
+
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", "source",
                     F.explode(F.split("text", " ")).alias("term"))
-    tf = toks.groupBy("doc_id", "source", "term").agg(F.count(F.lit(1)).alias("f"))
-    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("n_docs"))
+    # The term-doc matrix is computed ONCE and shared by both consumers:
+    # (doc_id, term) is unique in tf (a doc has one source), so document
+    # frequency is a plain COUNT over tf rows — equivalent to
+    # countDistinct(doc_id) over the raw token stream but without a
+    # second explode pass over the corpus or the distinct's
+    # expand/two-phase aggregation.
+    tf = _materialize(
+        toks.groupBy("doc_id", "source", "term").agg(F.count(F.lit(1)).alias("f")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("n_docs"))
     total_docs = d.count()
 
     idf = F.log(F.lit(float(total_docs)) / F.col("n_docs"))
