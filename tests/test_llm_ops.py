@@ -451,3 +451,35 @@ def test_simhash_banded_join_equals_bruteforce(spark, sf_dir):
     banded_rows = [tuple(r) for r in dedup.dedup_simhash(spark, sf_dir).collect()]
     assert len(banded_rows) == len(set(banded_rows))  # no duplicate emissions
     assert sorted(banded_rows) == sorted(map(tuple, brute.collect()))
+
+
+def test_prefix_filter_equals_naive_on_random_sets(spark):
+    """AllPairs/PPJoin equivalence on synthesized shingle sets: the
+    prefix-filtered plan must return EXACTLY the naive all-pairs
+    J >= t result, including a pair planted at exactly J = 0.8
+    (|A|=|B|=9, 8 common -> 8/10) — the ceil-epsilon boundary the
+    prefix-length formula must not lose."""
+    import itertools
+    import random
+
+    rnd = random.Random(42)
+    sets = {d: set(rnd.sample(range(200), rnd.randint(5, 25)))
+            for d in range(40)}
+    sets[100] = set(range(1000, 1009))                      # 9 shingles
+    sets[101] = set(range(1000, 1008)) | {2000}             # J = 8/10 = 0.8
+    sets[102] = set(range(3000, 3009))
+    sets[103] = set(range(3000, 3007)) | {4000, 4001}       # J = 7/11 < 0.8
+    rows = [(d, len(s), sh) for d, s in sets.items() for sh in s]
+    sh_idx = spark.createDataFrame(rows, "doc_id long, nsh int, shingle long")
+
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in dedup.jaccard_pairs_prefix(sh_idx).collect()}
+    expect = {}
+    for x, y in itertools.combinations(sorted(sets), 2):
+        j = len(sets[x] & sets[y]) / len(sets[x] | sets[y])
+        if j >= dedup.JACCARD_THRESHOLD:
+            expect[(x, y)] = j
+    assert set(got) == set(expect), (set(got) ^ set(expect))
+    for pair, j in expect.items():
+        assert abs(got[pair] - j) < 1e-9, (pair, got[pair], j)
+    assert (100, 101) in got  # exact-boundary pair survived
