@@ -39,10 +39,17 @@ _EDITED_THIS_ROUND = [
     # Queries whose implementing FILE changed this round: their recorded
     # green rows predate the change, so they outrank everything the history
     # says is current.  Update per round alongside the round's edits.
-    # Round 6: dedup.py gained _materialize memoization and the simhash
-    # plan dropped its candidate .distinct() for a first-zero-byte filter.
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
+    # Round 7: the cube/rollup/grouping-sets pre-aggregation rewrite landed
+    # AFTER the r6 window froze, so their r5 rows predate the current plans
+    # (VERDICT r6 item 1) — they lead this window unconditionally.
+    "agg_cube",
+    "agg_rollup",
+    "agg_grouping_sets",
+    # text.py: dfreq switched to countDistinct(doc_id) (ADVICE r6).
+    "text_tfidf_top_terms",
+    # dedup.py also changed this round, but only the _materialize cache
+    # KEY (input-file fingerprint added) — no query plan or result
+    # changed, so its queries rotate normally.
 ]
 
 

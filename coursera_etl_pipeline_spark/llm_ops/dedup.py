@@ -67,11 +67,31 @@ def _hash32(col):
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
-# Persisted intermediates, memoized per (session, logical plan):
-# WeakKeyDictionary[SparkSession, dict[semanticHash, list[DataFrame]]].
+# Persisted intermediates, memoized per (session, logical plan, input
+# files): WeakKeyDictionary[SparkSession,
+# dict[semanticHash, list[(fingerprint, DataFrame)]]].
 # Weak-keyed on the session object itself — not id(spark), which CPython
 # can recycle after GC — so a dropped session releases its entries.
 _MATERIALIZED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _input_fingerprint(df: DataFrame) -> tuple:
+    """(path, mtime_ns, size) per input file of the plan.  An identical
+    logical plan over a REWRITTEN file (the driver regenerates fixture
+    parquet between rounds, same path, new bytes) must not hit the
+    memo — the persisted blocks hold the old file's rows.  stat() of
+    the plan's input files catches that: any rewrite bumps mtime/size."""
+    import os
+
+    fp = []
+    for path in sorted(df.inputFiles()):
+        local = path[5:] if path.startswith("file:") else path
+        try:
+            st = os.stat(local)
+            fp.append((path, st.st_mtime_ns, st.st_size))
+        except OSError:
+            fp.append((path, None, None))
+    return tuple(fp)
 
 
 def _materialize(df: DataFrame) -> DataFrame:
@@ -97,11 +117,18 @@ def _materialize(df: DataFrame) -> DataFrame:
     to storage (it IS the inverted index you'd keep between runs)."""
     per_session = _MATERIALIZED.setdefault(df.sparkSession, {})
     bucket = per_session.setdefault(df.semanticHash(), [])
-    for cached in bucket:
+    fp = _input_fingerprint(df)
+    for i, (cached_fp, cached) in enumerate(bucket):
         if cached.sameSemantics(df):
-            return cached
+            if cached_fp == fp:
+                return cached
+            # Same plan, but an input file was rewritten underneath it
+            # (fixture regeneration): the persisted blocks are stale.
+            cached.unpersist()
+            del bucket[i]
+            break
     df = df.persist()
-    bucket.append(df)
+    bucket.append((fp, df))
     return df
 
 
@@ -109,7 +136,7 @@ def clear_materialized(spark: SparkSession) -> None:
     """Unpersist and forget every memoized intermediate of a session
     (test/bench hygiene between unrelated phases)."""
     for bucket in _MATERIALIZED.pop(spark, {}).values():
-        for df in bucket:
+        for _fp, df in bucket:
             df.unpersist()
 
 

@@ -205,15 +205,17 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", "source",
                     F.explode(F.split("text", " ")).alias("term"))
-    # The term-doc matrix is computed ONCE and shared by both consumers:
-    # (doc_id, term) is unique in tf (a doc has one source), so document
-    # frequency is a plain COUNT over tf rows — equivalent to
-    # countDistinct(doc_id) over the raw token stream but without a
-    # second explode pass over the corpus or the distinct's
-    # expand/two-phase aggregation.
+    # The term-doc matrix is computed ONCE and shared by both consumers.
+    # Document frequency is countDistinct(doc_id) over tf — NOT a plain
+    # row count, which is only equivalent while source is functionally
+    # dependent on doc_id; a doc_id appearing under two sources would
+    # silently double-count n_docs and skew every IDF.  The distinct
+    # runs over the already-aggregated tf matrix (|distinct terms per
+    # doc| rows, a fraction of the raw token stream), so it still
+    # avoids a second explode pass over the corpus.
     tf = _materialize(
         toks.groupBy("doc_id", "source", "term").agg(F.count(F.lit(1)).alias("f")))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("n_docs"))
     total_docs = d.count()
 
     idf = F.log(F.lit(float(total_docs)) / F.col("n_docs"))
