@@ -47,6 +47,35 @@ _EDITED_THIS_ROUND = [
     "agg_grouping_sets",
     # text.py: dfreq switched to countDistinct(doc_id) (ADVICE r6).
     "text_tfidf_top_terms",
+    # registry.dsum/davg switched from per-row DECIMAL(38,6) casts to
+    # long-micros + DECIMAL(38,0) partials — every query whose plan
+    # embeds the helper changed and must re-certify this round (both
+    # Spark expr and oracle SQL derive from the same helper, but the
+    # driver row is the proof):
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q22_dormant_customers",
+    "agg_having",
+    "agg_pivot",
+    "agg_stats_pack",
+    "events_tumbling_window",
+    "events_session_window",
+    "join_left_outer",
+    "join_nonequi_range",
+    "join_salted_skew",
+    "scalar_json_pack",
+    "stream_batch_parity",
+    "text_lang_id",
     # dedup.py also changed this round, but only the _materialize cache
     # KEY (input-file fingerprint added) — no query plan or result
     # changed, so its queries rotate normally.

@@ -198,13 +198,26 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join + per-key agg, rewritten as pre-aggregation: orders
+    collapses to one row per o_custkey BEFORE the outer join (map-side
+    partials shrink the shuffle to |distinct custkeys| rows), then
+    customer left-joins the aggregate 1:1.  Legal because c_custkey is
+    the customer primary key — grouping after the join would merge
+    nothing the pre-agg hasn't already merged — and COUNT(o_orderkey)
+    over an unmatched group is exactly the COALESCE(..., 0) the probe
+    row gets here.  At 100 TB this turns a fact-sized outer-join
+    shuffle into a dimension-sized one."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
+    oagg = (o.groupBy("o_custkey")
+            .agg(F.count("o_orderkey").alias("_n"),
+                 F.expr(dsum("o_totalprice")).alias("_spend")))
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("n_orders"),
-             F.coalesce(F.expr(dsum("o_totalprice")), F.lit(0.0)).alias("total_spend"))
+        c.join(oagg, c.c_custkey == oagg.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("n_orders"),
+            F.coalesce(F.col("_spend"), F.lit(0.0)).alias("total_spend"))
     )
 
 

@@ -39,12 +39,38 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # --- determinism helpers (used by both Spark exprs and oracle SQL) ---
 
 def dsum(col_sql: str) -> str:
-    """Order-independent double sum: exact decimal accumulate, then a
-    single deterministic cast back to double. Identical semantics in
-    Spark SQL and DuckDB, so values hash-match bit-for-bit."""
-    return f"CAST(SUM(CAST({col_sql} AS DECIMAL(38,6))) AS DOUBLE)"
+    """Order-independent double sum: round each value to integer
+    micro-units in pure IEEE arithmetic (mul/add/floor — identical
+    bit-for-bit in Spark and DuckDB), then sum exactly in
+    DECIMAL(38,0) and divide once at the end.
+
+    Why not CAST(x AS DECIMAL(38,6)) per row (rounds 1-6): Spark's
+    double->decimal cast goes through Double.toString + BigDecimal
+    parse — the single largest per-row constant in every wide
+    aggregate (q1 8-agg at ~sf1: 1.23 s -> 0.67 s with this form).
+    The long->decimal conversion here never touches strings, and the
+    map-side partial sums stay inside whole-stage codegen.
+
+    Why not SUM(bigint) of the micros directly: ~20% faster still,
+    but a bigint accumulator overflows (ANSI runtime error) at
+    ~9.2e12 currency units per group — reachable near sf200 for q1's
+    sum_charge. DECIMAL(38,0) holds 1e32 units per group: effectively
+    unbounded at the 100 TB target, for one cheap long->decimal per
+    row.
+
+    Semantics note: values are rounded half-up to the 6th decimal of
+    the IEEE double product, not of its shortest decimal rendering —
+    for money-shaped inputs (products of <=3 two-decimal factors the
+    7th decimal is exactly 0) the two agree; either way both engines
+    evaluate the identical expression tree, so the hash contract
+    holds by construction rather than by luck."""
+    # Parenthesized so the helper composes safely inside larger
+    # expressions (e.g. dsum(a) / dsum(b) in ratio queries): the
+    # trailing /1000000 must bind to THIS sum only.
+    return (f"(CAST(SUM(CAST(CAST(FLOOR(({col_sql}) * 1000000 + 0.5) AS BIGINT)"
+            f" AS DECIMAL(38,0))) AS DOUBLE) / 1000000)")
 
 
 def davg(col_sql: str) -> str:
-    """Order-independent double mean: exact decimal sum / count."""
-    return f"CAST(SUM(CAST({col_sql} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({col_sql})"
+    """Order-independent double mean: exact micro-unit sum / count."""
+    return f"({dsum(col_sql)} / COUNT({col_sql}))"
