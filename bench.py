@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",       # shingle inverted-index self-join
     "dedup_simhash",             # banded fingerprint join
     "dedup_minhash_lsh",         # LSH candidates + exact verify
+    "dedup_incremental_minhash",  # corpus-vs-batch index probe
     "similarity_topk_bruteforce",  # cosine over 2k vectors
     "similarity_ann_lsh",        # bucketed ANN
     "similarity_ann_ivf",        # centroid-probe ANN
@@ -53,6 +54,67 @@ HEADLINE = [
     "sample_stratified_hash",    # deterministic corpus sampling
     "text_pack_sequences",       # token-budget packing
 ]
+
+
+# Every registered query is either HEADLINE or excluded HERE with a
+# reason — tests/test_entry.py fails if a new query lands without a
+# bench decision (a silently-unbenchmarked operator reads as "timed"
+# when it never was).
+BENCH_EXCLUDED: dict[str, str] = {}
+
+
+def _exclude(reason: str, *names: str) -> None:
+    for n in names:
+        BENCH_EXCLUDED[n] = reason
+
+
+_exclude(
+    "physical shape already timed by a headline family representative; "
+    "benching every variant stretches wall-clock without new signal",
+    # TPC-H shapes: q1/q3/q5/q6/q10 headline rows cover scan+agg, star
+    # joins, semi/anti subquery joins, and top-k of this family
+    "q2_filter_predicates", "q4_order_priority", "q7_nation_volume",
+    "q8_market_share", "q9_product_type_profit", "q11_important_parts",
+    "q12_shipmode_priority", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_count",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive_predicates", "q20_excess_suppliers",
+    "q21_waiting_suppliers", "q22_dormant_customers",
+    # aggregate variants (agg_cube is the heavy multi-grouping row)
+    "agg_approx", "agg_approx_bounds", "agg_distinct",
+    "agg_grouping_sets", "agg_having", "agg_percentile_exact",
+    "agg_pivot", "agg_rollup", "agg_stats_pack",
+    # join variants (join_left_outer/asof/salted_skew headline)
+    "join_cross", "join_full_outer", "join_left_anti", "join_left_semi",
+    "join_nonequi_range", "join_right_outer",
+    # window variants (window_ranking/latest_per_key headline)
+    "window_analytic", "window_frame_range", "window_frame_rows",
+    # sorts/sets/subqueries/scalars/nested (sort_multi_key,
+    # scalar_json_pack headline)
+    "sort_limit_offset", "sort_topk", "set_except", "set_intersect",
+    "set_union_all", "set_union_distinct", "subquery_exists_correlated",
+    "subquery_in", "subquery_scalar", "unpivot_stack",
+    "scalar_array_pack", "scalar_conditional_pack", "scalar_date_pack",
+    "scalar_higher_order_pack", "scalar_map_pack", "scalar_math_pack",
+    "scalar_string_pack", "nested_explode_roundtrip",
+    "nested_unnest_roundtrip",
+    # events/text/dedup/similarity/multimodal lighter siblings
+    "events_tumbling_window", "text_fingerprint", "text_lang_id",
+    "text_token_count", "dedup_exact", "dedup_clusters",
+    "dedup_components", "similarity_neardup_pairs",
+    "multimodal_blob_metadata",
+    # CDC pair (merge shares the snapshot-join+window shape)
+    "merge_upsert_snapshot", "scd2_versions",
+)
+_exclude(
+    "recall metric re-running an ANN query the headline already times",
+    "similarity_ann_recall", "similarity_ivf_recall",
+)
+_exclude(
+    "real-stream parity memoizes its memory sink (tableExists) — warm "
+    "bench runs would time a cached-table read, not the stream",
+    "stream_batch_parity", "stream_dedup_parity",
+)
 
 
 def _materialize(df) -> None:

@@ -470,11 +470,14 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = JACCARD_THRESHOLD,
     return _verify_exact_jaccard(cand, sh_idx, threshold)
 
 
-def _duck_minhash_oracle() -> str:
+def _duck_minhash_oracle(cand_where: str = "") -> str:
     """DuckDB replica of the full minhash-LSH pipeline. The LCG
     coefficients are fixed at import, so signatures, band buckets, the
     candidate set, and the verified output are all exact expectations —
-    'probabilistic' describes the recall GUARANTEE, not the result."""
+    'probabilistic' describes the recall GUARANTEE, not the result.
+
+    ``cand_where`` optionally narrows the candidate self-join (e.g. the
+    incremental query keeps only pairs touching the new batch)."""
     params = _minhash_params()
     mh_cols = ",\n             ".join(
         f"MIN(({a} * x + {b}) % {M31}) AS mh{i}"
@@ -511,6 +514,7 @@ def _duck_minhash_oracle() -> str:
       SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
       FROM banded l JOIN banded r
         ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+      {cand_where}
     ), cnt AS (
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
     ), common AS (
@@ -532,3 +536,74 @@ def _duck_minhash_oracle() -> str:
 @query("dedup_minhash_lsh", oracle=_duck_minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# --- incremental (corpus-vs-batch) dedup ------------------------------------
+
+INCREMENTAL_BATCH_MOD = 10  # doc_id % 10 == 0 plays "today's new batch"
+
+
+def minhash_incremental_pairs(df: DataFrame,
+                              threshold: float = JACCARD_THRESHOLD,
+                              n: int = 3, text_col: str = "text") -> DataFrame:
+    """Incremental near-dup detection: check a NEW BATCH of documents
+    against a FROZEN CORPUS index plus itself — the production 100 TB
+    shape, where yesterday's corpus signatures are a persisted artifact
+    and only the day's arrivals compute fresh ones.
+
+    The corpus side NEVER self-joins: its banded signature index is
+    materialized once (standing in for the stored index a real
+    deployment keeps between runs) and probed twice — by the batch's
+    band buckets (batch x corpus candidates) and never against itself.
+    Batch x batch pairs join within the batch only. Work per run is
+    O(|batch| x bucket-collision rate), independent of |corpus| beyond
+    the index probe — the property that makes daily dedup of a 100 TB
+    corpus affordable, vs the full self-join's O(|corpus|) rebuild.
+
+    Result contract (pinned by test): exactly the full self-join's
+    LSH pairs restricted to pairs touching the batch — so switching a
+    pipeline from full to incremental mode changes cost, not output."""
+    is_batch = (F.col("doc_id") % INCREMENTAL_BATCH_MOD) == 0
+    sh_idx = _materialize(
+        shingles(df, n=n, text_col=text_col)
+        .select("doc_id", F.size("_shingles").alias("nsh"),
+                F.explode("_shingles").alias("shingle")))
+    sigs = _signatures_from_shingles(sh_idx)
+    rows_per = NUM_HASHES // NUM_BANDS
+    band_cols = [
+        F.struct(F.lit(bi).alias("band"),
+                 F.md5(F.concat_ws(",", *[F.col(f"mh{bi * rows_per + r}")
+                                          for r in range(rows_per)])).alias("bucket"))
+        for bi in range(NUM_BANDS)
+    ]
+    banded = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")) \
+                 .select("doc_id", "bb.band", "bb.bucket")
+    corpus_idx = _materialize(banded.filter(~is_batch))  # the frozen index
+    batch_banded = banded.filter(is_batch)
+
+    c = corpus_idx.select(F.col("doc_id").alias("c_id"), "band", "bucket")
+    b1 = batch_banded.select(F.col("doc_id").alias("b_id"), "band", "bucket")
+    batch_x_corpus = (
+        b1.join(c, ["band", "bucket"])
+        .select(F.least("b_id", "c_id").alias("doc_a"),
+                F.greatest("b_id", "c_id").alias("doc_b")))
+    b2 = batch_banded.select(F.col("doc_id").alias("b_id2"), "band", "bucket")
+    batch_x_batch = (
+        b1.join(b2, ["band", "bucket"])
+        .filter(F.col("b_id") < F.col("b_id2"))
+        .select(F.col("b_id").alias("doc_a"), F.col("b_id2").alias("doc_b")))
+    cand = batch_x_corpus.unionAll(batch_x_batch).distinct()
+    return _verify_exact_jaccard(cand, sh_idx, threshold)
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=_duck_minhash_oracle(
+        f"WHERE l.doc_id % {INCREMENTAL_BATCH_MOD} = 0"
+        f" OR r.doc_id % {INCREMENTAL_BATCH_MOD} = 0"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vs-batch MinHash dedup on a deterministic 90/10 split of
+    `documents`; oracle = the full-self-join DuckDB pipeline filtered
+    to pairs touching the batch (same answer, different cost shape)."""
+    return minhash_incremental_pairs(load_table(spark, sf_dir, "documents"))

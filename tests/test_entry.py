@@ -63,3 +63,21 @@ def test_bench_headline_names_are_registered():
 
     missing = [n for n in bench.HEADLINE if n not in entry.QUERIES]
     assert missing == [], missing
+
+
+def test_every_query_has_a_bench_decision():
+    """Every registered query must be in HEADLINE or in BENCH_EXCLUDED
+    with a reason — a new operator landing without a bench decision
+    would silently read as 'timed' when it never was. Overlap and
+    stale exclusion entries fail too."""
+    import bench
+
+    headline, excluded = set(bench.HEADLINE), set(bench.BENCH_EXCLUDED)
+    registered = set(entry.QUERIES)
+    undecided = registered - headline - excluded
+    assert undecided == set(), f"no bench decision for: {sorted(undecided)}"
+    assert headline & excluded == set(), "query both benched and excluded"
+    stale = excluded - registered
+    assert stale == set(), f"exclusions for unregistered queries: {sorted(stale)}"
+    for name, reason in bench.BENCH_EXCLUDED.items():
+        assert reason.strip(), f"empty exclusion reason for {name}"

@@ -98,6 +98,27 @@ def test_jaccard_prefix_equals_bruteforce_under_hot_shingles(spark):
     assert (7, 200) in {(x, y) for x, y, _ in got}
 
 
+def test_incremental_minhash_equals_filtered_full_selfjoin(planted_docs):
+    """The incremental (corpus-vs-batch) plan must return EXACTLY the
+    full self-join's pairs restricted to pairs touching the batch
+    (doc_id % INCREMENTAL_BATCH_MOD == 0) — switching a pipeline to
+    incremental mode changes cost, never output. The planted corpus
+    puts docs 0, 10, 100 in the batch, so the exact-dup pair (0, 100)
+    is batch x batch and near-dup corpus pairs must NOT appear."""
+    mod = dedup.INCREMENTAL_BATCH_MOD
+    full = dedup.minhash_lsh_pairs(planted_docs, threshold=0.5)
+    expected = sorted(
+        (r.doc_a, r.doc_b, r.jaccard) for r in full.collect()
+        if r.doc_a % mod == 0 or r.doc_b % mod == 0)
+    got = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_incremental_pairs(
+            planted_docs, threshold=0.5).collect())
+    assert got == expected
+    assert (0, 100, 1.0) in got          # batch x batch exact dup survives
+    assert all(a % mod == 0 or b % mod == 0 for a, b, _ in got)
+
+
 def test_minhash_identical_signatures_for_identical_docs(planted_docs):
     sigs = dedup.minhash_signatures(planted_docs)
     rows = {r.doc_id: tuple(r[c] for c in sigs.columns if c.startswith("mh"))
