@@ -2,11 +2,12 @@
 
 Images/audio/video ride through the engine as `binary` columns with a
 metadata struct; decode / feature-extract / resize / frame-sample are
-Arrow-batched Pandas UDFs over mapInPandas. The image/audio codecs are
-NOT in this container, so the decode step is STUBBED (clearly marked
-NotImplementedError, or a deterministic fake for plumbing tests) — the
-Spark-side contract (schema, partitioning, UDF signature, batch shape)
-is real and tested.
+Arrow-batched Pandas UDFs over mapInPandas. Header-level decode (WAV,
+netpbm, PNG/GIF/BMP dimensions) is REAL and stdlib-only, tested
+end-to-end through read_blob_files -> extract_features(mode='real');
+only compressed-payload decode (JPEG/MP3/FLAC/video), which genuinely
+needs codec libraries absent from this container, remains a clearly
+marked NotImplementedError.
 
 At scale: binary payloads stay columnar in parquet; mapInPandas
 processes Arrow batches (no per-row serde), and feature extraction is
@@ -68,7 +69,8 @@ def read_blob_files(spark: SparkSession, path: str,
     raw = (spark.read.format("binaryFile")
            .option("pathGlobFilter", pattern).load(path))
     ext = F.lower(F.element_at(F.split(F.col("path"), "\\."), -1))
-    media = (F.when(ext.isin("jpg", "jpeg", "png", "gif"),
+    media = (F.when(ext.isin("jpg", "jpeg", "png", "gif", "ppm", "pgm",
+                             "pbm", "bmp"),
                     F.concat(F.lit("image/"), ext))
              .when(ext.isin("wav", "mp3", "flac"),
                    F.concat(F.lit("audio/"), ext))
@@ -85,13 +87,66 @@ def read_blob_files(spark: SparkSession, path: str,
     )
 
 
-def decode_media(payload: bytes, media_type: str):  # pragma: no cover
-    """STUB: real image/audio decode (PIL/libsndfile/ffmpeg) is not
-    available in this container. The Spark-side plumbing around it is
-    real; swap this function for the codec call in production."""
+def decode_media(payload: bytes, media_type: str) -> dict:
+    """Header-level decode for formats the standard library can parse
+    without codec packages — REAL, executor-side, tested end-to-end:
+
+      - WAV (RIFF/PCM): channels, sample rate, sample width, frame
+        count, duration — via the stdlib ``wave`` module;
+      - PPM/PGM/PBM (P1-P6): width x height from the ASCII header
+        (comment lines skipped per the netpbm spec);
+      - PNG / GIF / BMP: width x height at fixed header offsets.
+
+    Pixel/sample PAYLOAD decode for compressed formats (JPEG bitplanes,
+    MP3/FLAC audio, any video) genuinely requires codec libraries that
+    are not in this container — those still raise NotImplementedError,
+    now narrowed to exactly that set."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(bytes(payload))) as w:
+            rate, frames = w.getframerate(), w.getnframes()
+            return {"kind": "audio", "channels": float(w.getnchannels()),
+                    "sample_rate": float(rate),
+                    "bits": float(w.getsampwidth() * 8),
+                    "n_frames": float(frames),
+                    "duration_sec": frames / rate if rate else 0.0}
+    if payload[:2] in {b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"}:
+        # netpbm header: magic, then whitespace-separated tokens with
+        # '#'-to-EOL comments; first two numeric tokens are w, h
+        dims, i, n = [], 2, len(payload)
+        while len(dims) < 2 and i < n:
+            c = payload[i:i + 1]
+            if c == b"#":
+                while i < n and payload[i:i + 1] != b"\n":
+                    i += 1
+            elif c.isdigit():
+                j = i
+                while j < n and payload[j:j + 1].isdigit():
+                    j += 1
+                dims.append(int(payload[i:j]))
+                i = j
+            else:
+                i += 1
+        if len(dims) == 2:
+            return {"kind": "image", "width": float(dims[0]),
+                    "height": float(dims[1])}
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return {"kind": "image",
+                "width": float(int.from_bytes(payload[16:20], "big")),
+                "height": float(int.from_bytes(payload[20:24], "big"))}
+    if payload[:6] in {b"GIF87a", b"GIF89a"}:
+        return {"kind": "image",
+                "width": float(int.from_bytes(payload[6:8], "little")),
+                "height": float(int.from_bytes(payload[8:10], "little"))}
+    if payload[:2] == b"BM":
+        return {"kind": "image",
+                "width": float(int.from_bytes(payload[18:22], "little", signed=True)),
+                "height": float(abs(int.from_bytes(payload[22:26], "little", signed=True)))}
     raise NotImplementedError(
-        f"media decode for {media_type!r} requires codec libraries "
-        "not present in this environment")
+        f"payload decode for {media_type!r} requires codec libraries "
+        "not present in this environment (JPEG/MP3/FLAC/video)")
 
 
 FEATURE_SCHEMA = ("doc_id long, media_type string, n_bytes long, "
@@ -103,15 +158,27 @@ def extract_features(blobs: DataFrame, mode: str = "fake") -> DataFrame:
     batches in/out — the pattern for any real embedding/CNN step).
 
     mode='fake': deterministic per-byte-histogram features (8 buckets,
-    L1-normalized) so tests can assert exact values; mode='real' calls
-    the stubbed decoder."""
+    L1-normalized) so tests can assert exact values; mode='real'
+    header-decodes each payload (decode_media) into a typed vector:
+    audio -> [1, channels, sample_rate, bits, n_frames, duration, 0, 0],
+    image -> [2, width, height, width*height, 0, 0, 0, 0]."""
+
+    def real_features(payload: bytes, media_type: str) -> list[float]:
+        meta = decode_media(payload, media_type)
+        if meta["kind"] == "audio":
+            return [1.0, meta["channels"], meta["sample_rate"],
+                    meta["bits"], meta["n_frames"], meta["duration_sec"],
+                    0.0, 0.0]
+        return [2.0, meta["width"], meta["height"],
+                meta["width"] * meta["height"], 0.0, 0.0, 0.0, 0.0]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if mode == "real":  # pragma: no cover
-                decode_media(pdf["payload"].iloc[0], pdf["media_type"].iloc[0])
             feats = []
-            for payload in pdf["payload"]:
+            for payload, mt in zip(pdf["payload"], pdf["media_type"]):
+                if mode == "real":
+                    feats.append(real_features(payload, mt))
+                    continue
                 buckets = [0] * N_FEATURES
                 for byte in payload:
                     buckets[byte % N_FEATURES] += 1
