@@ -53,6 +53,7 @@ HEADLINE = [
     "events_interval_join",      # stream-stream attribution (batch run)
     "sample_stratified_hash",    # deterministic corpus sampling
     "text_pack_sequences",       # token-budget packing
+    "text_decontaminate",        # benchmark-overlap broadcast probe
 ]
 
 

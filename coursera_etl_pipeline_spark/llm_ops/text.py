@@ -230,3 +230,79 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("source", "term", F.round("tfidf", 6).alias("tfidf"), "rank")
     )
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+DECONTAM_N = 8          # 8-gram shingles: long enough that overlap means
+                        # shared passages, not shared common words
+DECONTAM_BENCH_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark
+
+
+def _decontam_ngram_sql(n: int) -> str:
+    """DuckDB n-gram join expression over a token list column t."""
+    parts = " || ' ' || ".join(f"t[s+{i}]" for i in range(n))
+    return (f"unnest(list_transform(range(1, greatest(len(t) - {n - 1}, 0) + 1), "
+            f"s -> {parts}))")
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (SELECT doc_id, {_decontam_ngram_sql(DECONTAM_N)} AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+    ), bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECONTAM_BENCH_MOD} = 0
+    ), corpus AS (
+      SELECT * FROM sh WHERE doc_id % {DECONTAM_BENCH_MOD} <> 0
+    ), per_doc AS (
+      SELECT doc_id, COUNT(*) AS nsh FROM corpus GROUP BY doc_id
+    ), hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_overlap
+      FROM corpus c JOIN bench b ON c.shingle = b.shingle
+      GROUP BY c.doc_id
+    )
+    SELECT p.doc_id, p.nsh,
+           COALESCE(h.n_overlap, 0) AS n_overlap,
+           round(COALESCE(h.n_overlap, 0) * 1.0 / p.nsh, 6) AS overlap_ratio,
+           COALESCE(h.n_overlap, 0) >= 1 AS contaminated
+    FROM per_doc p LEFT JOIN hits h ON p.doc_id = h.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    8-gram passage with a held-out benchmark set (here a deterministic
+    ~1% doc_id slice standing in for the eval suite) — the standard
+    leakage guard an LLM training pipeline runs before packing."""
+    return decontaminate(load_table(spark, sf_dir, "documents"))
+
+
+def decontaminate(d: DataFrame, n: int = DECONTAM_N,
+                  bench_mod: int = DECONTAM_BENCH_MOD) -> DataFrame:
+    """100 TB shape: benchmark shingle sets are tiny (eval suites are
+    thousands of docs, not billions), so the benchmark side BROADCASTS
+    and the corpus streams through a map-side hash probe + one doc_id
+    aggregation — linear, no corpus self-join, no skew exposure (a
+    corpus doc matches at most its own shingle count). Docs shorter
+    than n tokens have no n-gram and drop out on both engines by
+    construction."""
+    from coursera_etl_pipeline_spark.llm_ops.dedup import shingles
+
+    sh = (shingles(d, n=n)
+          .select("doc_id", F.explode("_shingles").alias("shingle")))
+    is_bench = (F.col("doc_id") % bench_mod) == 0
+    bench = sh.filter(is_bench).select("shingle").distinct()
+    corpus = sh.filter(~is_bench)
+    per_doc = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    hits = (corpus.join(F.broadcast(bench), "shingle")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_overlap")))
+    n_overlap = F.coalesce(F.col("n_overlap"), F.lit(0).cast("long"))
+    return (
+        per_doc.join(hits, "doc_id", "left")
+        .select("doc_id", "nsh",
+                n_overlap.alias("n_overlap"),
+                F.round(n_overlap * 1.0 / F.col("nsh"), 6).alias("overlap_ratio"),
+                (n_overlap >= 1).alias("contaminated"))
+    )

@@ -119,6 +119,21 @@ def test_incremental_minhash_equals_filtered_full_selfjoin(planted_docs):
     assert all(a % mod == 0 or b % mod == 0 for a, b, _ in got)
 
 
+def test_decontaminate_flags_benchmark_duplicate(planted_docs):
+    """Doc 0 is in the benchmark slice (0 % 97 == 0); doc 100 is its
+    exact copy in the corpus, so every one of its 8-grams overlaps ->
+    contaminated, ratio 1.0. Every other corpus doc carries a
+    doc-unique token in each 8-gram window (planted every 5th
+    position), so nothing else can overlap the benchmark."""
+    from coursera_etl_pipeline_spark.llm_ops.text import decontaminate
+
+    rows = {r.doc_id: r for r in decontaminate(planted_docs).collect()}
+    assert 0 not in rows                      # benchmark doc excluded
+    assert rows[100].contaminated and rows[100].overlap_ratio == 1.0
+    clean = [r for i, r in rows.items() if i != 100]
+    assert clean and all(not r.contaminated and r.n_overlap == 0 for r in clean)
+
+
 def test_minhash_identical_signatures_for_identical_docs(planted_docs):
     sigs = dedup.minhash_signatures(planted_docs)
     rows = {r.doc_id: tuple(r[c] for c in sigs.columns if c.startswith("mh"))
