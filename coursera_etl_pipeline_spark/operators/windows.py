@@ -157,7 +157,15 @@ def window_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     and final stages, sorting all rows twice and forfeiting the
     map-side-combine advantage the rewrite was meant to buy. The
     sort-window below is the right physical plan until HashAggregate
-    supports struct buffers."""
+    supports struct buffers.
+
+    Second measured negative (round 7, 10M-row replica): the all-hash
+    two-phase argmax (max(ts) per user -> broadcast-join filter ->
+    max(event_id) tiebreak -> join back) is 3.6x slower (2.76 s vs
+    0.76 s) — it re-scans the fact three times and broadcasts a
+    |users|-sized table twice to save one per-partition sort that is
+    cheaper than either. The single sort-window pass remains the right
+    plan at every measured scale."""
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
