@@ -137,3 +137,42 @@ def test_no_unexpected_plan_antipatterns(spark, sf_dir):
 
     names = [n for n in entrymod.queries() if n not in EXECUTES_ON_BUILD]
     assert audit(spark, sf_dir, names) == []
+
+
+def test_dsum_cross_engine_bit_parity_on_adversarial_doubles(spark):
+    """The hash contract rests on dsum/davg evaluating to the SAME
+    double in Spark and DuckDB. Both engines run the identical
+    expression tree over identical doubles; this pins it on seeded
+    adversarial inputs — money-shaped values, 6-decimal products,
+    negatives, micro-rounding tie neighborhoods (x.xxxxxx5), and
+    magnitudes up to the documented ~1e9 domain bound — so a future
+    'simplification' of the helper that diverges the engines fails
+    here, not in the driver."""
+    import random
+
+    import duckdb
+
+    from coursera_etl_pipeline_spark.registry import davg, dsum
+
+    rnd = random.Random(7)
+    vals = []
+    for _ in range(400):
+        vals.append(round(rnd.uniform(-1000, 100000), 2))          # money
+        vals.append(round(rnd.uniform(0, 100000), 2)
+                    * round(1 - rnd.uniform(0, 0.1), 2))           # 4-dec product
+        vals.append(rnd.randint(0, 10**6) / 10 + 0.05)             # .x5 ties
+        vals.append(rnd.randint(0, 10**9) + rnd.random())          # large domain
+    vals += [0.0, -0.0000005, 0.0000005, 0.1234565, -999999999.999999]
+
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double")
+    srow = sdf.selectExpr(f"{dsum('x')} AS s", f"{davg('x')} AS a",
+                          f"{dsum('x * (1 - 0.04)')} AS sp").collect()[0]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    drow = con.execute(
+        f"SELECT {dsum('x')} AS s, {davg('x')} AS a, "
+        f"{dsum('x * (1 - 0.04)')} AS sp FROM t").fetchone()
+
+    assert (srow.s, srow.a, srow.sp) == drow  # bit-exact, not approx
