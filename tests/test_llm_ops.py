@@ -489,6 +489,61 @@ def test_connected_components_long_chain(spark):
     assert set(comp.values()) == {0}
 
 
+def test_caches_invalidate_on_fixture_rewrite(spark, tmp_path):
+    """The driver regenerates fixture parquet at the SAME path between
+    rounds. Both memo layers — load_table's DataFrame cache and
+    _materialize's persisted intermediates — key on an input-file
+    fingerprint (mtime/size), so an identical plan over a rewritten
+    file must serve the NEW rows, never stale persisted blocks
+    (ADVICE r6)."""
+    import os
+    import time
+
+    from coursera_etl_pipeline_spark.catalog import load_table
+    from coursera_etl_pipeline_spark.llm_ops.dedup import (
+        _materialize,
+        clear_materialized,
+    )
+
+    sf = str(tmp_path)
+    path = os.path.join(sf, "documents.parquet")
+
+    def write(rows):
+        (spark.createDataFrame(rows, "doc_id long, text string")
+         .coalesce(1).write.mode("overwrite").parquet(path))
+
+    write([(1, "alpha"), (2, "beta")])
+    d1 = load_table(spark, sf, "documents")
+    assert d1 is load_table(spark, sf, "documents")  # stable file -> same object
+    m1 = _materialize(d1.groupBy("text").count())
+    assert sorted(r.text for r in m1.collect()) == ["alpha", "beta"]
+
+    time.sleep(0.05)  # ensure mtime_ns moves even on coarse filesystems
+    write([(3, "gamma"), (4, "delta"), (5, "delta")])
+
+    d2 = load_table(spark, sf, "documents")
+    assert d2 is not d1                              # fingerprint miss
+    assert sorted(r.text for r in d2.collect()) == ["delta", "delta", "gamma"]
+    m2 = _materialize(d2.groupBy("text").count())
+    assert {(r.text, r["count"]) for r in m2.collect()} == {("gamma", 1), ("delta", 2)}
+
+    # In-place overwrite: SAME file name, SAME logical plan, new bytes —
+    # the sameSemantics-true / fingerprint-miss branch must unpersist
+    # the stale blocks and recompute, not serve the cached rows.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    single = os.path.join(sf, "single.parquet")
+    pq.write_table(pa.table({"k": [1, 1, 2]}), single)
+    plan1 = _materialize(spark.read.parquet(single).groupBy("k").count())
+    assert {(r.k, r["count"]) for r in plan1.collect()} == {(1, 2), (2, 1)}
+    time.sleep(0.05)
+    pq.write_table(pa.table({"k": [7, 7, 7, 8]}), single)
+    plan2 = _materialize(spark.read.parquet(single).groupBy("k").count())
+    assert {(r.k, r["count"]) for r in plan2.collect()} == {(7, 3), (8, 1)}
+    clear_materialized(spark)
+
+
 def test_materialize_memoizes_per_plan(spark, sf_dir):
     """Repeated invocations of the same query must reuse ONE persisted
     intermediate, not pin a fresh copy per call (the round-5 bench
