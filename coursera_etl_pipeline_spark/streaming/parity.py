@@ -177,3 +177,69 @@ def stream_dedup_parity(spark: SparkSession, sf_dir: str,
              .outputMode("append").trigger(availableNow=True).start())
         _await_or_cleanup(spark, q, name)
     return spark.table(name)
+
+
+@query(
+    "stream_incremental_dedup",
+    # new-batch docs (doc_id % 10 == 0) joined against the frozen
+    # corpus's 8-token-head fingerprint index (text_fingerprint's
+    # prefix-dup key — whole-content fps never cross the fixture's
+    # batch/corpus split, head fps do): one row per new doc whose
+    # prefix duplicates corpus content, carrying the corpus keeper.
+    oracle="""
+    WITH corpus AS (
+      SELECT md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '))
+               AS head_fp,
+             MIN(doc_id) AS keeper_doc_id
+      FROM documents WHERE doc_id % 10 <> 0
+      GROUP BY 1
+    )
+    SELECT d.doc_id AS new_doc_id, c.keeper_doc_id, c.head_fp
+    FROM documents d JOIN corpus c
+      ON md5(array_to_string(list_slice(string_split(d.text, ' '), 1, 8), ' '))
+         = c.head_fp
+    WHERE d.doc_id % 10 = 0
+    """,
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str,
+                             force: bool = False) -> DataFrame:
+    """Continuous-ingest dedup as a REAL stream-static join: new
+    documents arrive as a file-source stream (the deterministic
+    doc_id % 10 batch slice playing today's landing zone) and probe a
+    STATIC corpus fingerprint index built batch-side — the streaming
+    twin of `dedup_incremental_minhash`'s cost shape, where the corpus
+    is a frozen artifact and only arrivals do new work.
+
+    The streamed plan is fully STATELESS (map to content fingerprint +
+    stream-static join, append mode): no watermark, no state store, so
+    an availableNow run is exactly one cron tick of the reference's
+    incremental ingest (O21) and exactly-once per input file. Scale
+    posture: the static index re-resolves per micro-batch; at 100 TB
+    it lives bucketed on content_fp so the per-batch join co-locates
+    without reshuffling the corpus, and the stream side only ever
+    shuffles the day's arrivals. Memory sink = harness plumbing, as in
+    the other parities."""
+    name = "stream_incdedup_" + re.sub(r"\W", "_", sf_dir).strip("_")
+    if _needs_run(spark, name, force):
+        schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+        src = (spark.readStream.schema(schema)
+               .option("pathGlobFilter", "documents.parquet")
+               .parquet(sf_dir))
+        fp = F.md5(F.array_join(F.slice(F.split("text", " "), 1, 8), " "))
+        from coursera_etl_pipeline_spark.catalog import load_table
+
+        corpus = (load_table(spark, sf_dir, "documents")
+                  .filter(F.col("doc_id") % 10 != 0)
+                  .groupBy(fp.alias("head_fp"))
+                  .agg(F.min("doc_id").alias("keeper_doc_id")))
+        hits = (
+            src.filter(F.col("doc_id") % 10 == 0)
+            .select(F.col("doc_id").alias("new_doc_id"),
+                    fp.alias("head_fp"))
+            .join(corpus, "head_fp")
+            .select("new_doc_id", "keeper_doc_id", "head_fp")
+        )
+        q = (hits.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        _await_or_cleanup(spark, q, name)
+    return spark.table(name)
