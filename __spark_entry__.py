@@ -76,6 +76,11 @@ _EDITED_THIS_ROUND = [
     "scalar_json_pack",
     "stream_batch_parity",
     "text_lang_id",
+    # tpch_extra module-level SQL f-strings embed dsum too (the grep
+    # that built this list missed them — they sit outside @query call
+    # bodies): results changed with the helper, so they re-certify.
+    "q9_product_type_profit",
+    "q11_important_parts",
     # dedup.py also changed this round, but only the _materialize cache
     # KEY (input-file fingerprint added) — no query plan or result
     # changed, so its queries rotate normally.

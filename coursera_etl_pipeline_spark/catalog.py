@@ -52,9 +52,11 @@ def _path_fingerprint(path: str) -> tuple:
         return (None,)
     if not os.path.isdir(path):
         return ((path, st.st_mtime_ns, st.st_size),)
-    return tuple(sorted(
-        (e.path, e.stat().st_mtime_ns, e.stat().st_size)
-        for e in os.scandir(path)))
+    out = []
+    for e in os.scandir(path):
+        est = e.stat()
+        out.append((e.path, est.st_mtime_ns, est.st_size))
+    return tuple(sorted(out))
 
 
 def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
@@ -114,11 +116,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamp formatting matches the DuckDB oracle even when the
     caller's SparkSession (e.g. the driver harness) didn't set it."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    key = (sf_dir, name, _path_fingerprint(table_path(sf_dir, name)))
+    fp = _path_fingerprint(table_path(sf_dir, name))
+    key = (sf_dir, name, fp)
     per_session = _LOADED.setdefault(spark, {})
     cached = per_session.get(key)
     if cached is not None:
         return cached
+    # evict superseded fingerprints for the same table: a driver that
+    # regenerates fixtures every round would otherwise grow one pinned
+    # analyzed-plan per (table, rewrite) for the session's lifetime
+    for stale in [k for k in per_session if k[:2] == (sf_dir, name)]:
+        del per_session[stale]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = fan_out(spark, spark.read.parquet(table_path(sf_dir, name)))

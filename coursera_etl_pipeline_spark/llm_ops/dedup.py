@@ -83,9 +83,16 @@ def _input_fingerprint(df: DataFrame) -> tuple:
     the plan's input files catches that: any rewrite bumps mtime/size."""
     import os
 
+    from urllib.parse import unquote, urlparse
+
     fp = []
     for path in sorted(df.inputFiles()):
-        local = path[5:] if path.startswith("file:") else path
+        # inputFiles() yields URIs ('file:/x/y%20z.parquet'): strip the
+        # scheme AND percent-decode, else any space/non-ASCII path makes
+        # stat() fail and the fingerprint degrades to a constant — which
+        # would silently disable exactly this invalidation.
+        local = unquote(urlparse(path).path) if "://" in path or \
+            path.startswith("file:") else path
         try:
             st = os.stat(local)
             fp.append((path, st.st_mtime_ns, st.st_size))

@@ -23,6 +23,22 @@ EN_MARKERS = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
 # symbols — the classic pre-tokenizer split.
 BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+# Prefix-duplicate key: md5 of the first HEAD_FP_TOKENS tokens. Defined
+# ONCE here (Spark and DuckDB forms) and imported by every consumer
+# (text_fingerprint, streaming incremental dedup) so the key can't
+# drift between them.
+HEAD_FP_TOKENS = 8
+
+
+def head_fp_col(text_col: str = "text"):
+    return F.md5(F.array_join(
+        F.slice(F.split(text_col, " "), 1, HEAD_FP_TOKENS), " "))
+
+
+def head_fp_sql(text_col: str = "text") -> str:
+    return (f"md5(array_to_string(list_slice(string_split({text_col}, ' '), "
+            f"1, {HEAD_FP_TOKENS}), ' '))")
+
 
 @query(
     "text_token_count",
@@ -142,10 +158,10 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_fingerprint",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            md5(lower(trim(text)))                                         AS content_fp,
-           md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')) AS head_fp,
+           {head_fp_sql()} AS head_fp,
            ('0x' || substr(md5(lower(trim(text))), 1, 15))::BIGINT        AS fp_int
     FROM documents
     """,
@@ -159,7 +175,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.md5(norm).alias("content_fp"),
-        F.md5(F.array_join(F.slice(F.split("text", " "), 1, 8), " ")).alias("head_fp"),
+        head_fp_col().alias("head_fp"),
         F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("bigint").alias("fp_int"),
     )
 

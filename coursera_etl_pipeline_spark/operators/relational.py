@@ -363,6 +363,20 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _micro_partial(col_sql: str) -> str:
+    """Finest-group partial for the two-level cube/rollup plans: the
+    SAME per-row micro-units transform as registry.dsum, summed exactly
+    in DECIMAL(38,0). The second level sums these integer partials and
+    applies dsum's identical final ops (decimal->double cast, /1e6), so
+    two-level == one-level bit-for-bit AT ANY MAGNITUDE — integer
+    addition is associative with no intermediate rounding, unlike the
+    earlier DECIMAL(38,6)-partials form whose final cast path could
+    double-round differently from the oracle once a subtotal passed
+    2^53 micro-units."""
+    return ("SUM(CAST(CAST(FLOOR((" + col_sql + ") * 1000000 + 0.5) AS BIGINT)"
+            " AS DECIMAL(38,0)))")
+
+
 @query(
     "agg_rollup",
     oracle=f"""
@@ -383,11 +397,11 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.withColumn("order_year", F.year("o_orderdate"))
         .groupBy("order_year", "o_orderstatus")
         .agg(F.count(F.lit(1)).alias("_n"),
-             F.expr("SUM(CAST(o_totalprice AS DECIMAL(38,6)))").alias("_total"))
+             F.expr(_micro_partial("o_totalprice")).alias("_total"))
     )
     return base.rollup("order_year", "o_orderstatus").agg(
         F.sum("_n").alias("n"),
-        F.expr("CAST(SUM(_total) AS DOUBLE)").alias("total"))
+        F.expr("CAST(SUM(_total) AS DOUBLE) / 1000000").alias("total"))
 
 
 @query(
@@ -413,10 +427,10 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     base = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("_n"),
-        F.expr("SUM(CAST(l_quantity AS DECIMAL(38,6)))").alias("_qty"))
+        F.expr(_micro_partial("l_quantity")).alias("_qty"))
     return base.cube("l_returnflag", "l_linestatus").agg(
         F.sum("_n").alias("n"),
-        F.expr("CAST(SUM(_qty) AS DOUBLE)").alias("qty"))
+        F.expr("CAST(SUM(_qty) AS DOUBLE) / 1000000").alias("qty"))
 
 
 @query(
@@ -432,13 +446,14 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expand runs over the pre-aggregated (flag, status) combos, not the
     fact table."""
     views(spark, sf_dir, "lineitem")
-    return spark.sql("""
+    return spark.sql(f"""
         WITH base AS (
           SELECT l_returnflag, l_linestatus,
-                 SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS _price
+                 {_micro_partial('l_extendedprice')} AS _price
           FROM lineitem GROUP BY l_returnflag, l_linestatus
         )
-        SELECT l_returnflag, l_linestatus, CAST(SUM(_price) AS DOUBLE) AS price
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(_price) AS DOUBLE) / 1000000 AS price
         FROM base
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """)

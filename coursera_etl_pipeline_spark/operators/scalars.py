@@ -150,9 +150,16 @@ def scalar_json_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.53 s — the residual vs DuckDB (~0.05 s) is the per-row Jackson
     allocation constant all three share, so the remaining gap is the
     JSON kernel itself, not the plan (ratio grows linearly,
-    data-proportional; no scale defect)."""
+    data-proportional; no scale defect).
+
+    The field is extracted as STRING then cast, not declared INT in
+    the schema: Jackson does no string->int coercion, so a fixture
+    regeneration that ships '{"k": "87"}' would silently null an
+    INT-schema extraction while the oracle's json_extract_string
+    still coerces — the STRING+cast form matches get_json_object and
+    the oracle on every encoding (verified on mixed-encoding rows)."""
     e = load_table(spark, sf_dir, "events")
-    k = F.from_json("props", "k INT").getField("k")
+    k = F.from_json("props", "k STRING").getField("k").cast("int")
     return (
         e.withColumn("k", k)
         .groupBy("event_type")

@@ -179,27 +179,37 @@ def stream_dedup_parity(spark: SparkSession, sf_dir: str,
     return spark.table(name)
 
 
-@query(
-    "stream_incremental_dedup",
-    # new-batch docs (doc_id % 10 == 0) joined against the frozen
-    # corpus's 8-token-head fingerprint index (text_fingerprint's
-    # prefix-dup key — whole-content fps never cross the fixture's
-    # batch/corpus split, head fps do): one row per new doc whose
-    # prefix duplicates corpus content, carrying the corpus keeper.
-    oracle="""
+def _incremental_stream_oracle() -> str:
+    """Built from the SAME shared definitions as the Spark plan — the
+    batch-split modulus (dedup.INCREMENTAL_BATCH_MOD, shared with
+    dedup_incremental_minhash so the two incremental queries describe
+    one split) and text_fingerprint's head_fp key (text.head_fp_sql) —
+    so neither can drift between the queries."""
+    from coursera_etl_pipeline_spark.llm_ops.dedup import INCREMENTAL_BATCH_MOD
+    from coursera_etl_pipeline_spark.llm_ops.text import head_fp_sql
+
+    return f"""
     WITH corpus AS (
-      SELECT md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '))
-               AS head_fp,
+      SELECT {head_fp_sql('text')} AS head_fp,
              MIN(doc_id) AS keeper_doc_id
-      FROM documents WHERE doc_id % 10 <> 0
+      FROM documents WHERE doc_id % {INCREMENTAL_BATCH_MOD} <> 0
       GROUP BY 1
     )
     SELECT d.doc_id AS new_doc_id, c.keeper_doc_id, c.head_fp
     FROM documents d JOIN corpus c
-      ON md5(array_to_string(list_slice(string_split(d.text, ' '), 1, 8), ' '))
-         = c.head_fp
-    WHERE d.doc_id % 10 = 0
-    """,
+      ON {head_fp_sql('d.text')} = c.head_fp
+    WHERE d.doc_id % {INCREMENTAL_BATCH_MOD} = 0
+    """
+
+
+@query(
+    "stream_incremental_dedup",
+    # new-batch docs joined against the frozen corpus's 8-token-head
+    # fingerprint index (text_fingerprint's prefix-dup key —
+    # whole-content fps never cross the fixture's batch/corpus split,
+    # head fps do): one row per new doc whose prefix duplicates corpus
+    # content, carrying the corpus keeper.
+    oracle=_incremental_stream_oracle(),
 )
 def stream_incremental_dedup(spark: SparkSession, sf_dir: str,
                              force: bool = False) -> DataFrame:
@@ -225,15 +235,20 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str,
         src = (spark.readStream.schema(schema)
                .option("pathGlobFilter", "documents.parquet")
                .parquet(sf_dir))
-        fp = F.md5(F.array_join(F.slice(F.split("text", " "), 1, 8), " "))
         from coursera_etl_pipeline_spark.catalog import load_table
+        from coursera_etl_pipeline_spark.llm_ops.dedup import (
+            INCREMENTAL_BATCH_MOD,
+        )
+        from coursera_etl_pipeline_spark.llm_ops.text import head_fp_col
 
+        fp = head_fp_col("text")
+        is_batch = F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0
         corpus = (load_table(spark, sf_dir, "documents")
-                  .filter(F.col("doc_id") % 10 != 0)
+                  .filter(~is_batch)
                   .groupBy(fp.alias("head_fp"))
                   .agg(F.min("doc_id").alias("keeper_doc_id")))
         hits = (
-            src.filter(F.col("doc_id") % 10 == 0)
+            src.filter(is_batch)
             .select(F.col("doc_id").alias("new_doc_id"),
                     fp.alias("head_fp"))
             .join(corpus, "head_fp")
