@@ -54,6 +54,7 @@ HEADLINE = [
     "sample_stratified_hash",    # deterministic corpus sampling
     "text_pack_sequences",       # token-budget packing
     "text_decontaminate",        # benchmark-overlap broadcast probe
+    "events_resample_gapfill",   # grid resample + forward fill
 ]
 
 

@@ -121,3 +121,73 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
                 "user_id", "n_events", "session_value")
     )
+
+
+@query(
+    "events_resample_gapfill",
+    # 12h-bucket resample per user with forward fill — the
+    # time_bucket_gapfill / hypertable-rollup shape: a regular grid
+    # spanning each user's [first, last] bucket, empty buckets carry
+    # the previous bucket's value forward. The grid is rebuilt with
+    # generate-range arithmetic in DuckDB; both engines forward-fill
+    # with last_value IGNORE NULLS over the same frame.
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 43200) AS BIGINT) * 43200 AS bucket,
+             {dsum('value')} AS bucket_value,
+             COUNT(*) AS n_events
+      FROM events WHERE user_id <= 50
+      GROUP BY 1, 2
+    ), s AS (
+      SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx FROM b GROUP BY 1
+    ), g AS (
+      SELECT user_id, unnest(range(mn, mx + 43200, 43200)) AS bucket FROM s
+    )
+    SELECT g.user_id,
+           strftime(to_timestamp(g.bucket) AT TIME ZONE 'UTC',
+                    '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           COALESCE(b.n_events, 0) AS n_events,
+           last_value(b.bucket_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket
+    """,
+)
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill (the hypertable rollup /
+    time_bucket_gapfill shape): bucket each user's events to a regular
+    12h grid spanning their [first, last] activity, emit EVERY grid
+    bucket, and forward-fill value through empty ones.
+
+    100 TB shape: the aggregation is one partial-agg'd shuffle on
+    (user, bucket); the grid explode is bounded by span/step PER KEY
+    (never a global calendar cross join); the forward fill is a
+    per-key ordered window — so the whole plan is a single
+    hash-partition by user end to end, and AQE handles hot keys. The
+    first grid bucket per key always holds data (the span starts at
+    the key's own min bucket), so the fill never reads before the
+    frame."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    step = 43200
+    bucket = (F.floor(F.unix_timestamp("ts") / step) * step).cast("long")
+    b = (e.withColumn("bucket", bucket)
+         .groupBy("user_id", "bucket")
+         .agg(F.expr(dsum("value")).alias("bucket_value"),
+              F.count(F.lit(1)).alias("n_events")))
+    grid = (b.groupBy("user_id")
+            .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+            .select("user_id",
+                    F.explode(F.sequence("mn", "mx", F.lit(step))).alias("bucket")))
+    w = (W.partitionBy("user_id").orderBy("bucket")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        grid.join(b, ["user_id", "bucket"], "left")
+        .select("user_id",
+                F.date_format(F.timestamp_seconds("bucket"),
+                              "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+                F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+                F.last("bucket_value", ignorenulls=True).over(w).alias("filled_value"))
+    )
