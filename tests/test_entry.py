@@ -26,6 +26,14 @@ def test_queries_and_oracles_consistent():
     assert all(callable(fn) for fn in qs.values())
 
 
+def test_edited_this_round_names_are_registered():
+    """A typo'd name in _EDITED_THIS_ROUND silently forces nothing —
+    the query it meant to re-certify would sit behind the window on a
+    stale row while the list claims otherwise."""
+    unknown = [n for n in entry._EDITED_THIS_ROUND if n not in entry.QUERIES]
+    assert unknown == [], unknown
+
+
 def test_rotation_puts_stalest_queries_in_window():
     """The driver checks the first WINDOW entries, so every query whose
     recorded certification is older than the newest cohort must be in
