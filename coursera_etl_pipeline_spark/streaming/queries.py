@@ -160,23 +160,29 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     12h grid spanning their [first, last] activity, emit EVERY grid
     bucket, and forward-fill value through empty ones.
 
-    100 TB shape: the aggregation is one partial-agg'd shuffle on
-    (user, bucket); the grid explode is bounded by span/step PER KEY
-    (never a global calendar cross join); the forward fill is a
-    per-key ordered window — so the whole plan is a single
-    hash-partition by user end to end, and AQE handles hot keys. The
+    100 TB shape: the fact table is scanned ONCE — the bucket
+    aggregate (one partial-agg'd shuffle on (user, bucket), result
+    ~|keys x buckets|) is materialized and feeds both the span
+    derivation and the join probe (without it Spark recomputes the
+    aggregate per consumer, i.e. two full fact scans — verified in
+    the plan). The grid explode is bounded by span/step PER KEY
+    (never a global calendar cross join), and the forward-fill window
+    rides the join's user partitioning with no extra exchange. The
     first grid bucket per key always holds data (the span starts at
     the key's own min bucket), so the fill never reads before the
     frame."""
     from pyspark.sql import Window as W
 
+    from coursera_etl_pipeline_spark.llm_ops.dedup import _materialize
+
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
     step = 43200
     bucket = (F.floor(F.unix_timestamp("ts") / step) * step).cast("long")
-    b = (e.withColumn("bucket", bucket)
-         .groupBy("user_id", "bucket")
-         .agg(F.expr(dsum("value")).alias("bucket_value"),
-              F.count(F.lit(1)).alias("n_events")))
+    b = _materialize(
+        e.withColumn("bucket", bucket)
+        .groupBy("user_id", "bucket")
+        .agg(F.expr(dsum("value")).alias("bucket_value"),
+             F.count(F.lit(1)).alias("n_events")))
     grid = (b.groupBy("user_id")
             .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
             .select("user_id",
