@@ -116,7 +116,7 @@ _exclude(
     "real-stream parity memoizes its memory sink (tableExists) — warm "
     "bench runs would time a cached-table read, not the stream",
     "stream_batch_parity", "stream_dedup_parity",
-    "stream_incremental_dedup",
+    "stream_incremental_dedup", "stream_stateful_profile_parity",
 )
 
 

@@ -258,3 +258,55 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str,
              .outputMode("append").trigger(availableNow=True).start())
         _await_or_cleanup(spark, q, name)
     return spark.table(name)
+
+
+@query(
+    "stream_stateful_profile_parity",
+    # the custom applyInPandasWithState operator's final per-user
+    # profile must equal the plain relational aggregate — count, dsum
+    # (the operator accumulates the SAME integer micro-units, so the
+    # totals are bit-identical, not approximately equal), max ts.
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           {dsum('value')} AS total_value,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_profile_parity(spark: SparkSession, sf_dir: str,
+                                   force: bool = False) -> DataFrame:
+    """CUSTOM STATEFUL OPERATOR under the value-hash gate: the
+    applyInPandasWithState per-user running profile (streaming/
+    stateful.py) executed by the real micro-batch engine — Python
+    worker state serialization, GroupState updates, update-mode sink —
+    must converge to exactly the batch aggregate. This is the one
+    operator class with no SQL surface at all (arbitrary Python over
+    per-key state), which is precisely why it carries a full oracle
+    here rather than a rows-only check: the profile's value total
+    accumulates the same integer micro-units as registry.dsum, so the
+    comparison is bit-exact.
+
+    Update-mode sink rows are one profile per (user, micro-batch);
+    n_events grows strictly within a user, so the final profile is the
+    max-n_events row — selected relationally below, keeping the whole
+    parity deterministic even if the file source ever splits the
+    fixture into multiple micro-batches."""
+    name = "stream_stateful_" + re.sub(r"\W", "_", sf_dir).strip("_")
+    if _needs_run(spark, name, force):
+        from coursera_etl_pipeline_spark.streaming.stateful import user_profiles
+
+        src = _events_stream(spark, sf_dir).select("user_id", "ts", "value")
+        q = (user_profiles(src).writeStream.format("memory").queryName(name)
+             .outputMode("update").trigger(availableNow=True).start())
+        _await_or_cleanup(spark, q, name)
+    sink = spark.table(name)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (sink.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", "n_events", "total_value",
+                    F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss")
+                    .alias("last_ts")))

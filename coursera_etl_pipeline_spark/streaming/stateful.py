@@ -17,24 +17,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, last_ts timestamp"
-STATE_SCHEMA = "n long, total double, last_ts timestamp"
+STATE_SCHEMA = "n long, total_micros long, last_ts timestamp"
 
 
 def _update_profile(key, batches: Iterator[pd.DataFrame],
                     state: GroupState) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.exists:
-        n, total, last_ts = state.get
+        n, total_micros, last_ts = state.get
     else:
-        n, total, last_ts = 0, 0.0, None
+        n, total_micros, last_ts = 0, 0, None
     for pdf in batches:
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        # integer micro-units via the SAME per-row IEEE ops as
+        # registry.dsum (x*1e6 + 0.5, floor): the accumulated total is
+        # order-independent and bit-identical to the batch dsum oracle,
+        # where a raw float sum would drift with pandas' batch order.
+        import numpy as np
+
+        total_micros += int(
+            np.floor(pdf["value"].to_numpy() * 1e6 + 0.5).astype("int64").sum())
         batch_max = pdf["ts"].max()
         last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
-    state.update((n, total, last_ts))
+    state.update((n, total_micros, last_ts))
     yield pd.DataFrame({"user_id": [user_id], "n_events": [n],
-                        "total_value": [total], "last_ts": [last_ts]})
+                        "total_value": [total_micros / 1e6], "last_ts": [last_ts]})
 
 
 def user_profiles(events: DataFrame) -> DataFrame:
