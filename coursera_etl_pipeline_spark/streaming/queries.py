@@ -137,7 +137,7 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(floor(epoch(ts) / 43200) AS BIGINT) * 43200 AS bucket,
              {dsum('value')} AS bucket_value,
              COUNT(*) AS n_events
-      FROM events WHERE user_id <= 50
+      FROM events
       GROUP BY 1, 2
     ), s AS (
       SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx FROM b GROUP BY 1
@@ -175,7 +175,7 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from coursera_etl_pipeline_spark.llm_ops.dedup import _materialize
 
-    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    e = load_table(spark, sf_dir, "events")
     step = 43200
     bucket = (F.floor(F.unix_timestamp("ts") / step) * step).cast("long")
     b = _materialize(

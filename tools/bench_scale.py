@@ -63,14 +63,12 @@ BENCH_QUERIES = [
     "events_interval_join",
     "sample_stratified_hash",
     "text_pack_sequences",
-    # round 7 additions stay EXCLUDED, each measured and rejected:
-    # events_resample_gapfill's user_id <= 50 cap makes it
-    # scale-INVARIANT on key-shifted replicas (measured flat 0.34-0.41s
-    # engine at sf1 AND sf10 — the pushed filter prunes every shifted
-    # key range, so the row would benchmark a constant);
-    # text_decontaminate and the dedup/similarity family: replicated
-    # text makes every replica overlap the benchmark slice, which
-    # benchmarks the replication artifact, not the plan.
+    # round 7: uncapped resample scales with keys on key-shifted
+    # replicas (the earlier user_id cap made it scale-invariant; the
+    # cap is gone). text_decontaminate and the dedup/similarity family
+    # stay EXCLUDED: replicated text makes every replica overlap the
+    # benchmark slice, benchmarking the replication artifact.
+    "events_resample_gapfill",
 ]
 
 
