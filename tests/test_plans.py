@@ -176,3 +176,15 @@ def test_dsum_cross_engine_bit_parity_on_adversarial_doubles(spark):
         f"{dsum('x * (1 - 0.04)')} AS sp FROM t").fetchone()
 
     assert (srow.s, srow.a, srow.sp) == drow  # bit-exact, not approx
+
+
+def test_q1_partials_are_micro_units_not_decimal_casts(spark, sf_dir):
+    """Regression guard for the round-7 accumulator rewrite: q1's
+    partial aggregates must sum integer micro-units (FLOOR(x*1e6+0.5)
+    -> DECIMAL(38,0)), never per-row CAST(double AS DECIMAL(38,6)) —
+    the toString-based cast was the dominant constant in every wide
+    aggregate (1.23 s -> 0.67 s at a 10x replica)."""
+    plan = plan_of(q1_pricing_summary(spark, sf_dir))
+    assert "FLOOR(" in plan
+    assert "decimal(38,0)" in plan
+    assert "as decimal(38,6)" not in plan.lower()
