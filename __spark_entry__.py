@@ -39,51 +39,20 @@ _EDITED_THIS_ROUND = [
     # Queries whose implementing FILE changed this round: their recorded
     # green rows predate the change, so they outrank everything the history
     # says is current.  Update per round alongside the round's edits.
-    # Round 7: the cube/rollup/grouping-sets pre-aggregation rewrite landed
-    # AFTER the r6 window froze, so their r5 rows predate the current plans
-    # (VERDICT r6 item 1) — they lead this window unconditionally.
-    "agg_cube",
-    "agg_rollup",
-    "agg_grouping_sets",
-    # text.py: dfreq switched to countDistinct(doc_id) (ADVICE r6).
-    "text_tfidf_top_terms",
-    # registry.dsum/davg switched from per-row DECIMAL(38,6) casts to
-    # long-micros + DECIMAL(38,0) partials — every query whose plan
-    # embeds the helper changed and must re-certify this round (both
-    # Spark expr and oracle SQL derive from the same helper, but the
-    # driver row is the proof):
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q22_dormant_customers",
+    # Round 8 primary goal (VERDICT r7 item 1) is *restraint*: the 15
+    # r5-certified queries are the stalest cohort and must rotate through
+    # this window.  Entries are appended below ONLY for plans that round-8
+    # edits actually changed; tests/test_entry_rotation.py derives helper
+    # consumers at runtime and fails if a changed-helper user is missing.
+    # agg_having: HAVING threshold rewritten to micro-units on both sides
+    # (ADVICE r7 item 5) — plan and oracle changed together.
     "agg_having",
-    "agg_pivot",
-    "agg_stats_pack",
-    "events_tumbling_window",
-    "events_session_window",
-    "join_left_outer",
-    "join_nonequi_range",
+    # window_latest_per_key: two-phase partial argmax rewrite (VERDICT r7
+    # item 5) — same result, new plan, must re-certify.
+    "window_latest_per_key",
+    # join_salted_skew: uniform-key path now skips salting below the
+    # hot-key threshold (VERDICT r7 item 6) — plan changed.
     "join_salted_skew",
-    "scalar_json_pack",
-    "stream_batch_parity",
-    "text_lang_id",
-    # tpch_extra module-level SQL f-strings embed dsum too (the grep
-    # that built this list missed them — they sit outside @query call
-    # bodies): results changed with the helper, so they re-certify.
-    "q9_product_type_profit",
-    "q11_important_parts",
-    # dedup.py also changed this round, but only the _materialize cache
-    # KEY (input-file fingerprint added) — no query plan or result
-    # changed, so its queries rotate normally.
 ]
 
 

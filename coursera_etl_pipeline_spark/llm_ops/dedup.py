@@ -440,6 +440,21 @@ def minhash_signatures(df: DataFrame, n: int = 3,
         .select("doc_id", F.explode("_shingles").alias("shingle")))
 
 
+def _banded(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) LSH band rows of a signature frame: each
+    band's bucket is the md5 of its ``rows_per`` minhash values. One
+    row per (doc, band) — the unit the candidate equi-joins key on."""
+    rows_per = NUM_HASHES // NUM_BANDS
+    band_cols = [
+        F.struct(F.lit(bi).alias("band"),
+                 F.md5(F.concat_ws(",", *[F.col(f"mh{bi * rows_per + r}")
+                                          for r in range(rows_per)])).alias("bucket"))
+        for bi in range(NUM_BANDS)
+    ]
+    return (sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bb"))
+            .select("doc_id", "bb.band", "bb.bucket"))
+
+
 def minhash_lsh_pairs(df: DataFrame, threshold: float = JACCARD_THRESHOLD,
                       n: int = 3, text_col: str = "text") -> DataFrame:
     """Candidate pairs via band-bucket equality, then EXACT Jaccard
@@ -452,16 +467,7 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = JACCARD_THRESHOLD,
         shingles(df, n=n, text_col=text_col)
         .select("doc_id", F.size("_shingles").alias("nsh"),
                 F.explode("_shingles").alias("shingle")))
-    sigs = _signatures_from_shingles(sh_idx)
-    rows_per = NUM_HASHES // NUM_BANDS
-    band_cols = [
-        F.struct(F.lit(bi).alias("band"),
-                 F.md5(F.concat_ws(",", *[F.col(f"mh{bi * rows_per + r}")
-                                          for r in range(rows_per)])).alias("bucket"))
-        for bi in range(NUM_BANDS)
-    ]
-    banded = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")) \
-                 .select("doc_id", "bb.band", "bb.bucket")
+    banded = _banded(_signatures_from_shingles(sh_idx))
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -575,16 +581,7 @@ def minhash_incremental_pairs(df: DataFrame,
         shingles(df, n=n, text_col=text_col)
         .select("doc_id", F.size("_shingles").alias("nsh"),
                 F.explode("_shingles").alias("shingle")))
-    sigs = _signatures_from_shingles(sh_idx)
-    rows_per = NUM_HASHES // NUM_BANDS
-    band_cols = [
-        F.struct(F.lit(bi).alias("band"),
-                 F.md5(F.concat_ws(",", *[F.col(f"mh{bi * rows_per + r}")
-                                          for r in range(rows_per)])).alias("bucket"))
-        for bi in range(NUM_BANDS)
-    ]
-    banded = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")) \
-                 .select("doc_id", "bb.band", "bb.bucket")
+    banded = _banded(_signatures_from_shingles(sh_idx))
     corpus_idx = _materialize(banded.filter(~is_batch))  # the frozen index
     batch_banded = banded.filter(is_batch)
 
@@ -614,3 +611,133 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     `documents`; oracle = the full-self-join DuckDB pipeline filtered
     to pairs touching the batch (same answer, different cost shape)."""
     return minhash_incremental_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# --- index lifecycle (the write side of incremental dedup) ------------------
+
+def minhash_index_artifacts(docs: DataFrame, n: int = 3,
+                            text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+    """The two persisted artifacts a production dedup index keeps
+    between runs, for a given document set:
+
+      - shingle postings (doc_id, nsh, shingle) — what exact-Jaccard
+        verification of candidate pairs joins against;
+      - the banded signature index (doc_id, band, bucket) — what
+        candidate generation equi-joins on.
+
+    Both are per-document computations (linear, one explode + one
+    groupBy), so an index over corpus ∪ batch equals the union of the
+    two sets' artifacts — the property ``minhash_index_update`` exploits
+    to append instead of rebuild."""
+    postings = (shingles(docs, n=n, text_col=text_col)
+                .select("doc_id", F.size("_shingles").alias("nsh"),
+                        F.explode("_shingles").alias("shingle")))
+    return postings, _banded(_signatures_from_shingles(postings))
+
+
+def minhash_index_update(batch_docs: DataFrame, corpus_postings: DataFrame,
+                         corpus_index: DataFrame,
+                         threshold: float = JACCARD_THRESHOLD,
+                         n: int = 3, text_col: str = "text",
+                         ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One increment of the dedup-index lifecycle:
+    index(t+1) = index(t) + today's surviving signatures.
+
+    Computes the batch's artifacts (linear in |batch|), finds its
+    LSH-verified near-dups against the frozen corpus index and within
+    itself, drops the losers (a batch doc loses to ANY corpus match,
+    and to a lower-id batch doc), and APPENDS the survivors' postings
+    and band rows to the corpus artifacts. The corpus is never
+    recomputed and never self-joined — per-increment work is
+    O(|batch| x bucket-collision rate) plus the two unions, which at
+    100 TB are metadata-only appends to partitioned storage.
+
+    Drop rule (deterministic, SQL-expressible, pinned by the
+    ``dedup_index_update`` oracle): batch doc d drops iff it has a
+    verified pair with any corpus doc, or with a batch doc of smaller
+    doc_id. Greedy-by-pair, not transitive-closure — the same
+    tie-break ``dedup_exact`` uses (min id wins), applied pairwise.
+
+    Returns (survivors, new_postings, new_index); certified equal to a
+    from-scratch rebuild over corpus ∪ survivors by
+    ``test_llm_ops.test_index_update_two_increments_equal_rebuild``."""
+    b_post, b_band = minhash_index_artifacts(batch_docs, n=n, text_col=text_col)
+    b_post = _materialize(b_post)
+    b_band = _materialize(b_band)
+    all_post = corpus_postings.unionByName(b_post)
+
+    c = corpus_index.select(F.col("doc_id").alias("c_id"), "band", "bucket")
+    b1 = b_band.select(F.col("doc_id").alias("b_id"), "band", "bucket")
+    cand_bc = (b1.join(c, ["band", "bucket"])
+               .select(F.col("b_id").alias("doc_a"),
+                       F.col("c_id").alias("doc_b"))
+               .distinct())
+    b2 = b_band.select(F.col("doc_id").alias("b_id2"), "band", "bucket")
+    cand_bb = (b1.join(b2, ["band", "bucket"])
+               .filter(F.col("b_id") < F.col("b_id2"))
+               .select(F.col("b_id").alias("doc_a"),
+                       F.col("b_id2").alias("doc_b"))
+               .distinct())
+    # verification touches candidate docs' postings only; doc_a is the
+    # batch doc in cand_bc, the smaller batch id in cand_bb
+    dropped = (
+        _verify_exact_jaccard(cand_bc, all_post, threshold)
+        .select(F.col("doc_a").alias("doc_id"))
+        .unionByName(_verify_exact_jaccard(cand_bb, all_post, threshold)
+                     .select(F.col("doc_b").alias("doc_id")))
+        .distinct())
+    survivors = batch_docs.select("doc_id").join(dropped, "doc_id", "left_anti")
+    new_postings = corpus_postings.unionByName(
+        b_post.join(survivors, "doc_id", "left_semi"))
+    new_index = corpus_index.unionByName(
+        b_band.join(survivors, "doc_id", "left_semi"))
+    return survivors, new_postings, new_index
+
+
+def _duck_index_update_oracle() -> str:
+    """DuckDB replica of one index increment over the deterministic
+    90/10 documents split: band rows of corpus ∪ surviving batch docs
+    — i.e. the full rebuild the incremental plan must equal."""
+    base = _duck_minhash_oracle(
+        f"WHERE l.doc_id % {INCREMENTAL_BATCH_MOD} = 0"
+        f" OR r.doc_id % {INCREMENTAL_BATCH_MOD} = 0")
+    # reuse the shared CTE chain (sh/xs/sig/banded/cand/cnt/common) and
+    # swap the final SELECT for the survivor-filtered index projection
+    head = base[:base.rindex("SELECT doc_a, doc_b")]
+    mod = INCREMENTAL_BATCH_MOD
+    return head + f""", pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+        JOIN cnt ca ON ca.doc_id = doc_a
+        JOIN cnt cb ON cb.doc_id = doc_b
+      WHERE cc * 1.0 / (ca.n + cb.n - cc) >= {JACCARD_THRESHOLD}
+    ), dropped AS (
+      SELECT doc_a AS doc_id FROM pairs
+      WHERE doc_a % {mod} = 0 AND doc_b % {mod} != 0
+      UNION
+      SELECT doc_b FROM pairs
+      WHERE doc_b % {mod} = 0 AND doc_a % {mod} != 0
+      UNION
+      SELECT doc_b FROM pairs
+      WHERE doc_a % {mod} = 0 AND doc_b % {mod} = 0
+    )
+    SELECT doc_id, CAST(band AS INTEGER) AS band, bucket
+    FROM banded
+    WHERE doc_id % {mod} != 0
+       OR doc_id NOT IN (SELECT doc_id FROM dropped)
+    """
+
+
+@query("dedup_index_update", oracle=_duck_index_update_oracle())
+def dedup_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """index(t+1) for one increment on the 90/10 documents split: the
+    frozen corpus band index plus the batch survivors' band rows. The
+    oracle computes the FULL REBUILD (band rows of corpus ∪ survivors
+    from scratch) — the hash match IS the append-equals-rebuild
+    certification, at driver level, every round."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = (F.col("doc_id") % INCREMENTAL_BATCH_MOD) == 0
+    c_post, c_band = minhash_index_artifacts(docs.filter(~is_batch))
+    _surv, _post, new_index = minhash_index_update(
+        docs.filter(is_batch), _materialize(c_post), _materialize(c_band))
+    return new_index

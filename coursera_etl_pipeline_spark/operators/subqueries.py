@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from coursera_etl_pipeline_spark.catalog import load_table, views
-from coursera_etl_pipeline_spark.registry import dsum, query
+from coursera_etl_pipeline_spark.registry import dsum, dsum_micros, query
 
 
 @query(
@@ -88,18 +88,27 @@ def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, COUNT(*) AS n_items, {dsum('l_quantity')} AS total_qty
     FROM lineitem
     GROUP BY l_suppkey
-    HAVING COUNT(*) > 600 AND SUM(CAST(l_quantity AS DECIMAL(38,6))) > 15000
+    HAVING COUNT(*) > 600 AND {dsum_micros('l_quantity')} > 15000000000
     """,
 )
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING over an exact sum. The threshold compares the SAME
+    micro-unit DECIMAL(38,0) partial that feeds total_qty (in exact
+    integer units: 15000 qty = 15e9 micros), so the whole aggregate
+    has one accumulation regime — the per-row DECIMAL(38,6) cast that
+    previously existed only for the threshold (the exact
+    Double.toString cost the round-7 dsum rewrite removed everywhere
+    else) is gone, and Catalyst shares the partial between the output
+    column and the predicate."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("n_items"),
              F.expr(dsum("l_quantity")).alias("total_qty"),
-             F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("_dq"))
-        .filter((F.col("n_items") > 600) & (F.col("_dq") > 15000))
-        .drop("_dq")
+             F.expr(dsum_micros("l_quantity")).alias("_dqm"))
+        .filter((F.col("n_items") > 600)
+                & (F.col("_dqm") > F.lit(15_000_000_000)))
+        .drop("_dqm")
     )
 
 

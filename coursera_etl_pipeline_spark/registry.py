@@ -67,8 +67,24 @@ def dsum(col_sql: str) -> str:
     # Parenthesized so the helper composes safely inside larger
     # expressions (e.g. dsum(a) / dsum(b) in ratio queries): the
     # trailing /1000000 must bind to THIS sum only.
-    return (f"(CAST(SUM(CAST(CAST(FLOOR(({col_sql}) * 1000000 + 0.5) AS BIGINT)"
-            f" AS DECIMAL(38,0))) AS DOUBLE) / 1000000)")
+    return f"(CAST({dsum_micros(col_sql)} AS DOUBLE) / 1000000)"
+
+
+def dsum_micros(col_sql: str) -> str:
+    """The micro-unit partial underneath ``dsum``: exact DECIMAL(38,0)
+    sum of half-up-rounded integer micros, BEFORE the final
+    divide-back-to-double. Use it directly when a predicate compares
+    the sum against a constant (HAVING SUM(x) > k becomes
+    dsum_micros(x) > k*1e6): the comparison stays in exact integer
+    arithmetic on both engines and skips the per-row DECIMAL(38,6)
+    cast a separate threshold aggregate would reintroduce.
+
+    The emitted string is byte-identical to the partial inside
+    ``dsum`` — composing ``CAST(dsum_micros(x) AS DOUBLE)/1000000``
+    reproduces dsum's output exactly, so refactors through this helper
+    do not change any registered plan."""
+    return (f"SUM(CAST(CAST(FLOOR(({col_sql}) * 1000000 + 0.5) AS BIGINT)"
+            f" AS DECIMAL(38,0)))")
 
 
 def davg(col_sql: str) -> str:

@@ -119,6 +119,43 @@ def test_incremental_minhash_equals_filtered_full_selfjoin(planted_docs):
     assert all(a % mod == 0 or b % mod == 0 for a, b, _ in got)
 
 
+def test_index_update_two_increments_equal_rebuild(planted_docs):
+    """Index lifecycle (write side): applying two consecutive
+    ``minhash_index_update`` increments must leave EXACTLY the index a
+    from-scratch rebuild over the final survivor set produces — both
+    the banded signature index and the shingle postings. Splits:
+    corpus = doc_id % 10 ∉ {0, 5}; batch1 = % 10 == 0 (contains 0 and
+    100, an exact-dup pair — 100 must lose to corpus-priority-free
+    batch tie-break); batch2 = % 10 == 5."""
+    docs = planted_docs
+    ten = F.col("doc_id") % 10
+    corpus = docs.filter((ten != 0) & (ten != 5))
+    c_post, c_band = dedup.minhash_index_artifacts(corpus)
+    c_post, c_band = dedup._materialize(c_post), dedup._materialize(c_band)
+
+    s1, post1, idx1 = dedup.minhash_index_update(
+        docs.filter(ten == 0), c_post, c_band, threshold=0.5)
+    s2, post2, idx2 = dedup.minhash_index_update(
+        docs.filter(ten == 5), post1, idx1, threshold=0.5)
+
+    surv1 = {r.doc_id for r in s1.collect()}
+    surv2 = {r.doc_id for r in s2.collect()}
+    assert 0 in surv1 and 100 not in surv1   # batch dup loses to min id
+    final_ids = ({r.doc_id for r in corpus.select("doc_id").collect()}
+                 | surv1 | surv2)
+
+    rebuild_post, rebuild_band = dedup.minhash_index_artifacts(
+        docs.filter(F.col("doc_id").isin(list(final_ids))))
+    assert (sorted(tuple(r) for r in idx2.collect())
+            == sorted(tuple(r) for r in rebuild_band.collect()))
+    assert (sorted(tuple(r) for r in post2.collect())
+            == sorted(tuple(r) for r in rebuild_post.collect()))
+    # increments only ever APPEND: increment-1 index ⊆ increment-2 index
+    i1 = {tuple(r) for r in idx1.collect()}
+    i2 = {tuple(r) for r in idx2.collect()}
+    assert i1 <= i2
+
+
 def test_decontaminate_flags_benchmark_duplicate(planted_docs):
     """Doc 0 is in the benchmark slice (0 % 97 == 0); doc 100 is its
     exact copy in the corpus, so every one of its 8-grams overlaps ->
