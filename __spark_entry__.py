@@ -47,12 +47,16 @@ _EDITED_THIS_ROUND = [
     # agg_having: HAVING threshold rewritten to micro-units on both sides
     # (ADVICE r7 item 5) — plan and oracle changed together.
     "agg_having",
-    # window_latest_per_key: two-phase partial argmax rewrite (VERDICT r7
-    # item 5) — same result, new plan, must re-certify.
-    "window_latest_per_key",
-    # join_salted_skew: uniform-key path now skips salting below the
-    # hot-key threshold (VERDICT r7 item 6) — plan changed.
+    # join_salted_skew: single-join hot-key annotation + sampled
+    # detection (VERDICT r7 item 6) — plan changed.
     "join_salted_skew",
+    # pipeline_courses_parity: latest-file selection switched from a
+    # broadcast semi join to the reference's driver-side max + narrow
+    # filter (VERDICT r7 item 3 drift fix) — plan changed.
+    "pipeline_courses_parity",
+    # window_latest_per_key is NOT listed: VERDICT r7 item 5 closed as
+    # a recorded negative (operators/windows.py docstring) — the
+    # sort-window plan beat all three alternatives, so no plan changed.
 ]
 
 

@@ -55,6 +55,7 @@ HEADLINE = [
     "text_pack_sequences",       # token-budget packing
     "text_decontaminate",        # benchmark-overlap broadcast probe
     "events_resample_gapfill",   # grid resample + forward fill
+    "dedup_index_update",        # index append + rebuild-equivalence
 ]
 
 

@@ -46,6 +46,12 @@ _LOADED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _path_fingerprint(path: str) -> tuple:
+    """One directory level deep — the layout Spark writes for the flat
+    `<table>.parquet` datasets this catalog serves. A nested/
+    partitioned layout (`k=v/` subdirs) would need a recursive walk:
+    a child-file rewrite does NOT bump the parent directory's mtime,
+    so this fingerprint would miss it. All fixture tables are flat by
+    construction; revisit if partitioned fixtures ever appear."""
     try:
         st = os.stat(path)
     except OSError:
@@ -54,7 +60,15 @@ def _path_fingerprint(path: str) -> tuple:
         return ((path, st.st_mtime_ns, st.st_size),)
     out = []
     for e in os.scandir(path):
-        est = e.stat()
+        try:
+            est = e.stat()
+        except OSError:
+            # entry deleted mid-scan (concurrent fixture regeneration):
+            # record the name with no stats — still distinct from both
+            # "absent" and any real (mtime, size), so the memo misses
+            # and the table is re-read rather than load_table raising
+            out.append((e.path, None, None))
+            continue
         out.append((e.path, est.st_mtime_ns, est.st_size))
     return tuple(sorted(out))
 

@@ -3,10 +3,11 @@
 Images/audio/video ride through the engine as `binary` columns with a
 metadata struct; decode / feature-extract / resize / frame-sample are
 Arrow-batched Pandas UDFs over mapInPandas. Header-level decode (WAV,
-netpbm, PNG/GIF/BMP dimensions) is REAL and stdlib-only, tested
-end-to-end through read_blob_files -> extract_features(mode='real');
-only compressed-payload decode (JPEG/MP3/FLAC/video), which genuinely
-needs codec libraries absent from this container, remains a clearly
+netpbm, PNG/GIF/BMP dimensions, JPEG SOF dimensions, MP3 frame-header
+duration) is REAL and stdlib-only, tested end-to-end through
+read_blob_files -> extract_features(mode='real'); only sample/pixel
+decode of compressed payloads plus FLAC/video headers, which genuinely
+need codec libraries absent from this container, remain a clearly
 marked NotImplementedError.
 
 At scale: binary payloads stay columnar in parquet; mapInPandas
@@ -87,31 +88,121 @@ def read_blob_files(spark: SparkSession, path: str,
     )
 
 
+# MPEG-1/2/2.5 Layer III header tables (the public MPEG audio spec):
+# bitrate kbps by index, sample rate Hz by index, samples per frame.
+_MP3_BITRATES_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                    160, 192, 224, 256, 320, 0)
+_MP3_BITRATES_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+                    96, 112, 128, 144, 160, 0)
+_MP3_RATES = {3: (44100, 48000, 32000),     # version ID 11 = MPEG1
+              2: (22050, 24000, 16000),     # 10 = MPEG2
+              0: (11025, 12000, 8000)}      # 00 = MPEG2.5
+
+
+def _decode_jpeg_header(payload: bytes) -> dict:
+    """Width/height from the first SOF marker segment — a marker walk
+    over segment lengths, touching no entropy-coded data."""
+    i, n = 2, len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError("malformed JPEG: expected marker, got "
+                             f"0x{payload[i]:02x} at offset {i}")
+        marker = payload[i + 1]
+        if marker == 0xFF:          # fill byte
+            i += 1
+            continue
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2                  # standalone markers carry no length
+            continue
+        seglen = int.from_bytes(payload[i + 2:i + 4], "big")
+        if seglen < 2:
+            raise ValueError("malformed JPEG: segment length < 2")
+        # SOF0-SOF15 minus DHT(C4)/JPG(C8)/DAC(CC): [len][prec][h][w]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > n:
+                raise ValueError("truncated JPEG: SOF segment cut short")
+            return {"kind": "image",
+                    "width": float(int.from_bytes(payload[i + 7:i + 9], "big")),
+                    "height": float(int.from_bytes(payload[i + 5:i + 7], "big"))}
+        i += 2 + seglen
+    raise ValueError("truncated JPEG: no SOF marker before end of payload")
+
+
+def _decode_mp3_header(payload: bytes, n_bytes: int) -> dict:
+    """Layer-III stream metadata from the first frame header: channel
+    mode, sample rate, and the CBR duration estimate
+    (audio_bytes * 8 / bitrate) — the same figure `mp3info`-style
+    tools report without walking every frame."""
+    off = 0
+    if payload[:3] == b"ID3":       # skip ID3v2 tag: syncsafe 28-bit size
+        if len(payload) < 10:
+            raise ValueError("truncated MP3: ID3 tag header cut short")
+        off = 10 + sum((payload[6 + k] & 0x7F) << (7 * (3 - k))
+                       for k in range(4))
+    h = payload[off:off + 4]
+    if len(h) < 4 or h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
+        raise ValueError("malformed MP3: no frame sync after tag")
+    version = (h[1] >> 3) & 0x3     # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer = (h[1] >> 1) & 0x3       # 1 = Layer III
+    if version == 1 or layer != 1:
+        raise ValueError("unsupported MPEG audio variant (not Layer III)")
+    bitrate_idx = (h[2] >> 4) & 0xF
+    rate_idx = (h[2] >> 2) & 0x3
+    if rate_idx == 3 or bitrate_idx in (0, 15):
+        raise ValueError("malformed MP3: reserved bitrate/sample-rate index")
+    bitrate = 1000 * (_MP3_BITRATES_V1 if version == 3
+                      else _MP3_BITRATES_V2)[bitrate_idx]
+    rate = _MP3_RATES[version][rate_idx]
+    channels = 1.0 if (h[3] >> 6) & 0x3 == 0x3 else 2.0
+    samples_per_frame = 1152 if version == 3 else 576
+    audio_bytes = max(n_bytes - off, 0)
+    duration = audio_bytes * 8 / bitrate
+    return {"kind": "audio", "channels": channels,
+            "sample_rate": float(rate), "bits": 0.0,   # compressed: no PCM width
+            "n_frames": float(int(duration * rate / samples_per_frame)),
+            "duration_sec": duration}
+
+
 def decode_media(payload: bytes, media_type: str) -> dict:
-    """Header-level decode for formats the standard library can parse
-    without codec packages — REAL, executor-side, tested end-to-end:
+    """Header-level decode for formats a stdlib-only parser can handle
+    — REAL, executor-side, tested end-to-end:
 
       - WAV (RIFF/PCM): channels, sample rate, sample width, frame
         count, duration — via the stdlib ``wave`` module;
+      - MP3 (MPEG Layer III): channels, sample rate, CBR duration
+        estimate from the first frame header (ID3v2 tags skipped);
       - PPM/PGM/PBM (P1-P6): width x height from the ASCII header
         (comment lines skipped per the netpbm spec);
-      - PNG / GIF / BMP: width x height at fixed header offsets.
+      - PNG / GIF / BMP: width x height at fixed header offsets;
+      - JPEG: width x height from the SOF marker segment.
 
-    Pixel/sample PAYLOAD decode for compressed formats (JPEG bitplanes,
-    MP3/FLAC audio, any video) genuinely requires codec libraries that
-    are not in this container — those still raise NotImplementedError,
-    now narrowed to exactly that set."""
+    Failure contract: a payload that MATCHES a supported magic but has
+    a truncated or malformed header raises ValueError (with context —
+    never a garbage 0x0 dimension); only formats whose headers
+    genuinely need codec libraries absent here (FLAC framing, video
+    containers) still raise NotImplementedError."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         import io
         import wave
 
-        with wave.open(io.BytesIO(bytes(payload))) as w:
-            rate, frames = w.getframerate(), w.getnframes()
-            return {"kind": "audio", "channels": float(w.getnchannels()),
-                    "sample_rate": float(rate),
-                    "bits": float(w.getsampwidth() * 8),
-                    "n_frames": float(frames),
-                    "duration_sec": frames / rate if rate else 0.0}
+        try:
+            with wave.open(io.BytesIO(bytes(payload))) as w:
+                rate, frames = w.getframerate(), w.getnframes()
+                return {"kind": "audio", "channels": float(w.getnchannels()),
+                        "sample_rate": float(rate),
+                        "bits": float(w.getsampwidth() * 8),
+                        "n_frames": float(frames),
+                        "duration_sec": frames / rate if rate else 0.0}
+        except (wave.Error, EOFError) as e:
+            raise ValueError(
+                f"malformed RIFF/WAVE payload ({len(payload)} bytes): {e}"
+            ) from e
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg_header(payload)
+    if payload[:3] == b"ID3" or (
+            len(payload) >= 2 and payload[0] == 0xFF
+            and (payload[1] & 0xE0) == 0xE0):
+        return _decode_mp3_header(payload, len(payload))
     if payload[:2] in {b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"}:
         # netpbm header: magic, then whitespace-separated tokens with
         # '#'-to-EOL comments; first two numeric tokens are w, h
@@ -129,24 +220,31 @@ def decode_media(payload: bytes, media_type: str) -> dict:
                 i = j
             else:
                 i += 1
-        if len(dims) == 2:
-            return {"kind": "image", "width": float(dims[0]),
-                    "height": float(dims[1])}
+        if len(dims) != 2:
+            raise ValueError("truncated netpbm header: width/height missing")
+        return {"kind": "image", "width": float(dims[0]),
+                "height": float(dims[1])}
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(payload) < 24:
+            raise ValueError("truncated PNG: IHDR cut short")
         return {"kind": "image",
                 "width": float(int.from_bytes(payload[16:20], "big")),
                 "height": float(int.from_bytes(payload[20:24], "big"))}
     if payload[:6] in {b"GIF87a", b"GIF89a"}:
+        if len(payload) < 10:
+            raise ValueError("truncated GIF: logical screen descriptor cut short")
         return {"kind": "image",
                 "width": float(int.from_bytes(payload[6:8], "little")),
                 "height": float(int.from_bytes(payload[8:10], "little"))}
     if payload[:2] == b"BM":
+        if len(payload) < 26:
+            raise ValueError("truncated BMP: info header cut short")
         return {"kind": "image",
                 "width": float(int.from_bytes(payload[18:22], "little", signed=True)),
                 "height": float(abs(int.from_bytes(payload[22:26], "little", signed=True)))}
     raise NotImplementedError(
         f"payload decode for {media_type!r} requires codec libraries "
-        "not present in this environment (JPEG/MP3/FLAC/video)")
+        "not present in this environment (FLAC/video/sample decode)")
 
 
 FEATURE_SCHEMA = ("doc_id long, media_type string, n_bytes long, "

@@ -42,6 +42,17 @@ SALT_BUCKETS = 8
 # meaningfully outweighs its peers. Both are overridable per call.
 HOT_FREQ_FLOOR = 64
 HOT_FREQ_MULTIPLIER = 10
+# Detection runs on a Bernoulli sample of the probe side (fixed seed:
+# deterministic per partition layout). A hot key by definition holds a
+# partition-sized share of rows, so a 5% sample sees it thousands of
+# times over; what sampling costs is borderline keys near the
+# threshold, which don't need salting anyway. What it buys is the
+# detection shuffle: at near-unique join keys, map-side combine cannot
+# compress the frequency aggregate, so exact counting shuffles O(N)
+# (key, count) rows — the single most expensive part of the old plan
+# at uniform keys. Sampled detection shuffles O(f*N).
+SKEW_DETECT_FRACTION = 0.05
+SKEW_DETECT_SEED = 42
 
 
 def salted_join(large: DataFrame, small: DataFrame, key_large: str,
@@ -71,21 +82,32 @@ def salted_join(large: DataFrame, small: DataFrame, key_large: str,
 
 
 def hot_keys(large: DataFrame, key: str,
-             hot_threshold: int | None = None) -> DataFrame:
+             hot_threshold: int | None = None,
+             sample_fraction: float = SKEW_DETECT_FRACTION) -> DataFrame:
     """One-column DataFrame of the probe-side keys whose frequency
-    crosses the hot threshold. One map-side-combined count shuffle —
-    the same per-key stats pass AQE's runtime skew detection does,
-    expressed relationally. When ``hot_threshold`` is None the
-    threshold is data-derived (mean per-key count x multiplier,
-    floored) via a broadcast 1-row stats join, so the plan stays fully
-    lazy — no driver-side collect."""
-    freq = large.groupBy(key).agg(F.count(F.lit(1)).alias("_freq"))
+    crosses the hot threshold — the same per-key stats pass AQE's
+    runtime skew detection does, expressed relationally over a sampled
+    probe side (``sample_fraction=1.0`` restores exact counting).
+
+    Thresholds are stated in TRUE counts and scaled by the fraction
+    for the sampled comparison. When ``hot_threshold`` is None it is
+    data-derived (mean per-key count x multiplier, floored) via a
+    broadcast 1-row stats join, so the plan stays fully lazy — no
+    driver-side collect. Note the sampled mean is taken over keys
+    PRESENT in the sample (absent small keys aren't zero-padded),
+    which biases the derived threshold up — strictly conservative:
+    borderline keys stay unsalted."""
+    base = large.select(key)
+    if sample_fraction < 1.0:
+        base = base.sample(fraction=sample_fraction, seed=SKEW_DETECT_SEED)
+    freq = base.groupBy(key).agg(F.count(F.lit(1)).alias("_freq"))
     if hot_threshold is not None:
-        return freq.filter(F.col("_freq") >= hot_threshold).select(key)
+        return (freq.filter(F.col("_freq") >= hot_threshold * sample_fraction)
+                .select(key))
     stats = freq.agg(F.avg("_freq").alias("_mean_freq"))
     return (freq.crossJoin(F.broadcast(stats))
             .filter(F.col("_freq") >= F.greatest(
-                F.lit(float(HOT_FREQ_FLOOR)),
+                F.lit(HOT_FREQ_FLOOR * sample_fraction),
                 F.col("_mean_freq") * HOT_FREQ_MULTIPLIER))
             .select(key))
 

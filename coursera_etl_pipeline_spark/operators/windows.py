@@ -165,7 +165,21 @@ def window_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.76 s) — it re-scans the fact three times and broadcasts a
     |users|-sized table twice to save one per-partition sort that is
     cheaper than either. The single sort-window pass remains the right
-    plan at every measured scale."""
+    plan at every measured scale.
+
+    Third measured negative (round 8, same replica): the semi-join
+    argmax (groupBy max(ts) -> left_semi on (user_id, ts) -> tiny
+    tie-break window) is 2.2x slower (2.19 s vs 1.01 s) — it trades
+    the map-side sort for a full shuffle of the fact plus a second
+    scan, and the sort was the cheaper of the two. Note the
+    'rankLimit-style pre-filter' idea is ALREADY in this plan:
+    .explain shows WindowGroupLimit(row_number, 1) in Partial mode
+    BEFORE the exchange, so only each map partition's per-user winners
+    shuffle (~|users x partitions| rows, not |events|). The remaining
+    gap to DuckDB (~2x at the 10M-row point, round-8 measurement) is
+    the per-partition Sort feeding WindowGroupLimit versus DuckDB's
+    hash argmax — unreachable in Spark without a struct-buffer-mutable
+    HashAggregate (negative #1) and closed as an engine constant."""
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (

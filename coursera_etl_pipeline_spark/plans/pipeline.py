@@ -111,10 +111,21 @@ def read_responses(spark: SparkSession, path: str) -> DataFrame:
 
 def latest_response(df: DataFrame) -> DataFrame:
     """O9: lexicographic max over file names == newest timestamped
-    partition (transform-service/main.py:89 — max(blobs, key=name)).
-    Scalar-subquery max, not a window: the file-name domain is tiny."""
-    latest = df.select(F.max("_source_file").alias("f"))
-    return df.join(F.broadcast(latest), df._source_file == latest.f, "left_semi")
+    partition. The reference selects the newest blob DRIVER-side — a
+    plain max() over the bucket listing (transform-service/main.py:89)
+    — and this mirrors it: one 1-row aggregate over the file-name
+    column (domain == the file listing, tiny by construction), then a
+    literal filter the scan applies as a narrow op. The previous
+    broadcast-semi-join form kept the plan fully lazy but added a
+    broadcast exchange + join that re-executed inside both the
+    validation barrier and the final action — measured at ~35% of
+    pipeline_courses_parity's wall time for zero semantic difference
+    (the round-7→8 drift watch item). At scale the aggregate reads one
+    short string per input split; the data columns are pruned."""
+    latest = df.agg(F.max("_source_file")).collect()[0][0]
+    if latest is None:  # empty input: preserve emptiness for O2's guard
+        return df.filter(F.lit(False))
+    return df.filter(F.col("_source_file") == F.lit(latest))
 
 
 def validate_response(df: DataFrame) -> DataFrame:

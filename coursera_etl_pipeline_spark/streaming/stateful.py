@@ -35,10 +35,25 @@ def _update_profile(key, batches: Iterator[pd.DataFrame],
         # where a raw float sum would drift with pandas' batch order.
         import numpy as np
 
+        # sum with dtype=object -> arbitrary-precision Python ints, so
+        # the reduction itself can NEVER wrap (np int64 sums wrap
+        # silently — the batch-side dsum moved to DECIMAL(38,0) for
+        # exactly this reason).
         total_micros += int(
-            np.floor(pdf["value"].to_numpy() * 1e6 + 0.5).astype("int64").sum())
+            np.floor(pdf["value"].to_numpy() * 1e6 + 0.5)
+            .astype("int64").sum(dtype=object))
         batch_max = pdf["ts"].max()
         last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
+    # The STATE column is int64 (state schemas have no DECIMAL(38,0)
+    # equivalent), so the per-user running total has a hard bound of
+    # ~9.2e12 currency units — per KEY, not per table, so vastly wider
+    # than dsum's per-group sf~200 bound; a key that reaches it fails
+    # LOUDLY here instead of wrapping into a corrupt profile.
+    if total_micros > 0x7FFF_FFFF_FFFF_FFFF:
+        raise OverflowError(
+            f"user {user_id}: running total {total_micros} micros exceeds "
+            "the int64 state bound (~9.2e12 units per key); shard the key "
+            "or widen the state encoding before this point")
     state.update((n, total_micros, last_ts))
     yield pd.DataFrame({"user_id": [user_id], "n_events": [n],
                         "total_value": [total_micros / 1e6], "last_ts": [last_ts]})

@@ -1,0 +1,87 @@
+"""Guards on the driver-window rotation contract in __spark_entry__.
+
+ADVICE r7: _EDITED_THIS_ROUND was maintained by manual grep and round 7
+nearly missed the module-level tpch_extra dsum consumers. These tests
+make a silent miss impossible:
+
+  - the dsum/davg emitted SQL is pinned byte-for-byte; changing the
+    helper fails the pin with the full consumer list (derived at
+    runtime from ORACLE) in the failure message — the list that must
+    be copied into _EDITED_THIS_ROUND;
+  - the runtime consumer scan is itself asserted to reach the
+    module-level f-string queries the r7 grep missed;
+  - the rotation order is asserted to actually sort stalest-first
+    with forced entries leading.
+
+Known carve-outs (changes that do NOT require forcing a re-cert):
+file edits that provably leave every registered plan unchanged —
+e.g. dedup.py's _materialize cache-key change (r7) and pure helper
+extractions whose emitted expressions are byte-identical (r8's
+dsum_micros refactor, pinned below). Anything that changes an
+emitted oracle string or a DataFrame plan must be forced.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+from coursera_etl_pipeline_spark.registry import (
+    ORACLE,
+    QUERIES,
+    davg,
+    dsum,
+    dsum_micros,
+)
+
+DSUM_GOLDEN = ("(CAST(SUM(CAST(CAST(FLOOR((x) * 1000000 + 0.5) AS BIGINT)"
+               " AS DECIMAL(38,0))) AS DOUBLE) / 1000000)")
+# the distinctive micro-partial substring every dsum/davg/dsum_micros
+# emission contains — the runtime consumer probe
+MICROS_MARKER = "FLOOR(("
+
+
+def _helper_consumers() -> set[str]:
+    """Query names whose ORACLE SQL embeds the micro-unit helper form,
+    derived at runtime — immune to where the call site sits (decorator
+    body, module-level f-string, composed expression)."""
+    return {name for name, sql in ORACLE.items() if MICROS_MARKER in sql}
+
+
+def test_dsum_emission_is_pinned_or_consumers_reforced():
+    consumers = sorted(_helper_consumers())
+    msg = (
+        "registry dsum/davg emission changed: every consumer's Spark plan "
+        "AND oracle changed with it, so ALL of these must be added to "
+        f"__spark_entry__._EDITED_THIS_ROUND this round: {consumers} "
+        "— then update the golden here."
+    )
+    assert dsum("x") == DSUM_GOLDEN, msg
+    assert davg("x") == f"({DSUM_GOLDEN} / COUNT(x))", msg
+    # the refactor contract: dsum must stay exactly the composed form
+    assert dsum("x") == f"(CAST({dsum_micros('x')} AS DOUBLE) / 1000000)"
+
+
+def test_consumer_scan_reaches_module_level_sql():
+    """The probe must see consumers that sit OUTSIDE @query decorator
+    call bodies — the exact blind spot of round 7's manual grep
+    (tpch_extra's module-level SQL f-strings)."""
+    consumers = _helper_consumers()
+    assert {"q9_product_type_profit", "q11_important_parts"} <= consumers
+    assert {"q1_pricing_summary", "agg_having", "join_salted_skew"} <= consumers
+    assert len(consumers) >= 25  # the helper family is wide; a probe
+    # regression (marker string drift) would collapse this count
+
+
+def test_edited_this_round_names_are_registered():
+    unknown = set(entry._EDITED_THIS_ROUND) - set(QUERIES)
+    assert not unknown, f"_EDITED_THIS_ROUND names not registered: {unknown}"
+
+
+def test_rotation_order_is_stalest_first_with_forced_leading():
+    names = entry._ordered(list(QUERIES))
+    assert set(names) == set(QUERIES) and len(names) == len(QUERIES)
+    latest = entry._latest_green()
+    forced = set(entry._EDITED_THIS_ROUND)
+    keys = [-1 if n in forced else latest.get(n, 0) for n in names]
+    assert keys == sorted(keys), "rotation is not sorted stalest-first"
+    k = len(forced)
+    assert set(names[:k]) == forced, "forced entries must lead the window"

@@ -249,8 +249,63 @@ def test_multimodal_blob_and_features(spark, sf_dir):
 
 
 def test_multimodal_decode_stub_raises():
+    # genuinely unsupported (video container): NotImplementedError
     with pytest.raises(NotImplementedError, match="codec"):
-        multimodal.decode_media(b"\xff\xd8\xff\xe0 jpeg-ish", "image/jpeg")
+        multimodal.decode_media(
+            b"\x00\x00\x00\x18ftypmp42 video-ish", "video/mp4")
+
+
+def test_multimodal_decode_malformed_raises_valueerror():
+    """Supported magics with truncated/corrupt headers fail LOUDLY with
+    context (never a silent 0x0 dimension) — and as ValueError, not a
+    stdlib internal error leaking out of the Arrow UDF."""
+    cases = [
+        (b"\xff\xd8\xff\xe0 jpeg-truncated", "image/jpeg", "JPEG"),
+        (b"\x89PNG\r\n\x1a\n\x00\x00", "image/png", "PNG"),
+        (b"GIF89a\x0c", "image/gif", "GIF"),
+        (b"BM\x00\x00\x00\x00\x00\x00", "image/bmp", "BMP"),
+        (b"P6\n# no dims", "image/ppm", "netpbm"),
+        (b"RIFF\x08\x00\x00\x00WAVEjunk", "audio/wav", "RIFF"),
+        (b"ID3\x04\x00\x00\x00\x00\x00\x00no-sync", "audio/mp3", "sync"),
+    ]
+    for payload, mt, msg in cases:
+        with pytest.raises(ValueError, match=msg):
+            multimodal.decode_media(payload, mt)
+
+
+def _jpeg_bytes(width=640, height=480):
+    """Minimal JPEG prefix: SOI, APP0 stub, SOF0 with dimensions."""
+    app0 = b"\xff\xe0" + (15).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 8
+    sof0 = (b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+            + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+            + b"\x03" + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01")
+    return b"\xff\xd8" + app0 + sof0
+
+
+def _mp3_bytes(n_frames=10):
+    """CBR MPEG1 Layer III frames: 128 kbps, 44100 Hz, mono.
+    Frame size = floor(144 * 128000 / 44100) = 417 bytes."""
+    frame = b"\xff\xfb\x90\xc0" + b"\x00" * 413
+    return frame * n_frames
+
+
+def test_multimodal_decode_jpeg_mp3_headers():
+    jpg = multimodal.decode_media(_jpeg_bytes(640, 480), "image/jpeg")
+    assert (jpg["kind"], jpg["width"], jpg["height"]) == ("image", 640.0, 480.0)
+
+    raw = _mp3_bytes(10)
+    mp3 = multimodal.decode_media(raw, "audio/mp3")
+    assert mp3["kind"] == "audio"
+    assert mp3["channels"] == 1.0 and mp3["sample_rate"] == 44100.0
+    # CBR estimate: len * 8 / 128000; 10 frames of 417 B ~ 0.26 s
+    assert mp3["duration_sec"] == pytest.approx(len(raw) * 8 / 128000)
+    assert mp3["n_frames"] == float(int(mp3["duration_sec"] * 44100 / 1152))
+
+    # ID3v2 tag (100-byte body) is skipped, duration excludes it
+    tagged = (b"ID3\x04\x00\x00" + bytes([0, 0, 0, 100]) + b"\x00" * 100
+              + raw)
+    mp3t = multimodal.decode_media(tagged, "audio/mp3")
+    assert mp3t["duration_sec"] == pytest.approx(len(raw) * 8 / 128000)
 
 
 def _wav_bytes(channels=1, rate=8000, n_frames=800):
@@ -289,12 +344,19 @@ def test_multimodal_real_mode_end_to_end(spark, tmp_path):
     no fakes — the WAV/PPM bytes are genuine files."""
     (tmp_path / "a.wav").write_bytes(_wav_bytes(1, 8000, 800))
     (tmp_path / "b.ppm").write_bytes(b"P6\n320 240\n255\n" + b"\x00" * 30)
+    (tmp_path / "c.jpg").write_bytes(_jpeg_bytes(1024, 768))
+    mp3_raw = _mp3_bytes(5)
+    (tmp_path / "d.mp3").write_bytes(mp3_raw)
     blobs = multimodal.read_blob_files(spark, str(tmp_path))
     feats = multimodal.extract_features(blobs, mode="real")
     by_type = {r.media_type: r.features for r in feats.collect()}
     assert by_type["audio/wav"] == [1.0, 1.0, 8000.0, 16.0, 800.0, 0.1, 0.0, 0.0]
     assert by_type["image/ppm"] == [
         2.0, 320.0, 240.0, 320.0 * 240.0, 0.0, 0.0, 0.0, 0.0]
+    assert by_type["image/jpg"][:4] == [2.0, 1024.0, 768.0, 1024.0 * 768.0]
+    mp3f = by_type["audio/mp3"]
+    assert mp3f[0] == 1.0 and mp3f[2] == 44100.0
+    assert mp3f[5] == pytest.approx(len(mp3_raw) * 8 / 128000)
 
 
 def test_multimodal_real_mode_raises_per_batch_not_plan_time(spark, sf_dir):
