@@ -118,6 +118,7 @@ _exclude(
     "bench runs would time a cached-table read, not the stream",
     "stream_batch_parity", "stream_dedup_parity",
     "stream_incremental_dedup", "stream_stateful_profile_parity",
+    "stream_index_update_parity",
 )
 
 

@@ -202,11 +202,17 @@ def _shingle_index(df: DataFrame, n: int = 3,
 
 
 def _verify_exact_jaccard(cand: DataFrame, sh_idx: DataFrame,
-                          threshold: float) -> DataFrame:
+                          threshold: float,
+                          carry: tuple[str, ...] = ()) -> DataFrame:
     """Exact Jaccard over a candidate-pair set: join each (doc_a,
     doc_b) to both docs' postings, count common shingles,
     |A∪B| = |A|+|B|-common. Work is bounded by |candidates| x
-    shingles-per-doc — never all-pairs."""
+    shingles-per-doc — never all-pairs.
+
+    ``carry`` names extra candidate columns to keep through the
+    verification (added to the pair groupBy and the output) — lets a
+    caller tag heterogeneous candidate sets and verify them in ONE
+    postings pass instead of one pass per set."""
     sa = sh_idx.select(F.col("doc_id").alias("doc_a"),
                        F.col("nsh").alias("na"), F.col("shingle").alias("sh_a"))
     sb = sh_idx.select(F.col("doc_id").alias("doc_b2"),
@@ -215,12 +221,13 @@ def _verify_exact_jaccard(cand: DataFrame, sh_idx: DataFrame,
         cand.join(sa, "doc_a")
         .join(sb, (F.col("doc_b") == F.col("doc_b2"))
               & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b", "na", "nb").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_a", "doc_b", "na", "nb", *carry)
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
     return (
         common.filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"), *carry)
     )
 
 
@@ -689,13 +696,15 @@ def minhash_index_update(batch_docs: DataFrame, corpus_postings: DataFrame,
                .select(F.col("b_id").alias("doc_a"),
                        F.col("b_id2").alias("doc_b"))
                .distinct())
-    # verification touches candidate docs' postings only; doc_a is the
-    # batch doc in cand_bc, the smaller batch id in cand_bb
+    # one verification pass over the postings for BOTH candidate sets
+    # (they are disjoint: corpus and batch ids never coincide), each
+    # pair tagged with which doc drops if it verifies — the batch doc
+    # for batch x corpus, the larger id for batch x batch
+    cand = (cand_bc.withColumn("_drop", F.col("doc_a"))
+            .unionByName(cand_bb.withColumn("_drop", F.col("doc_b"))))
     dropped = (
-        _verify_exact_jaccard(cand_bc, all_post, threshold)
-        .select(F.col("doc_a").alias("doc_id"))
-        .unionByName(_verify_exact_jaccard(cand_bb, all_post, threshold)
-                     .select(F.col("doc_b").alias("doc_id")))
+        _verify_exact_jaccard(cand, all_post, threshold, carry=("_drop",))
+        .select(F.col("_drop").alias("doc_id"))
         .distinct())
     survivors = batch_docs.select("doc_id").join(dropped, "doc_id", "left_anti")
     new_postings = corpus_postings.unionByName(

@@ -310,3 +310,118 @@ def stream_stateful_profile_parity(spark: SparkSession, sf_dir: str,
             .select("user_id", "n_events", "total_value",
                     F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss")
                     .alias("last_ts")))
+
+
+def _run_stream_index_update(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """One streamed increment of the dedup-index lifecycle against
+    parquet-backed index storage; returns the final band index."""
+    import tempfile
+
+    from coursera_etl_pipeline_spark.catalog import load_table
+    from coursera_etl_pipeline_spark.llm_ops.dedup import (
+        INCREMENTAL_BATCH_MOD,
+        _banded,
+        _materialize,
+        _signatures_from_shingles,
+        minhash_index_artifacts,
+        minhash_index_update,
+        shingles,
+    )
+
+    root = tempfile.mkdtemp(prefix="stream_dedup_index_")
+    band_dir = f"{root}/band"
+    post_dir = f"{root}/post"
+    is_batch = F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0
+
+    # Seed the stored artifacts with the frozen corpus (same shared
+    # whole-documents frames the batch dedup queries materialize).
+    docs = load_table(spark, sf_dir, "documents")
+    sh_idx = _materialize(
+        shingles(docs)
+        .select("doc_id", F.size("_shingles").alias("nsh"),
+                F.explode("_shingles").alias("shingle")))
+    banded = _banded(_signatures_from_shingles(sh_idx))
+    sh_idx.filter(~is_batch).write.parquet(post_dir)
+    banded.filter(~is_batch).write.parquet(band_dir)
+
+    def _apply_increment(bdf: "DataFrame", _epoch_id: int) -> None:
+        s = bdf.sparkSession
+        b_post, b_band = minhash_index_artifacts(bdf)
+        # persist all shared frames for the batch's lifetime: both
+        # delta writes consume the artifacts AND the survivor set, and
+        # the survivors' verify DAG is the expensive part — without
+        # the persist it would execute once per write
+        b_post, b_band = b_post.persist(), b_band.persist()
+        survivors = None
+        try:
+            survivors, _post, _idx = minhash_index_update(
+                bdf,
+                corpus_postings=s.read.parquet(post_dir),
+                corpus_index=s.read.parquet(band_dir),
+                batch_postings=b_post,
+                batch_index=b_band)
+            survivors = survivors.persist()
+            (b_band.join(survivors, "doc_id", "left_semi")
+             .write.mode("append").parquet(band_dir))
+            (b_post.join(survivors, "doc_id", "left_semi")
+             .write.mode("append").parquet(post_dir))
+        finally:
+            b_post.unpersist()
+            b_band.unpersist()
+            if survivors is not None:
+                survivors.unpersist()
+
+    schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    src = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", "documents.parquet")
+           .parquet(sf_dir))
+    q = (src.filter(is_batch).writeStream
+         .foreachBatch(_apply_increment)
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(band_dir)
+
+
+from coursera_etl_pipeline_spark.llm_ops.dedup import (  # noqa: E402
+    _duck_index_update_oracle,
+)
+
+
+@query(
+    "stream_index_update_parity",
+    # same full-rebuild oracle as dedup_index_update: band rows of
+    # corpus ∪ surviving batch docs computed from scratch
+    oracle=_duck_index_update_oracle(),
+)
+def stream_index_update_parity(spark: SparkSession, sf_dir: str,
+                               force: bool = False) -> DataFrame:
+    """The WRITE side of incremental dedup run by the REAL streaming
+    engine: arriving documents (the deterministic doc_id % 10 slice
+    playing the landing zone) are consumed by `foreachBatch`, each
+    micro-batch LSH-verified against the index AS STORED at its start,
+    and the survivors' band + posting rows APPENDED to parquet-backed
+    index storage — the production maintenance loop
+    (index(t+1) = index(t) + survivors) end to end, sink commit
+    protocol included.
+
+    The oracle is `dedup_index_update`'s full-rebuild SQL, so the
+    driver hash certifies that the STREAMED, storage-mediated
+    maintenance equals a from-scratch rebuild — not merely that the
+    batch twin does. The single-file fixture source yields one
+    micro-batch, matching the oracle's one-increment split; a
+    multi-file landing zone runs the same loop sequentially, each
+    batch probing the previous batches' appends (the lifecycle
+    semantics pinned by test_index_update_two_increments_equal_rebuild).
+
+    Scale posture: per micro-batch work is the batch increment's
+    (O(|batch| x collision rate) probe + verify); the appends are
+    partitioned parquet writes, and the stored index is re-read per
+    batch — at 100 TB it lives bucketed on (band, bucket) so the probe
+    co-locates without reshuffling the corpus."""
+    name = "stream_idxupd_" + re.sub(r"\W", "_", sf_dir).strip("_")
+    if _needs_run(spark, name, force):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        result = _run_stream_index_update(spark, sf_dir)
+        result.createOrReplaceTempView(name)
+    return spark.table(name)
