@@ -323,8 +323,6 @@ def _run_stream_index_update(spark: SparkSession, sf_dir: str) -> "DataFrame":
         _banded,
         _materialize,
         _signatures_from_shingles,
-        minhash_index_artifacts,
-        minhash_index_update,
         shingles,
     )
 
@@ -344,43 +342,81 @@ def _run_stream_index_update(spark: SparkSession, sf_dir: str) -> "DataFrame":
     sh_idx.filter(~is_batch).write.parquet(post_dir)
     banded.filter(~is_batch).write.parquet(band_dir)
 
-    def _apply_increment(bdf: "DataFrame", _epoch_id: int) -> None:
-        s = bdf.sparkSession
-        b_post, b_band = minhash_index_artifacts(bdf)
-        # persist all shared frames for the batch's lifetime: both
-        # delta writes consume the artifacts AND the survivor set, and
-        # the survivors' verify DAG is the expensive part — without
-        # the persist it would execute once per write
-        b_post, b_band = b_post.persist(), b_band.persist()
-        survivors = None
-        try:
-            survivors, _post, _idx = minhash_index_update(
-                bdf,
-                corpus_postings=s.read.parquet(post_dir),
-                corpus_index=s.read.parquet(band_dir),
-                batch_postings=b_post,
-                batch_index=b_band)
-            survivors = survivors.persist()
-            (b_band.join(survivors, "doc_id", "left_semi")
-             .write.mode("append").parquet(band_dir))
-            (b_post.join(survivors, "doc_id", "left_semi")
-             .write.mode("append").parquet(post_dir))
-        finally:
-            b_post.unpersist()
-            b_band.unpersist()
-            if survivors is not None:
-                survivors.unpersist()
-
     schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
     src = (spark.readStream.schema(schema)
            .option("pathGlobFilter", "documents.parquet")
            .parquet(sf_dir))
     q = (src.filter(is_batch).writeStream
-         .foreachBatch(_apply_increment)
+         .foreachBatch(lambda bdf, _epoch:
+                       apply_index_increment(bdf, post_dir, band_dir))
          .option("checkpointLocation", f"{root}/ckpt")
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.read.parquet(band_dir)
+
+
+def apply_index_increment(bdf: "DataFrame", post_dir: str,
+                          band_dir: str) -> None:
+    """One dedup-index increment against parquet-backed storage: verify
+    the batch against the index AS STORED, append the survivors' band
+    and posting rows. The foreachBatch unit of the streamed lifecycle
+    — also callable batch-side (one cron tick)."""
+    from coursera_etl_pipeline_spark.llm_ops.dedup import (
+        minhash_index_artifacts,
+        minhash_index_update,
+    )
+
+    s = bdf.sparkSession
+    b_post, b_band = minhash_index_artifacts(bdf)
+    # persist all shared frames for the batch's lifetime: both delta
+    # writes consume the artifacts AND the survivor set, and the
+    # survivors' verify DAG is the expensive part — without the
+    # persist it would execute once per write
+    b_post, b_band = b_post.persist(), b_band.persist()
+    survivors = None
+    try:
+        survivors, _post, _idx = minhash_index_update(
+            bdf,
+            corpus_postings=s.read.parquet(post_dir),
+            corpus_index=s.read.parquet(band_dir),
+            batch_postings=b_post,
+            batch_index=b_band)
+        survivors = survivors.persist()
+        # STAGE-THEN-COMMIT, not direct appends: survivors' lineage
+        # READS the index dirs, and Spark invalidates every cached
+        # plan that depends on a path the moment something writes to
+        # it (CacheManager.recacheByPath) — persist() and even an
+        # eager count() do not survive it. A direct first append would
+        # therefore force the second delta to RECOMPUTE survivors
+        # against the already-appended band rows, pairing every batch
+        # doc with itself (jaccard 1.0) and silently appending no
+        # postings. Caught by
+        # test_stream_index_update_multi_batch_append_equals_rebuild.
+        # Writing both deltas to a neutral staging dir first (no
+        # cached plan depends on it) materializes them from the
+        # pre-append state; the commits are then pure file appends —
+        # the same staging-commit shape an object-store deployment
+        # wants for atomicity anyway.
+        import shutil
+        import tempfile
+
+        stage = tempfile.mkdtemp(prefix="idx_delta_")
+        try:
+            (b_band.join(survivors, "doc_id", "left_semi")
+             .write.parquet(f"{stage}/band"))
+            (b_post.join(survivors, "doc_id", "left_semi")
+             .write.parquet(f"{stage}/post"))
+            (s.read.parquet(f"{stage}/band")
+             .write.mode("append").parquet(band_dir))
+            (s.read.parquet(f"{stage}/post")
+             .write.mode("append").parquet(post_dir))
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+    finally:
+        b_post.unpersist()
+        b_band.unpersist()
+        if survivors is not None:
+            survivors.unpersist()
 
 
 from coursera_etl_pipeline_spark.llm_ops.dedup import (  # noqa: E402

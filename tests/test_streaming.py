@@ -218,3 +218,59 @@ def test_events_stream_normalizes_every_fixture_encoding(spark, tmp_path):
         spark.catalog.dropTempView(name)
     assert results["nanos"] == results["micros_ntz"] == results["micros_utc"]
     assert results["nanos"][0] == (0, "2023-11-14 22:13:20")  # known instant
+
+
+def test_stream_index_update_multi_batch_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """The streamed dedup-index lifecycle across MULTIPLE micro-batches:
+    two landing-zone files consumed one per trigger (maxFilesPerTrigger=1),
+    each foreachBatch increment verifying against the index AS STORED at
+    its start and appending survivors. Whatever order the file source
+    picks, the final stored artifacts must equal a from-scratch rebuild
+    over the final survivor set — the order-independent certification of
+    append-only maintenance (the batch-side twin of this law is
+    test_llm_ops.test_index_update_two_increments_equal_rebuild)."""
+    from coursera_etl_pipeline_spark.llm_ops import dedup
+    from coursera_etl_pipeline_spark.streaming.parity import (
+        apply_index_increment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ten = F.col("doc_id") % 10
+    band_dir, post_dir = str(tmp_path / "band"), str(tmp_path / "post")
+    c_post, c_band = dedup.minhash_index_artifacts(docs.filter((ten != 0) & (ten != 5)))
+    c_post.write.parquet(post_dir)
+    c_band.write.parquet(band_dir)
+
+    landing = tmp_path / "landing"
+    docs.filter(ten == 0).coalesce(1).write.parquet(str(landing / "b0"))
+    docs.filter(ten == 5).coalesce(1).write.parquet(str(landing / "b1"))
+
+    batches = []
+
+    def inc(bdf, epoch_id):
+        batches.append(bdf.count())
+        apply_index_increment(bdf, post_dir, band_dir)
+
+    src = (spark.readStream.schema(docs.schema)
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(landing / "*")))
+    q = (src.writeStream.foreachBatch(inc)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert len(batches) == 2 and all(n > 0 for n in batches)
+
+    final_band = spark.read.parquet(band_dir)
+    final_post = spark.read.parquet(post_dir)
+    final_ids = [r.doc_id for r in
+                 final_band.select("doc_id").distinct().collect()]
+    rb_post, rb_band = dedup.minhash_index_artifacts(
+        docs.filter(F.col("doc_id").isin(final_ids)))
+    assert (sorted(tuple(r) for r in final_band.collect())
+            == sorted(tuple(r) for r in rb_band.collect()))
+    assert (sorted(tuple(r) for r in final_post.collect())
+            == sorted(tuple(r) for r in rb_post.collect()))
+    # second increment really saw the first's appends: the stored index
+    # monotonically contains the corpus seed
+    corpus_rows = {tuple(r) for r in c_band.collect()}
+    assert corpus_rows <= {tuple(r) for r in final_band.collect()}
