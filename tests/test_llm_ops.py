@@ -502,6 +502,9 @@ def test_salted_join_hotkey_under_planted_skew(spark):
 
     detected = {r.k for r in hot_keys(large, "k").collect()}
     assert detected == {7}  # 9000 rows vs mean ~10 -> only the planted key
+    # exact (unsampled) detection agrees — the opt-out path stays live
+    exact = {r.k for r in hot_keys(large, "k", sample_fraction=1.0).collect()}
+    assert exact == {7}
 
     salted = salted_join_hotkey(large, small, "k", "sk",
                                 salt_cols=["k", "payload"])
