@@ -82,7 +82,17 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribution within 1 hour per user. The same attribution_join plan
     executes incrementally under watermarks in streaming mode (state
     bounded by the gap — see streaming/joins.py; stream parity is
-    pinned in tests/test_streaming.py)."""
+    pinned in tests/test_streaming.py).
+
+    Measured negative (round 8, 10M-row replica): a time-bucketed band
+    join (explode views into {bucket, bucket+1}, equi-join on
+    (user_id, bucket), exact range filter) is 2.8x SLOWER (2.5 s vs
+    0.9 s) — per-user x per-hour event density is low here, so pair
+    enumeration inside the user-key SMJ is not the bottleneck, and the
+    explode doubles the probe side for nothing. Banding only pays when
+    many events share a (user, window); the ~5-6x vs DuckDB on this
+    row is its IEJoin kernel constant, linear in rows, not a missing
+    plan."""
     from coursera_etl_pipeline_spark.streaming.joins import attribution_join
 
     e = load_table(spark, sf_dir, "events")
