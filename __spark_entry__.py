@@ -54,6 +54,18 @@ _EDITED_THIS_ROUND = [
     # broadcast semi join to the reference's driver-side max + narrow
     # filter (VERDICT r7 item 3 drift fix) — plan changed.
     "pipeline_courses_parity",
+    # Round-8 carve-outs (files edited, NO forcing — each provably
+    # leaves every registered result unchanged):
+    #  - dedup.py `_banded`/`dsum_micros` helper extractions emit
+    #    byte-identical expressions (pinned by test_entry_rotation);
+    #    the `carry=()` default keeps _verify_exact_jaccard's plan
+    #    identical for all pre-existing callers (oracle-rechecked).
+    #  - multimodal.py decode additions: multimodal_blob_metadata
+    #    never calls decode_media (metadata slice only).
+    #  - stateful.py object-dtype accumulation: identical values when
+    #    no overflow occurs, and overflow is unreachable at fixture
+    #    scale — stream_stateful_profile_parity rotates normally.
+    #  - catalog.py fingerprint robustness: cache-key logic only.
     # window_latest_per_key is NOT listed: VERDICT r7 item 5 closed as
     # a recorded negative (operators/windows.py docstring) — the
     # sort-window plan beat all three alternatives, so no plan changed.

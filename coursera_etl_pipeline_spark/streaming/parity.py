@@ -356,11 +356,18 @@ def _run_stream_index_update(spark: SparkSession, sf_dir: str) -> "DataFrame":
 
 
 def apply_index_increment(bdf: "DataFrame", post_dir: str,
-                          band_dir: str) -> None:
+                          band_dir: str,
+                          staging_root: str | None = None) -> None:
     """One dedup-index increment against parquet-backed storage: verify
     the batch against the index AS STORED, append the survivors' band
     and posting rows. The foreachBatch unit of the streamed lifecycle
-    — also callable batch-side (one cron tick)."""
+    — also callable batch-side (one cron tick).
+
+    ``staging_root`` hosts the per-batch delta staging dir; default is
+    the local tempdir (right for local mode). On a cluster pass a
+    shared-filesystem path next to the index so the staged deltas are
+    visible to every executor and the final commits stay
+    rename-cheap."""
     from coursera_etl_pipeline_spark.llm_ops.dedup import (
         minhash_index_artifacts,
         minhash_index_update,
@@ -400,7 +407,7 @@ def apply_index_increment(bdf: "DataFrame", post_dir: str,
         import shutil
         import tempfile
 
-        stage = tempfile.mkdtemp(prefix="idx_delta_")
+        stage = tempfile.mkdtemp(prefix="idx_delta_", dir=staging_root)
         try:
             (b_band.join(survivors, "doc_id", "left_semi")
              .write.parquet(f"{stage}/band"))
