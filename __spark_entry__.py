@@ -54,6 +54,13 @@ _EDITED_THIS_ROUND = [
     # broadcast semi join to the reference's driver-side max + narrow
     # filter (VERDICT r7 item 3 drift fix) — plan changed.
     "pipeline_courses_parity",
+    # A split-bigint dsum rewrite was TRIED and REVERTED late in the
+    # round (1.9x slower on q1's composite expressions — measured
+    # negative in registry.dsum's docstring): the emission is back to
+    # the r7-certified decimal-partial byte-for-byte, so no dsum
+    # consumer is forced. The rotation-guard test fired on the change
+    # and again on the revert, producing the full consumer list both
+    # times — the r7-ADVICE mechanism is proven live.
     # Round-8 carve-outs (files edited, NO forcing — each provably
     # leaves every registered result unchanged):
     #  - dedup.py `_banded`/`dsum_micros` helper extractions emit

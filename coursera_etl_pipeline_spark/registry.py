@@ -58,6 +58,19 @@ def dsum(col_sql: str) -> str:
     unbounded at the 100 TB target, for one cheap long->decimal per
     row.
 
+    Measured negative (round 8, 60M-row replica): splitting the
+    accumulator into two overflow-safe BIGINT partials
+    (hi = FLOOR(m/1e6), lo = m - hi*1e6, recombined in DECIMAL per
+    group) is 2.5x FASTER on a 3-sum aggregate over SIMPLE columns
+    (2.02 -> 0.80 s) but 1.9x SLOWER on the real q1 (2.36 -> 4.45 s
+    interleaved): the emitted string evaluates the per-row micros
+    expression ~3x (m in hi, m and hi in lo), aggregate codegen does
+    NOT common-subexpression-eliminate across aggregate inputs, and
+    q1's 3-factor products make each re-evaluation expensive. A
+    string-level helper cannot hoist m into a pre-projection, so the
+    single decimal partial stays; revisit only with a
+    column-object-level helper that can inject a projection.
+
     Semantics note: values are rounded half-up to the 6th decimal of
     the IEEE double product, not of its shortest decimal rendering —
     for money-shaped inputs (products of <=3 two-decimal factors the

@@ -32,6 +32,11 @@ from coursera_etl_pipeline_spark.registry import (
     dsum_micros,
 )
 
+# the decimal-partial form: round 8 measured a split-bigint variant
+# (2.5x faster on simple columns, 1.9x SLOWER on q1's composite
+# expressions — no cross-aggregate CSE; registry.dsum docstring) and
+# kept this one. This guard fired during that experiment and produced
+# the exact consumer list both times — the mechanism works.
 DSUM_GOLDEN = ("(CAST(SUM(CAST(CAST(FLOOR((x) * 1000000 + 0.5) AS BIGINT)"
                " AS DECIMAL(38,0))) AS DOUBLE) / 1000000)")
 # the distinctive micro-partial substring every dsum/davg/dsum_micros
