@@ -54,6 +54,10 @@ _EDITED_THIS_ROUND = [
     # broadcast semi join to the reference's driver-side max + narrow
     # filter (VERDICT r7 item 3 drift fix) — plan changed.
     "pipeline_courses_parity",
+    # text_tfidf_top_terms: total_docs moved from a per-construction
+    # driver d.count() to a broadcast 1-row aggregate (the oracle's
+    # CROSS JOIN n mirrored) — same values, plan changed.
+    "text_tfidf_top_terms",
     # A split-bigint dsum rewrite was TRIED and REVERTED late in the
     # round (1.9x slower on q1's composite expressions — measured
     # negative in registry.dsum's docstring): the emission is back to

@@ -232,11 +232,18 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = _materialize(
         toks.groupBy("doc_id", "source", "term").agg(F.count(F.lit(1)).alias("f")))
     dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("n_docs"))
-    total_docs = d.count()
+    # total_docs rides as a broadcast 1-row aggregate (the oracle's
+    # CROSS JOIN n mirrored), NOT a driver-side d.count(): the count
+    # was an eager Spark job at every plan CONSTRUCTION — paid even
+    # when the query never ran — and the only driver-side action
+    # outside the pipeline validation barrier. Same values (the total
+    # is identical), fully lazy plan.
+    totals = d.agg(F.count(F.lit(1)).alias("_total_docs"))
 
-    idf = F.log(F.lit(float(total_docs)) / F.col("n_docs"))
+    idf = F.log(F.col("_total_docs").cast("double") / F.col("n_docs"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
         .groupBy("source", "term")
         .agg(F.sum(F.col("f") * idf).alias("tfidf"))
     )

@@ -41,6 +41,9 @@ ALLOWED = {
     ("agg_approx_bounds", "BroadcastNestedLoopJoin"),      # O(1) bounds row
     ("agg_approx", "BroadcastNestedLoopJoin"),             # O(1) bounds row
     ("subquery_scalar", "BroadcastNestedLoopJoin"),        # scalar subquery
+    # broadcast 1-row total_docs aggregate (the oracle's CROSS JOIN n
+    # mirrored) replacing a per-plan-construction driver count (r8)
+    ("text_tfidf_top_terms", "BroadcastNestedLoopJoin"),
     # 3-row band table broadcast against the fact scan: the interval
     # predicate is the query's entire point, and the fact side never
     # shuffles (relational.py join_nonequi_range docstring)
@@ -74,6 +77,9 @@ NODES = (
 # convergence loops): planning them is not side-effect-free, so the
 # audit runs them at the smoke fixture where that execution is cheap.
 EXECUTES_ON_BUILD = {"stream_batch_parity", "stream_dedup_parity",
+                     "stream_incremental_dedup",
+                     "stream_stateful_profile_parity",
+                     "stream_index_update_parity",
                      "dedup_components", "dedup_clusters"}
 
 
