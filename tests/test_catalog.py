@@ -1,0 +1,56 @@
+"""catalog._path_fingerprint edge behavior (ADVICE r7: a file deleted
+between scandir listing and stat must not raise out of load_table, and
+the flat-layout assumption is explicit)."""
+
+from __future__ import annotations
+
+import os
+
+from coursera_etl_pipeline_spark.catalog import _path_fingerprint
+
+
+def test_fingerprint_absent_path_is_sentinel():
+    assert _path_fingerprint("/definitely/not/here.parquet") == (None,)
+
+
+def test_fingerprint_flat_file(tmp_path):
+    p = tmp_path / "f.parquet"
+    p.write_bytes(b"xyz")
+    fp = _path_fingerprint(str(p))
+    assert len(fp) == 1 and fp[0][0] == str(p) and fp[0][2] == 3
+
+
+def test_fingerprint_dataset_dir_lists_children(tmp_path):
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+    (d / "part-0").write_bytes(b"abc")
+    (d / "part-1").write_bytes(b"defg")
+    fp = _path_fingerprint(str(d))
+    sizes = {os.path.basename(p): size for p, _mt, size in fp}
+    assert sizes == {"part-0": 3, "part-1": 4}
+
+
+def test_fingerprint_tolerates_midscan_deletion(tmp_path, monkeypatch):
+    """An entry whose stat() raises (deleted between listing and stat,
+    e.g. concurrent fixture regeneration) is recorded with null stats —
+    distinct from both 'absent' and any real (mtime, size), so the
+    load_table memo misses and re-reads instead of raising."""
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+    (d / "part-0").write_bytes(b"abc")
+
+    real_scandir = os.scandir
+
+    class GhostEntry:
+        path = str(d / "ghost-part")
+
+        def stat(self):
+            raise FileNotFoundError(self.path)
+
+    def racing_scandir(p):
+        return iter(list(real_scandir(p)) + [GhostEntry()])
+
+    monkeypatch.setattr(os, "scandir", racing_scandir)
+    fp = _path_fingerprint(str(d))
+    assert (str(d / "ghost-part"), None, None) in fp
+    assert any(p.endswith("part-0") and size == 3 for p, _mt, size in fp)
