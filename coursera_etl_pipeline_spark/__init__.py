@@ -30,6 +30,9 @@ __all__ = [
     "drop_exact_duplicates",
     "minhash_lsh_pairs",
     "jaccard_pairs_prefix",
+    "minhash_index_artifacts",
+    "minhash_index_update",
+    "apply_index_increment",
     "dedup_survivors",
     "connected_components",
     "ann_topk_lsh",
@@ -54,6 +57,9 @@ def __getattr__(name):
         "drop_exact_duplicates": "llm_ops.dedup",
         "minhash_lsh_pairs": "llm_ops.dedup",
         "jaccard_pairs_prefix": "llm_ops.dedup",
+        "minhash_index_artifacts": "llm_ops.dedup",
+        "minhash_index_update": "llm_ops.dedup",
+        "apply_index_increment": "streaming.parity",
         "dedup_survivors": "llm_ops.clusters",
         "connected_components": "llm_ops.clusters",
         "ann_topk_lsh": "llm_ops.similarity",

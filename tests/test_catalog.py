@@ -54,3 +54,13 @@ def test_fingerprint_tolerates_midscan_deletion(tmp_path, monkeypatch):
     fp = _path_fingerprint(str(d))
     assert (str(d / "ghost-part"), None, None) in fp
     assert any(p.endswith("part-0") and size == 3 for p, _mt, size in fp)
+
+
+def test_package_lazy_api_resolves_every_name():
+    """Every name in the package's __all__ must lazily resolve to a
+    callable — a new public operator landing without its homes entry
+    (or a home moving) fails here, not at a user's first import."""
+    import coursera_etl_pipeline_spark as pkg
+
+    for name in pkg.__all__:
+        assert callable(getattr(pkg, name)), name
