@@ -105,7 +105,7 @@ _exclude(
     "events_tumbling_window", "text_fingerprint", "text_lang_id",
     "text_token_count", "dedup_exact", "dedup_clusters",
     "dedup_components", "similarity_neardup_pairs",
-    "multimodal_blob_metadata",
+    "multimodal_blob_metadata", "multimodal_resize",
     # CDC pair (merge shares the snapshot-join+window shape)
     "merge_upsert_snapshot", "scd2_versions",
 )

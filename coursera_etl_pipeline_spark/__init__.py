@@ -39,6 +39,7 @@ __all__ = [
     "ann_topk_ivf",
     "sample_stratified_hash",
     "text_pack_sequences",
+    "resize_images",
 ]
 
 
@@ -66,6 +67,7 @@ def __getattr__(name):
         "ann_topk_ivf": "llm_ops.similarity",
         "sample_stratified_hash": "llm_ops.sampling",
         "text_pack_sequences": "llm_ops.sampling",
+        "resize_images": "llm_ops.multimodal",
     }
     if name in homes:
         mod = importlib.import_module(f"{__name__}.{homes[name]}")

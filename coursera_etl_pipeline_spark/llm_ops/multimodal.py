@@ -17,6 +17,7 @@ embarrassingly parallel — zero shuffles until an aggregate.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Iterator
 
 import pandas as pd
@@ -310,6 +311,95 @@ def sample_frames(blobs: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     )
 
 
+def _parse_netpbm_raw(payload: bytes) -> tuple[int, int, int, int]:
+    """(width, height, channels, data_offset) of a raw netpbm payload
+    (P5 grayscale / P6 RGB, maxval <= 255). Header = magic + up to 3
+    whitespace-separated numeric tokens with '#'-to-EOL comments,
+    terminated by exactly ONE whitespace byte before the pixel data."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise NotImplementedError(
+            "resize supports raw netpbm (P5/P6) only in this "
+            "environment; compressed formats need codec libraries")
+    channels = 3 if magic == b"P6" else 1
+    vals, i, n = [], 2, len(payload)
+    while len(vals) < 3 and i < n:
+        c = payload[i:i + 1]
+        if c == b"#":
+            while i < n and payload[i:i + 1] != b"\n":
+                i += 1
+        elif c.isdigit():
+            j = i
+            while j < n and payload[j:j + 1].isdigit():
+                j += 1
+            vals.append(int(payload[i:j]))
+            i = j
+        else:
+            i += 1
+    if len(vals) < 3:
+        raise ValueError("truncated netpbm header: width/height/maxval missing")
+    width, height, maxval = vals
+    if maxval > 255:
+        raise ValueError(f"16-bit netpbm (maxval {maxval}) not supported")
+    i += 1  # the single whitespace byte after maxval
+    if n - i < width * height * channels:
+        raise ValueError("truncated netpbm payload: pixel data cut short")
+    return width, height, channels, i
+
+
+RESIZE_SCHEMA = ("doc_id long, payload binary, media_type string, "
+                 "in_width long, in_height long, "
+                 "out_width long, out_height long, n_bytes long")
+
+
+def resize_images(blobs: DataFrame, max_side: int = 8) -> DataFrame:
+    """Nearest-neighbor resize over Arrow batches (mapInPandas + numpy)
+    — the third verb of the multimodal quartet (decode /
+    feature-extract / RESIZE / frame-sample). REAL for raw netpbm
+    (P5/P6): header parse, numpy reshape, index-select rows/columns,
+    re-emit valid netpbm bytes; compressed formats raise
+    NotImplementedError from `_parse_netpbm_raw` (decode->resize->
+    re-encode is a pure function swap once codec libs exist).
+
+    Deterministic semantics (pinned by test and oracle): the output's
+    longest side is min(max_side, input side); source index for output
+    pixel k along a dimension of input size s and output size t is
+    floor(k * s / t) — the standard nearest-neighbor grid, exactly
+    reproducible in integer arithmetic. Scale shape: embarrassingly
+    parallel, one Arrow batch in -> one out, payload bytes never leave
+    the executor."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "payload", "media_type",
+                                    "in_width", "in_height",
+                                    "out_width", "out_height", "n_bytes")}
+            for doc_id, payload, mt in zip(pdf["doc_id"], pdf["payload"],
+                                           pdf["media_type"]):
+                payload = bytes(payload)
+                w, h, ch, off = _parse_netpbm_raw(payload)
+                scale = max(w, h) / max_side
+                nw = max(1, int(w / scale)) if scale > 1 else w
+                nh = max(1, int(h / scale)) if scale > 1 else h
+                arr = (np.frombuffer(payload, np.uint8, count=w * h * ch,
+                                     offset=off).reshape(h, w, ch))
+                yi = (np.arange(nh) * h) // nh
+                xi = (np.arange(nw) * w) // nw
+                small = arr[yi][:, xi]
+                magic = b"P6" if ch == 3 else b"P5"
+                out = (magic + b"\n" + f"{nw} {nh}\n255\n".encode()
+                       + small.tobytes())
+                for k, v in (("doc_id", doc_id), ("payload", out),
+                             ("media_type", mt), ("in_width", w),
+                             ("in_height", h), ("out_width", nw),
+                             ("out_height", nh), ("n_bytes", len(out))):
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
 @query(
     "multimodal_blob_metadata",
     oracle="""
@@ -329,3 +419,86 @@ def multimodal_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("payload").alias("payload_md5"),
         "media_type",
     )
+
+
+N_FIXTURE_IMAGES = 24
+RESIZE_MAX_SIDE = 8
+
+
+@functools.lru_cache(maxsize=1)
+def _image_fixture_dir() -> str:
+    """Write a deterministic raw-netpbm image corpus once per process:
+    image i is (8 + (i%5)*4) x (6 + ((i*3)%7)*3), P5 grayscale when
+    i % 3 == 0 else P6 RGB, pixel = (y*13 + x*7 + i) % 256 per channel
+    — a pure function of the index, so the resize output's metadata is
+    a closed-form DuckDB expression (same golden-fixture pattern as
+    pipeline_courses_parity)."""
+    import tempfile
+
+    import numpy as np
+
+    d = tempfile.mkdtemp(prefix="mm_images_")
+    for i in range(N_FIXTURE_IMAGES):
+        w = 8 + (i % 5) * 4
+        h = 6 + ((i * 3) % 7) * 3
+        ch = 1 if i % 3 == 0 else 3
+        arr = ((np.arange(h)[:, None, None] * 13
+                + np.arange(w)[None, :, None] * 7 + i) % 256).astype(np.uint8)
+        arr = np.repeat(arr, ch, axis=2)
+        magic, ext = (b"P5", "pgm") if ch == 1 else (b"P6", "ppm")
+        data = magic + b"\n" + f"{w} {h}\n255\n".encode() + arr.tobytes()
+        with open(f"{d}/img_{i:02d}.{ext}", "wb") as fh:
+            fh.write(data)
+    return d
+
+
+@query(
+    "multimodal_resize",
+    # closed-form metadata of the nearest-neighbor resize over the
+    # generated fixture: output dims replicate resize_images' exact
+    # integer arithmetic (same IEEE division + floor in both engines),
+    # n_bytes counts the re-emitted netpbm header + pixel block
+    oracle=f"""
+    WITH g AS (SELECT unnest(range({N_FIXTURE_IMAGES})) AS i),
+    d AS (
+      SELECT i,
+             CAST(8 + (i % 5) * 4 AS BIGINT)       AS w,
+             CAST(6 + ((i * 3) % 7) * 3 AS BIGINT) AS h,
+             CASE WHEN i % 3 = 0 THEN 1 ELSE 3 END AS ch
+      FROM g
+    ), r AS (
+      SELECT *,
+        CASE WHEN GREATEST(w, h) > {RESIZE_MAX_SIDE}
+             THEN GREATEST(CAST(FLOOR(w / (GREATEST(w, h) / {RESIZE_MAX_SIDE}.0)) AS BIGINT), 1)
+             ELSE w END AS ow,
+        CASE WHEN GREATEST(w, h) > {RESIZE_MAX_SIDE}
+             THEN GREATEST(CAST(FLOOR(h / (GREATEST(w, h) / {RESIZE_MAX_SIDE}.0)) AS BIGINT), 1)
+             ELSE h END AS oh
+      FROM d
+    )
+    SELECT 'img_' || lpad(CAST(i AS VARCHAR), 2, '0')
+             || CASE WHEN ch = 1 THEN '.pgm' ELSE '.ppm' END AS name,
+           w AS in_width, h AS in_height,
+           ow AS out_width, oh AS out_height,
+           CAST(3 + length(CAST(ow AS VARCHAR)) + 1
+                + length(CAST(oh AS VARCHAR)) + 5 + ow * oh * ch
+                AS BIGINT) AS n_bytes
+    FROM r
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize verb end-to-end over REAL files: binaryFile ingest of
+    the generated netpbm corpus -> mapInPandas nearest-neighbor resize
+    -> metadata projection. The oracle rebuilds the fixture's closed
+    form and the resize arithmetic in SQL, so the driver hash
+    certifies dimensions and re-encoded byte counts; exact output
+    PIXELS are pinned separately by test_llm_ops (numpy equality on
+    crafted inputs — SQL cannot express pixel blocks)."""
+    blobs = read_blob_files(spark, _image_fixture_dir())
+    resized = resize_images(blobs, max_side=RESIZE_MAX_SIDE)
+    names = blobs.select(
+        "doc_id",
+        F.element_at(F.split("source_path", "/"), -1).alias("name"))
+    return (resized.join(names, "doc_id")
+            .select("name", "in_width", "in_height",
+                    "out_width", "out_height", "n_bytes"))

@@ -376,6 +376,54 @@ def test_multimodal_real_mode_raises_per_batch_not_plan_time(spark, sf_dir):
         feats.collect()  # execution: the stub raises inside the batch
 
 
+def test_multimodal_resize_exact_nearest_neighbor(spark, tmp_path):
+    """resize_images must produce EXACTLY the nearest-neighbor grid
+    (source index floor(k*s/t)) for both P6 RGB and P5 grayscale, as
+    valid re-emitted netpbm — checked pixel-for-pixel with numpy
+    (the registered query's SQL oracle covers dims/bytes; it cannot
+    express pixel blocks)."""
+    import numpy as np
+
+    w, h = 16, 12
+    rgb = ((np.arange(h)[:, None, None] * 3
+            + np.arange(w)[None, :, None] * 5
+            + np.arange(3)[None, None, :]) % 256).astype(np.uint8)
+    (tmp_path / "a.ppm").write_bytes(
+        b"P6\n" + f"{w} {h}\n255\n".encode() + rgb.tobytes())
+    gray = ((np.arange(h)[:, None, None] * 7
+             + np.arange(w)[None, :, None]) % 256).astype(np.uint8)
+    (tmp_path / "b.pgm").write_bytes(
+        b"P5\n" + f"{w} {h}\n255\n".encode() + gray.tobytes())
+
+    blobs = multimodal.read_blob_files(spark, str(tmp_path))
+    out = {r.media_type: r for r in
+           multimodal.resize_images(blobs, max_side=8).collect()}
+
+    for mt, src, ch in [("image/ppm", rgb, 3), ("image/pgm", gray, 1)]:
+        r = out[mt]
+        scale = max(w, h) / 8
+        nw, nh = int(w / scale), int(h / scale)
+        assert (r.in_width, r.in_height, r.out_width, r.out_height) == (
+            w, h, nw, nh)
+        yi = (np.arange(nh) * h) // nh
+        xi = (np.arange(nw) * w) // nw
+        expected = src[yi][:, xi]
+        payload = bytes(r.payload)
+        # the emitted payload is itself valid netpbm the decoder reads
+        meta = multimodal.decode_media(payload, mt)
+        assert (meta["width"], meta["height"]) == (float(nw), float(nh))
+        pw, ph, pch, off = multimodal._parse_netpbm_raw(payload)
+        assert (pw, ph, pch) == (nw, nh, ch)
+        got = np.frombuffer(payload, np.uint8, count=nw * nh * ch,
+                            offset=off).reshape(nh, nw, ch)
+        assert np.array_equal(got, expected)
+
+    # compressed formats fail loudly inside the batch, not silently
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="codec"):
+        multimodal._parse_netpbm_raw(_jpeg_bytes())
+
+
 def test_frame_sampling_shape(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(5)
     blobs = multimodal.as_blobs(docs)
