@@ -62,6 +62,11 @@ ALLOWED = {
     ("multimodal_blob_metadata", "ArrowEvalPython"),
     ("multimodal_blob_metadata", "MapInPandas"),
     ("multimodal_blob_metadata", "FlatMapGroupsInPandas"),
+    # nearest-neighbor image resize: pixel-block manipulation has no
+    # native expression — numpy over Arrow batches is the design
+    # (llm_ops/multimodal.resize_images docstring)
+    ("multimodal_resize", "MapInPandas"),
+    ("multimodal_resize", "ArrowEvalPython"),
 }
 
 NODES = (
