@@ -675,7 +675,12 @@ def minhash_index_update(batch_docs: DataFrame, corpus_postings: DataFrame,
     already exist (e.g. sliced off a shared whole-corpus frame, as the
     registered query does) — the batch pipeline is then skipped
     entirely and no new frames are persisted."""
-    if batch_postings is not None and batch_index is not None:
+    if (batch_postings is None) != (batch_index is None):
+        raise ValueError(
+            "pass batch_postings and batch_index together (or neither): "
+            "a half-specified override would silently recompute BOTH "
+            "artifacts and ignore the one provided")
+    if batch_postings is not None:
         b_post, b_band = batch_postings, batch_index
     else:
         b_post, b_band = minhash_index_artifacts(
