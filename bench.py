@@ -56,6 +56,7 @@ HEADLINE = [
     "text_decontaminate",        # benchmark-overlap broadcast probe
     "events_resample_gapfill",   # grid resample + forward fill
     "dedup_index_update",        # index append + rebuild-equivalence
+    "dedup_index_delete",        # index takedown + ledger resurrection
 ]
 
 
@@ -106,6 +107,7 @@ _exclude(
     "text_token_count", "dedup_exact", "dedup_clusters",
     "dedup_components", "similarity_neardup_pairs",
     "multimodal_blob_metadata", "multimodal_resize",
+    "dedup_image_dhash",  # fixed 32-image fixture: no scale signal
     # CDC pair (merge shares the snapshot-join+window shape)
     "merge_upsert_snapshot", "scd2_versions",
 )

@@ -642,6 +642,32 @@ def minhash_index_artifacts(docs: DataFrame, n: int = 3,
     return postings, _banded(_signatures_from_shingles(postings))
 
 
+def _increment_drop_candidates(b_band: DataFrame,
+                               corpus_index: DataFrame) -> DataFrame:
+    """Candidate pairs of one index increment, tagged with which doc
+    drops if the pair verifies (pure extraction from
+    ``minhash_index_update`` — byte-identical plan; round 9 shares it
+    with the delete verb's ledger construction).
+
+    Both candidate sets verify in ONE postings pass (they are
+    disjoint: corpus and batch ids never coincide); ``_drop`` is the
+    batch doc for batch x corpus, the larger id for batch x batch."""
+    c = corpus_index.select(F.col("doc_id").alias("c_id"), "band", "bucket")
+    b1 = b_band.select(F.col("doc_id").alias("b_id"), "band", "bucket")
+    cand_bc = (b1.join(c, ["band", "bucket"])
+               .select(F.col("b_id").alias("doc_a"),
+                       F.col("c_id").alias("doc_b"))
+               .distinct())
+    b2 = b_band.select(F.col("doc_id").alias("b_id2"), "band", "bucket")
+    cand_bb = (b1.join(b2, ["band", "bucket"])
+               .filter(F.col("b_id") < F.col("b_id2"))
+               .select(F.col("b_id").alias("doc_a"),
+                       F.col("b_id2").alias("doc_b"))
+               .distinct())
+    return (cand_bc.withColumn("_drop", F.col("doc_a"))
+            .unionByName(cand_bb.withColumn("_drop", F.col("doc_b"))))
+
+
 def minhash_index_update(batch_docs: DataFrame, corpus_postings: DataFrame,
                          corpus_index: DataFrame,
                          threshold: float = JACCARD_THRESHOLD,
@@ -688,25 +714,7 @@ def minhash_index_update(batch_docs: DataFrame, corpus_postings: DataFrame,
         b_post = _materialize(b_post)
         b_band = _materialize(b_band)
     all_post = corpus_postings.unionByName(b_post)
-
-    c = corpus_index.select(F.col("doc_id").alias("c_id"), "band", "bucket")
-    b1 = b_band.select(F.col("doc_id").alias("b_id"), "band", "bucket")
-    cand_bc = (b1.join(c, ["band", "bucket"])
-               .select(F.col("b_id").alias("doc_a"),
-                       F.col("c_id").alias("doc_b"))
-               .distinct())
-    b2 = b_band.select(F.col("doc_id").alias("b_id2"), "band", "bucket")
-    cand_bb = (b1.join(b2, ["band", "bucket"])
-               .filter(F.col("b_id") < F.col("b_id2"))
-               .select(F.col("b_id").alias("doc_a"),
-                       F.col("b_id2").alias("doc_b"))
-               .distinct())
-    # one verification pass over the postings for BOTH candidate sets
-    # (they are disjoint: corpus and batch ids never coincide), each
-    # pair tagged with which doc drops if it verifies — the batch doc
-    # for batch x corpus, the larger id for batch x batch
-    cand = (cand_bc.withColumn("_drop", F.col("doc_a"))
-            .unionByName(cand_bb.withColumn("_drop", F.col("doc_b"))))
+    cand = _increment_drop_candidates(b_band, corpus_index)
     dropped = (
         _verify_exact_jaccard(cand, all_post, threshold, carry=("_drop",))
         .select(F.col("_drop").alias("doc_id"))
@@ -786,4 +794,165 @@ def dedup_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         # full signature aggregation, which would otherwise re-run per
         # candidate-join consumer
         batch_index=_materialize(banded.filter(is_batch)))
+    return new_index
+
+
+# --- index lifecycle, delete side (takedowns / TTL) -------------------------
+
+TAKEDOWN_RESIDUE = 1  # doc_id % 10 == 1 plays "today's takedown slice"
+
+
+def minhash_drop_ledger(b_band: DataFrame, corpus_index: DataFrame,
+                        all_postings: DataFrame,
+                        threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """EVERY verified drop-justification pair of one increment —
+    (doc_id, partner) rows where ``doc_id`` was dropped because of its
+    verified near-dup ``partner`` (a corpus doc, or a smaller-id batch
+    doc). The third persisted artifact of a production dedup index,
+    alongside postings and band rows: it is what makes DELETE
+    incremental. When corpus docs are taken down, a dropped doc
+    resurrects iff ALL its ledger partners are gone — an anti-join on
+    this table, no re-shingling, no re-verification.
+
+    Same candidate + verify plan as ``minhash_index_update`` (shared
+    via ``_increment_drop_candidates``), keeping the partner column
+    instead of collapsing to a distinct drop set."""
+    verified = _verify_exact_jaccard(
+        _increment_drop_candidates(b_band, corpus_index),
+        all_postings, threshold, carry=("_drop",))
+    return verified.select(
+        F.col("_drop").alias("doc_id"),
+        F.when(F.col("_drop") == F.col("doc_a"), F.col("doc_b"))
+         .otherwise(F.col("doc_a")).alias("partner"))
+
+
+def minhash_index_delete(removed_ids: DataFrame,
+                         postings: DataFrame, index: DataFrame,
+                         drop_ledger: DataFrame,
+                         tombstone_postings: DataFrame,
+                         tombstone_index: DataFrame,
+                         ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The DELETE verb of the dedup-index lifecycle (takedowns, TTL,
+    GDPR erasure): index(t+1) = index(t) ∖ removed ∪ resurrected.
+
+    Removing a document is an anti-join over the per-doc artifacts —
+    but NOT only that, when the index was built incrementally: a batch
+    doc dropped earlier because it near-duplicated a now-removed
+    corpus doc must RESURRECT, or the index silently under-represents
+    the surviving corpus (a rebuild from scratch over corpus ∖ removed
+    would contain it). Resurrection needs no text and no verification
+    at delete time: the increment's ``drop_ledger`` holds every
+    justification pair, so a dropped doc returns iff its remaining
+    ledger partners are zero, and its rows come from the tombstone
+    artifacts the increment set aside.
+
+    No cascade is possible, by construction of the drop rule: corpus
+    docs never drop, batch x batch justifications are pair-local in
+    doc-id order regardless of the partner's own fate, and
+    ``removed_ids`` are corpus docs — so a resurrection never creates
+    or removes another doc's justification (pinned by
+    test_index_delete_resurrection_matches_rebuild).
+
+    100 TB posture: cost is O(|removed| + |ledger rows touching
+    removed|) — three anti/semi joins against a broadcast-size removed
+    set; the corpus artifacts are touched only to filter the removed
+    docs' own rows (format-level delete files in a real table format),
+    never rescanned, never re-shingled.
+
+    Returns (new_postings, new_index, resurrected)."""
+    removed = removed_ids.select("doc_id")
+    rem_partner = removed.withColumnRenamed("doc_id", "partner")
+    still_justified = (drop_ledger
+                       .join(rem_partner, "partner", "left_anti")
+                       .select("doc_id").distinct())
+    resurrected = (drop_ledger.select("doc_id").distinct()
+                   .join(still_justified, "doc_id", "left_anti"))
+    new_postings = (postings.join(removed, "doc_id", "left_anti")
+                    .unionByName(tombstone_postings
+                                 .join(resurrected, "doc_id", "left_semi")))
+    new_index = (index.join(removed, "doc_id", "left_anti")
+                 .unionByName(tombstone_index
+                              .join(resurrected, "doc_id", "left_semi")))
+    return new_postings, new_index, resurrected
+
+
+def _duck_index_delete_oracle() -> str:
+    """DuckDB replica of increment-then-takedown: the FULL REBUILD's
+    band rows over (corpus ∖ removed) ∪ batch, with the increment's
+    drop rule applied against the REMAINING corpus only. The hash
+    match certifies that filter + ledger-driven resurrection equals
+    recomputing the index from scratch without the removed docs —
+    including re-admitting batch docs whose only near-dups were taken
+    down."""
+    base = _duck_minhash_oracle(
+        f"WHERE l.doc_id % {INCREMENTAL_BATCH_MOD} = 0"
+        f" OR r.doc_id % {INCREMENTAL_BATCH_MOD} = 0")
+    head = base[:base.rindex("SELECT doc_a, doc_b")]
+    mod, rm = INCREMENTAL_BATCH_MOD, TAKEDOWN_RESIDUE
+    return head + f""", pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+        JOIN cnt ca ON ca.doc_id = doc_a
+        JOIN cnt cb ON cb.doc_id = doc_b
+      WHERE cc * 1.0 / (ca.n + cb.n - cc) >= {JACCARD_THRESHOLD}
+    ), dropped AS (
+      SELECT doc_a AS doc_id FROM pairs
+      WHERE doc_a % {mod} = 0 AND doc_b % {mod} NOT IN (0, {rm})
+      UNION
+      SELECT doc_b FROM pairs
+      WHERE doc_b % {mod} = 0 AND doc_a % {mod} NOT IN (0, {rm})
+      UNION
+      SELECT doc_b FROM pairs
+      WHERE doc_a % {mod} = 0 AND doc_b % {mod} = 0
+    )
+    SELECT doc_id, CAST(band AS INTEGER) AS band, bucket
+    FROM banded
+    WHERE doc_id % {mod} NOT IN (0, {rm})
+       OR (doc_id % {mod} = 0
+           AND doc_id NOT IN (SELECT doc_id FROM dropped))
+    """
+
+
+@query("dedup_index_delete", oracle=_duck_index_delete_oracle())
+def dedup_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Increment-then-takedown on the documents table: build index(t+1)
+    over the 90/10 corpus/batch split (exactly ``dedup_index_update``,
+    ledger retained), then take down the ``doc_id % 10 == 1`` corpus
+    slice and apply the DELETE verb — anti-join the removed docs' rows,
+    resurrect dropped batch docs whose every justification was removed.
+    The oracle is the from-scratch rebuild over the remaining corpus,
+    so the driver hash certifies delete-equals-rebuild each round, the
+    mirror of r8's append-equals-rebuild.
+
+    Artifacts are the same SHARED whole-documents postings/band frames
+    the rest of the dedup family materializes (per-subset pipelines
+    measured as cache-eviction thrash, r8 note in dedup_index_update);
+    the delete adds only broadcast-size anti/semi joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = (F.col("doc_id") % INCREMENTAL_BATCH_MOD) == 0
+    is_removed = (F.col("doc_id") % INCREMENTAL_BATCH_MOD) == TAKEDOWN_RESIDUE
+    sh_idx = _materialize(
+        shingles(docs)
+        .select("doc_id", F.size("_shingles").alias("nsh"),
+                F.explode("_shingles").alias("shingle")))
+    banded = _banded(_signatures_from_shingles(sh_idx))
+    c_band = _materialize(banded.filter(~is_batch))
+    b_band = _materialize(banded.filter(is_batch))
+    ledger = _materialize(
+        minhash_drop_ledger(b_band, c_band, sh_idx))
+    dropped = ledger.select("doc_id").distinct()
+    batch_ids = docs.filter(is_batch).select("doc_id")
+    survivors = batch_ids.join(dropped, "doc_id", "left_anti")
+    # the stored index after the increment, survivor rows only
+    post_t1 = (sh_idx.filter(~is_batch)
+               .unionByName(sh_idx.filter(is_batch)
+                            .join(survivors, "doc_id", "left_semi")))
+    index_t1 = c_band.unionByName(
+        b_band.join(survivors, "doc_id", "left_semi"))
+    _post, new_index, _res = minhash_index_delete(
+        removed_ids=docs.filter(is_removed).select("doc_id"),
+        postings=post_t1, index=index_t1, drop_ledger=ledger,
+        tombstone_postings=sh_idx.filter(is_batch)
+                                 .join(dropped, "doc_id", "left_semi"),
+        tombstone_index=b_band.join(dropped, "doc_id", "left_semi"))
     return new_index

@@ -83,20 +83,26 @@ def salted_join(large: DataFrame, small: DataFrame, key_large: str,
 
 def hot_keys(large: DataFrame, key: str,
              hot_threshold: int | None = None,
-             sample_fraction: float = SKEW_DETECT_FRACTION) -> DataFrame:
+             sample_fraction: float = 1.0) -> DataFrame:
     """One-column DataFrame of the probe-side keys whose frequency
     crosses the hot threshold — the same per-key stats pass AQE's
-    runtime skew detection does, expressed relationally over a sampled
-    probe side (``sample_fraction=1.0`` restores exact counting).
+    runtime skew detection does. Default is EXACT counting: an
+    explicit ``hot_threshold`` means exactly what it says (ADVICE r8 —
+    a silently sampled comparison made the returned key set
+    sample-dependent and noisy near the floor). Sampling is opt-in:
+    pass ``sample_fraction < 1`` to trade exactness for a cheaper
+    detection pass, and the threshold — stated in TRUE counts — is
+    scaled by the fraction for the sampled comparison (a true count of
+    64 at fraction 0.05 is compared as Binomial(64, 0.05), mean 3.2,
+    stdev ~1.7: only use sampling when hot keys sit well above the
+    threshold, as real skew does).
 
-    Thresholds are stated in TRUE counts and scaled by the fraction
-    for the sampled comparison. When ``hot_threshold`` is None it is
-    data-derived (mean per-key count x multiplier, floored) via a
-    broadcast 1-row stats join, so the plan stays fully lazy — no
-    driver-side collect. Note the sampled mean is taken over keys
-    PRESENT in the sample (absent small keys aren't zero-padded),
-    which biases the derived threshold up — strictly conservative:
-    borderline keys stay unsalted."""
+    When ``hot_threshold`` is None it is data-derived (mean per-key
+    count x multiplier, floored) via a broadcast 1-row stats join, so
+    the plan stays fully lazy — no driver-side collect. Note the
+    sampled mean is taken over keys PRESENT in the sample (absent
+    small keys aren't zero-padded), which biases the derived threshold
+    up — strictly conservative: borderline keys stay unsalted."""
     base = large.select(key)
     if sample_fraction < 1.0:
         base = base.sample(fraction=sample_fraction, seed=SKEW_DETECT_SEED)
@@ -138,11 +144,22 @@ def salted_join_hotkey(large: DataFrame, small: DataFrame, key_large: str,
 
     ``how`` supports 'inner' and 'left' (a hot probe row carries
     exactly one salt, so left-preservation is exact; right/full would
-    duplicate unmatched replicated build rows R times)."""
+    duplicate unmatched replicated build rows R times).
+
+    ``hot_threshold`` (a TRUE count) is evaluated against a 5% sampled
+    frequency pass here — detection noise only moves borderline keys
+    between the salted and unsalted plans, never changes the join's
+    rows; call ``hot_keys`` directly (exact by default) when the key
+    SET itself is the product."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join_hotkey supports inner/left, got {how}")
+    # the call site opts into sampled detection (hot_keys defaults to
+    # exact): the salting decision only needs keys far above the
+    # threshold, where a 5% Bernoulli count cannot miss, and the full
+    # probe-side frequency pass would otherwise rival the join itself
     hot = F.broadcast(
-        hot_keys(large, key_large, hot_threshold)
+        hot_keys(large, key_large, hot_threshold,
+                 sample_fraction=SKEW_DETECT_FRACTION)
         .withColumnRenamed(key_large, "_hot_key"))
     probe = (
         large.join(hot, large[key_large] == hot["_hot_key"], "left")

@@ -121,7 +121,21 @@ def latest_response(df: DataFrame) -> DataFrame:
     validation barrier and the final action — measured at ~35% of
     pipeline_courses_parity's wall time for zero semantic difference
     (the round-7→8 drift watch item). At scale the aggregate reads one
-    short string per input split; the data columns are pruned."""
+    short string per input split; the data columns are pruned.
+
+    FROZEN-AT-CONSTRUCTION semantics (deliberate, matching the
+    reference's driver-side max): the eager aggregate runs HERE, so the
+    returned plan filters on a literal file name. A retained DataFrame
+    re-executed after new files land still selects the file that was
+    newest at construction — rebuild the plan to re-resolve, exactly as
+    the reference re-lists the bucket per run. Streaming frames cannot
+    take this path (no eager aggregate mid-stream), so they are
+    rejected rather than silently frozen."""
+    if df.isStreaming:
+        raise ValueError(
+            "latest_response freezes the newest file at plan construction "
+            "and cannot apply to a streaming DataFrame; use the streaming "
+            "ingest path (streaming/ingest.py) instead")
     latest = df.agg(F.max("_source_file")).collect()[0][0]
     if latest is None:  # empty input: preserve emptiness for O2's guard
         return df.filter(F.lit(False))

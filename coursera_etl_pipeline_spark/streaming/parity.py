@@ -357,7 +357,9 @@ def _run_stream_index_update(spark: SparkSession, sf_dir: str) -> "DataFrame":
 
 def apply_index_increment(bdf: "DataFrame", post_dir: str,
                           band_dir: str,
-                          staging_root: str | None = None) -> None:
+                          staging_root: str | None = None,
+                          aux_dirs: tuple[str, str, str] | None = None,
+                          ) -> None:
     """One dedup-index increment against parquet-backed storage: verify
     the batch against the index AS STORED, append the survivors' band
     and posting rows. The foreachBatch unit of the streamed lifecycle
@@ -366,9 +368,18 @@ def apply_index_increment(bdf: "DataFrame", post_dir: str,
     ``staging_root`` hosts the per-batch delta staging dir; default is
     the local tempdir (right for local mode). On a cluster pass a
     shared-filesystem path next to the index so the staged deltas are
-    visible to every executor and the final commits stay
-    rename-cheap."""
+    visible to every executor and the final commits stay rename-cheap.
+
+    ``aux_dirs`` = (ledger_dir, tomb_post_dir, tomb_band_dir) opts the
+    store into the DELETE-capable layout (round 9): the increment
+    additionally appends the drop LEDGER (every justification pair)
+    and the dropped docs' artifacts as TOMBSTONES — what
+    ``apply_index_delete`` later needs to resurrect without
+    re-shingling. Default None keeps the round-8 two-artifact store
+    byte-identical (the survivor set is derived from the same
+    candidate+verify plan either way)."""
     from coursera_etl_pipeline_spark.llm_ops.dedup import (
+        minhash_drop_ledger,
         minhash_index_artifacts,
         minhash_index_update,
     )
@@ -380,14 +391,22 @@ def apply_index_increment(bdf: "DataFrame", post_dir: str,
     # survivors' verify DAG is the expensive part — without the
     # persist it would execute once per write
     b_post, b_band = b_post.persist(), b_band.persist()
-    survivors = None
+    survivors = ledger = None
     try:
-        survivors, _post, _idx = minhash_index_update(
-            bdf,
-            corpus_postings=s.read.parquet(post_dir),
-            corpus_index=s.read.parquet(band_dir),
-            batch_postings=b_post,
-            batch_index=b_band)
+        if aux_dirs is None:
+            survivors, _post, _idx = minhash_index_update(
+                bdf,
+                corpus_postings=s.read.parquet(post_dir),
+                corpus_index=s.read.parquet(band_dir),
+                batch_postings=b_post,
+                batch_index=b_band)
+        else:
+            ledger = minhash_drop_ledger(
+                b_band, s.read.parquet(band_dir),
+                s.read.parquet(post_dir).unionByName(b_post)).persist()
+            dropped = ledger.select("doc_id").distinct()
+            survivors = bdf.select("doc_id").join(
+                dropped, "doc_id", "left_anti")
         survivors = survivors.persist()
         # STAGE-THEN-COMMIT, not direct appends: survivors' lineage
         # READS the index dirs, and Spark invalidates every cached
@@ -401,9 +420,10 @@ def apply_index_increment(bdf: "DataFrame", post_dir: str,
         # test_stream_index_update_multi_batch_append_equals_rebuild.
         # Writing both deltas to a neutral staging dir first (no
         # cached plan depends on it) materializes them from the
-        # pre-append state; the commits are then pure file appends —
-        # the same staging-commit shape an object-store deployment
-        # wants for atomicity anyway.
+        # pre-append state; the commits are then pure file appends.
+        # (Staging isolates the READ side from the write — it does not
+        # make the two commits atomic; see the commit-order note below
+        # for the crash-between-appends story.)
         import shutil
         import tempfile
 
@@ -413,10 +433,42 @@ def apply_index_increment(bdf: "DataFrame", post_dir: str,
              .write.parquet(f"{stage}/band"))
             (b_post.join(survivors, "doc_id", "left_semi")
              .write.parquet(f"{stage}/post"))
-            (s.read.parquet(f"{stage}/band")
-             .write.mode("append").parquet(band_dir))
+            if aux_dirs is not None:
+                dropped = ledger.select("doc_id").distinct()
+                ledger.write.parquet(f"{stage}/ledger")
+                (b_post.join(dropped, "doc_id", "left_semi")
+                 .write.parquet(f"{stage}/tpost"))
+                (b_band.join(dropped, "doc_id", "left_semi")
+                 .write.parquet(f"{stage}/tband"))
+            # COMMIT ORDER: postings FIRST (ADVICE r8). The two appends
+            # are separate jobs, so a crash between them is possible;
+            # the failure modes are asymmetric. Orphan POSTINGS (no
+            # band rows) are inert — nothing probes a doc the band
+            # index never surfaces as a candidate. Orphan BAND rows
+            # (no postings) are not: later increments would collide
+            # with them, find no shingles on the verify side, and
+            # undercount jaccard — silently admitting near-dups. So
+            # the order below leaves only the inert orphan on a crash.
+            # (Exactly-once across a retry would additionally need a
+            # commit marker or a transactional table format — out of
+            # scope here; the ordering alone removes the silent-
+            # admission failure mode.)
             (s.read.parquet(f"{stage}/post")
              .write.mode("append").parquet(post_dir))
+            (s.read.parquet(f"{stage}/band")
+             .write.mode("append").parquet(band_dir))
+            if aux_dirs is not None:
+                # aux commits after the primary pair: a crash that
+                # loses ledger/tombstone rows for committed survivors
+                # costs only future resurrection completeness for this
+                # batch's DROPPED docs, never dedup correctness
+                ledger_dir, tpost_dir, tband_dir = aux_dirs
+                (s.read.parquet(f"{stage}/ledger")
+                 .write.mode("append").parquet(ledger_dir))
+                (s.read.parquet(f"{stage}/tpost")
+                 .write.mode("append").parquet(tpost_dir))
+                (s.read.parquet(f"{stage}/tband")
+                 .write.mode("append").parquet(tband_dir))
         finally:
             shutil.rmtree(stage, ignore_errors=True)
     finally:
@@ -424,6 +476,74 @@ def apply_index_increment(bdf: "DataFrame", post_dir: str,
         b_band.unpersist()
         if survivors is not None:
             survivors.unpersist()
+        if ledger is not None:
+            ledger.unpersist()
+
+
+def apply_index_delete(spark: SparkSession, removed_ids: "DataFrame",
+                       post_dir: str, band_dir: str,
+                       ledger_dir: str, tomb_post_dir: str,
+                       tomb_band_dir: str,
+                       staging_root: str | None = None) -> None:
+    """The DELETE verb against parquet-backed index storage: remove the
+    given corpus docs' rows and RESURRECT previously-dropped docs whose
+    every ledger justification was removed (llm_ops.dedup
+    .minhash_index_delete, which see for the no-cascade argument).
+
+    Same stage-then-commit discipline as the increment — MANDATORY
+    here, not just prudent: every output is a read-modify-write of the
+    very dirs it overwrites, and Spark cannot overwrite a path a
+    running plan is reading (and cached plans over those paths are
+    invalidated by the first write — the r8 multi-batch bug). All five
+    new states are materialized to a neutral staging dir first; the
+    commits are then plain directory overwrites.
+
+    Plain parquet makes delete a full rewrite of the five dirs — fine
+    for a test-scale store; a 100 TB deployment keeps these artifacts
+    in a table format with delete-file support (Iceberg/Delta) where
+    the same anti/semi-join plan emits O(|removed| + |touched ledger
+    rows|) delete records instead. The resurrection logic is
+    format-independent."""
+    import shutil
+    import tempfile
+
+    from coursera_etl_pipeline_spark.llm_ops.dedup import (
+        minhash_index_delete,
+    )
+
+    s = spark
+    new_post, new_index, resurrected = minhash_index_delete(
+        removed_ids,
+        postings=s.read.parquet(post_dir),
+        index=s.read.parquet(band_dir),
+        drop_ledger=s.read.parquet(ledger_dir),
+        tombstone_postings=s.read.parquet(tomb_post_dir),
+        tombstone_index=s.read.parquet(tomb_band_dir))
+    removed = removed_ids.select("doc_id")
+    rem_partner = removed.withColumnRenamed("doc_id", "partner")
+    new_ledger = (s.read.parquet(ledger_dir)
+                  .join(rem_partner, "partner", "left_anti")
+                  .join(resurrected, "doc_id", "left_anti"))
+    new_tpost = (s.read.parquet(tomb_post_dir)
+                 .join(resurrected, "doc_id", "left_anti")
+                 .join(removed, "doc_id", "left_anti"))
+    new_tband = (s.read.parquet(tomb_band_dir)
+                 .join(resurrected, "doc_id", "left_anti")
+                 .join(removed, "doc_id", "left_anti"))
+    stage = tempfile.mkdtemp(prefix="idx_del_", dir=staging_root)
+    targets = [(new_post, "post", post_dir),
+               (new_index, "band", band_dir),
+               (new_ledger, "ledger", ledger_dir),
+               (new_tpost, "tpost", tomb_post_dir),
+               (new_tband, "tband", tomb_band_dir)]
+    try:
+        for frame, name, _dir in targets:
+            frame.write.parquet(f"{stage}/{name}")
+        for _frame, name, dest in targets:
+            (s.read.parquet(f"{stage}/{name}")
+             .write.mode("overwrite").parquet(dest))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 from coursera_etl_pipeline_spark.llm_ops.dedup import (  # noqa: E402

@@ -156,6 +156,61 @@ def test_index_update_two_increments_equal_rebuild(planted_docs):
     assert i1 <= i2
 
 
+def _uniq_doc(i: int) -> str:
+    """30 doc-unique tokens: identical ids -> jaccard 1.0, distinct ids
+    -> jaccard 0 (no shared shingles at all)."""
+    return " ".join(f"d{i}t{j}" for j in range(30))
+
+
+def test_index_delete_resurrection_matches_rebuild(spark):
+    """DELETE verb semantics on a planted store: removing corpus doc 11
+    must resurrect batch doc 10 (its ONLY justification), while 20
+    (justified by surviving corpus doc 21) and 50 (justified by
+    smaller surviving batch doc 40) stay dropped — and the resulting
+    index must equal the from-scratch rebuild over the remaining
+    corpus, which is the no-cascade claim in executable form."""
+    rows = [(11, _uniq_doc(11)), (21, _uniq_doc(21)), (31, _uniq_doc(31)),
+            (10, _uniq_doc(11)),   # batch: dup of corpus 11 (removed later)
+            (20, _uniq_doc(21)),   # batch: dup of corpus 21 (kept)
+            (30, _uniq_doc(30)),   # batch: unique survivor
+            (40, _uniq_doc(40)),   # batch: survivor, justifies 50
+            (50, _uniq_doc(40))]   # batch: dup of smaller batch doc 40
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ten = F.col("doc_id") % 10
+    corpus, batch = docs.filter(ten != 0), docs.filter(ten == 0)
+    c_post, c_band = dedup.minhash_index_artifacts(corpus)
+    b_post, b_band = dedup.minhash_index_artifacts(batch)
+
+    ledger = dedup.minhash_drop_ledger(
+        b_band, c_band, c_post.unionByName(b_post))
+    got_ledger = {(r.doc_id, r.partner) for r in ledger.collect()}
+    assert got_ledger == {(10, 11), (20, 21), (50, 40)}
+
+    dropped = ledger.select("doc_id").distinct()
+    survivors = batch.select("doc_id").join(dropped, "doc_id", "left_anti")
+    post_t1 = c_post.unionByName(
+        b_post.join(survivors, "doc_id", "left_semi"))
+    index_t1 = c_band.unionByName(
+        b_band.join(survivors, "doc_id", "left_semi"))
+
+    removed = spark.createDataFrame([(11,)], "doc_id long")
+    new_post, new_index, resurrected = dedup.minhash_index_delete(
+        removed, post_t1, index_t1, ledger,
+        tombstone_postings=b_post.join(dropped, "doc_id", "left_semi"),
+        tombstone_index=b_band.join(dropped, "doc_id", "left_semi"))
+    assert {r.doc_id for r in resurrected.collect()} == {10}
+
+    final_ids = {r.doc_id for r in
+                 new_index.select("doc_id").distinct().collect()}
+    assert final_ids == {21, 31, 10, 30, 40}
+    rb_post, rb_band = dedup.minhash_index_artifacts(
+        docs.filter(F.col("doc_id").isin(sorted(final_ids))))
+    assert (sorted(tuple(r) for r in new_index.collect())
+            == sorted(tuple(r) for r in rb_band.collect()))
+    assert (sorted(tuple(r) for r in new_post.collect())
+            == sorted(tuple(r) for r in rb_post.collect()))
+
+
 def test_decontaminate_flags_benchmark_duplicate(planted_docs):
     """Doc 0 is in the benchmark slice (0 % 97 == 0); doc 100 is its
     exact copy in the corpus, so every one of its 8-grams overlaps ->
@@ -306,6 +361,32 @@ def test_multimodal_decode_jpeg_mp3_headers():
               + raw)
     mp3t = multimodal.decode_media(tagged, "audio/mp3")
     assert mp3t["duration_sec"] == pytest.approx(len(raw) * 8 / 128000)
+
+    # ADVICE r8: footer flag (0x10) adds 10 bytes beyond the syncsafe
+    # size — without it the sync probe lands inside the footer
+    footed = (b"ID3\x04\x00\x10" + bytes([0, 0, 0, 100])
+              + b"\x00" * 100 + b"3DI" + b"\x00" * 7 + raw)
+    mp3f = multimodal.decode_media(footed, "audio/mp3")
+    assert mp3f["duration_sec"] == pytest.approx(len(raw) * 8 / 128000)
+
+    # ADVICE r8: a trailing 128-byte ID3v1 tag is audio-free — the CBR
+    # estimate must not count it
+    v1 = raw + b"TAG" + b"\x00" * 125
+    mp3v1 = multimodal.decode_media(v1, "audio/mp3")
+    assert mp3v1["duration_sec"] == pytest.approx(len(raw) * 8 / 128000)
+
+
+def test_multimodal_decode_jpeg_eoi_before_sof_raises():
+    """ADVICE r8: EOI (FFD9) must terminate the marker walk — reading a
+    segment length past it would parse arbitrary trailing bytes. A
+    stream that ends (EOI) without ever carrying an SOF is malformed,
+    not a source of garbage dimensions."""
+    app0 = b"\xff\xe0" + (15).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 8
+    # SOI, APP0, EOI, then trailing junk that would misparse as a
+    # segment were the walk to continue
+    payload = b"\xff\xd8" + app0 + b"\xff\xd9" + b"\xff\xc0\x00\x05trail"
+    with pytest.raises(ValueError, match="no SOF"):
+        multimodal.decode_media(payload, "image/jpeg")
 
 
 def _wav_bytes(channels=1, rate=8000, n_frames=800):
@@ -548,11 +629,12 @@ def test_salted_join_hotkey_under_planted_skew(spark):
     small = spark.createDataFrame(
         [(k, f"dim{k}") for k in range(1000)], "sk long, name string")
 
+    # default is exact counting (ADVICE r8: an explicit threshold must
+    # mean what it says); sampling is opt-in and must agree on real skew
     detected = {r.k for r in hot_keys(large, "k").collect()}
     assert detected == {7}  # 9000 rows vs mean ~10 -> only the planted key
-    # exact (unsampled) detection agrees — the opt-out path stays live
-    exact = {r.k for r in hot_keys(large, "k", sample_fraction=1.0).collect()}
-    assert exact == {7}
+    sampled = {r.k for r in hot_keys(large, "k", sample_fraction=0.05).collect()}
+    assert sampled == {7}  # 9000*0.05=450 expected draws: cannot miss
 
     salted = salted_join_hotkey(large, small, "k", "sk",
                                 salt_cols=["k", "payload"])
@@ -769,3 +851,51 @@ def test_prefix_filter_equals_naive_on_random_sets(spark):
     for pair, j in expect.items():
         assert abs(got[pair] - j) < 1e-9, (pair, got[pair], j)
     assert (100, 101) in got  # exact-boundary pair survived
+
+
+def test_image_dhash_properties(spark, tmp_path):
+    """dHash invariants on crafted netpbm images: a global brightness
+    shift that crosses no mod-256 wrap leaves the hash IDENTICAL
+    (adjacent-pixel comparisons are offset-invariant), while an
+    unrelated pattern lands far away in hamming space — the two
+    properties that make dHash a perceptual (not cryptographic)
+    fingerprint."""
+    import numpy as np
+
+    w, h = 20, 16
+    rng_y, rng_x = np.mgrid[0:h, 0:w]
+    base = (((rng_x * 73 + rng_y * 151) * 2654435761) >> 8) % 200  # <200: +7 wraps nothing
+    other = (((rng_x * 31 + rng_y * 97 + 5000) * 2654435761) >> 8) % 256
+
+    def ppm(pix):
+        arr = np.repeat(pix.astype(np.uint8)[:, :, None], 3, axis=2)
+        return b"P6\n" + f"{w} {h}\n255\n".encode() + arr.tobytes()
+
+    for name, pix in [("a", base), ("b", (base + 7) % 256), ("c", other)]:
+        (tmp_path / f"{name}.ppm").write_bytes(ppm(pix))
+    blobs = multimodal.read_blob_files(spark, str(tmp_path))
+    hashes = multimodal.image_dhash(blobs).collect()
+    by_id = {r.doc_id: (r.dhash_lo, r.dhash_hi) for r in hashes}
+    names = {r.doc_id: r.source_path.rsplit("/", 1)[-1]
+             for r in blobs.select("doc_id", "source_path").collect()}
+    by_name = {names[k]: v for k, v in by_id.items()}
+
+    def hamming(p, q):
+        return (bin(p[0] ^ q[0]).count("1") + bin(p[1] ^ q[1]).count("1"))
+
+    assert by_name["a.ppm"] == by_name["b.ppm"]          # shift-invariant
+    assert hamming(by_name["a.ppm"], by_name["c.ppm"]) > 10
+
+
+def test_dedup_image_dhash_recovers_planted_pairs(spark):
+    """The registered query must return EXACTLY the 16 planted
+    variant pairs (2g, 2g+1) of the generated fixture — the measured
+    separation (within-group hamming <= 5, cross-group minimum 8)
+    makes the threshold-6 result set deterministic."""
+    from coursera_etl_pipeline_spark.llm_ops.multimodal import (
+        dedup_image_dhash,
+    )
+    rows = dedup_image_dhash(spark, "/unused").collect()
+    got = {(r.doc_a, r.doc_b) for r in rows}
+    assert got == {(2 * g, 2 * g + 1) for g in range(16)}
+    assert all(r.hamming <= 6 for r in rows)

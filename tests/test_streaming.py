@@ -274,3 +274,78 @@ def test_stream_index_update_multi_batch_append_equals_rebuild(spark, sf_dir, tm
     # monotonically contains the corpus seed
     corpus_rows = {tuple(r) for r in c_band.collect()}
     assert corpus_rows <= {tuple(r) for r in final_band.collect()}
+
+
+def test_storage_append_then_delete_equals_rebuild(spark, tmp_path):
+    """Full lifecycle against parquet-backed storage: seed corpus, TWO
+    increments in the delete-capable layout (ledger + tombstones), then
+    a takedown of corpus doc 11 — the stored artifacts must equal the
+    from-scratch rebuild over the hand-derived final set, resurrection
+    included. Every step is a read-modify-write of the index dirs, so
+    this chain also exercises the stage-then-commit machinery for the
+    DELETE path (the r8 cache-invalidation hazard applies to any
+    read-modify-write of those dirs, not only appends)."""
+    from coursera_etl_pipeline_spark.llm_ops import dedup
+    from coursera_etl_pipeline_spark.streaming.parity import (
+        apply_index_delete,
+        apply_index_increment,
+    )
+
+    def doc(i):
+        return " ".join(f"d{i}t{j}" for j in range(30))
+
+    docs = spark.createDataFrame(
+        [(11, doc(11)), (21, doc(21)), (31, doc(31)),   # corpus
+         (10, doc(11)), (40, doc(40)), (50, doc(40)),   # batch 1
+         (20, doc(21)), (60, doc(60))],                 # batch 2
+        "doc_id long, text string")
+    dirs = {n: str(tmp_path / n)
+            for n in ("post", "band", "ledger", "tpost", "tband")}
+    aux = (dirs["ledger"], dirs["tpost"], dirs["tband"])
+
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    c_post, c_band = dedup.minhash_index_artifacts(corpus)
+    c_post.write.parquet(dirs["post"])
+    c_band.write.parquet(dirs["band"])
+    # aux artifacts start empty but typed (appends need the schema)
+    spark.createDataFrame([], "doc_id long, partner long") \
+        .write.parquet(dirs["ledger"])
+    c_post.limit(0).write.parquet(dirs["tpost"])
+    c_band.limit(0).write.parquet(dirs["tband"])
+
+    # increment 1: 10 drops (dup of corpus 11), 50 drops (dup of
+    # smaller batch doc 40), 40 survives
+    apply_index_increment(
+        docs.filter(F.col("doc_id").isin([10, 40, 50])),
+        dirs["post"], dirs["band"], aux_dirs=aux)
+    # increment 2: 20 drops (dup of corpus 21), 60 survives
+    apply_index_increment(
+        docs.filter(F.col("doc_id").isin([20, 60])),
+        dirs["post"], dirs["band"], aux_dirs=aux)
+    ledger = {(r.doc_id, r.partner)
+              for r in spark.read.parquet(dirs["ledger"]).collect()}
+    assert ledger == {(10, 11), (50, 40), (20, 21)}
+
+    # takedown corpus doc 11: 10 resurrects (only justification gone),
+    # 50 and 20 stay dropped
+    apply_index_delete(
+        spark, spark.createDataFrame([(11,)], "doc_id long"),
+        dirs["post"], dirs["band"], *aux)
+
+    final_band = spark.read.parquet(dirs["band"])
+    final_ids = {r.doc_id for r in
+                 final_band.select("doc_id").distinct().collect()}
+    assert final_ids == {21, 31, 40, 60, 10}
+    rb_post, rb_band = dedup.minhash_index_artifacts(
+        docs.filter(F.col("doc_id").isin(sorted(final_ids))))
+    assert (sorted(tuple(r) for r in final_band.collect())
+            == sorted(tuple(r) for r in rb_band.collect()))
+    assert (sorted(tuple(r) for r in spark.read.parquet(dirs["post"]).collect())
+            == sorted(tuple(r) for r in rb_post.collect()))
+    # store invariants after delete: ledger holds only still-justified
+    # drops, tombstones hold exactly the still-dropped docs
+    assert {(r.doc_id, r.partner)
+            for r in spark.read.parquet(dirs["ledger"]).collect()} \
+        == {(50, 40), (20, 21)}
+    assert {r.doc_id for r in spark.read.parquet(dirs["tband"])
+            .select("doc_id").distinct().collect()} == {50, 20}

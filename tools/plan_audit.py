@@ -67,6 +67,11 @@ ALLOWED = {
     # (llm_ops/multimodal.resize_images docstring)
     ("multimodal_resize", "MapInPandas"),
     ("multimodal_resize", "ArrowEvalPython"),
+    # perceptual image hash: pixel decode -> 64-bit dHash has no
+    # native expression — numpy over Arrow batches, then the banded
+    # hamming join is pure built-ins (llm_ops/multimodal.image_dhash)
+    ("dedup_image_dhash", "MapInPandas"),
+    ("dedup_image_dhash", "ArrowEvalPython"),
 }
 
 NODES = (
