@@ -71,6 +71,12 @@ _EDITED_THIS_ROUND = [
     #    the extraction emits byte-identical plans for
     #    dedup_index_update (pinned by the oracle gate re-run); the
     #    new dedup_index_delete query is likewise uncertified.
+    #  - similarity.py assign_to_centroids extraction (the ANN append
+    #    verb's shared assignment function): byte-identical plan for
+    #    ivf_assign's callers — similarity_ann_ivf and
+    #    similarity_ivf_recall oracle-rechecked at sf0.001+sf0.01
+    #    post-change; similarity_index_update/stream_ann_index_parity
+    #    are new (uncertified, lead automatically).
 ]
 
 

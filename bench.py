@@ -57,6 +57,7 @@ HEADLINE = [
     "events_resample_gapfill",   # grid resample + forward fill
     "dedup_index_update",        # index append + rebuild-equivalence
     "dedup_index_delete",        # index takedown + ledger resurrection
+    "similarity_index_update",   # ANN index append vs frozen centroids
 ]
 
 
@@ -120,7 +121,7 @@ _exclude(
     "bench runs would time a cached-table read, not the stream",
     "stream_batch_parity", "stream_dedup_parity",
     "stream_incremental_dedup", "stream_stateful_profile_parity",
-    "stream_index_update_parity",
+    "stream_index_update_parity", "stream_ann_index_parity",
 )
 
 

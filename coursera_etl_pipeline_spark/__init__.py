@@ -32,7 +32,13 @@ __all__ = [
     "jaccard_pairs_prefix",
     "minhash_index_artifacts",
     "minhash_index_update",
+    "minhash_index_delete",
+    "minhash_drop_ledger",
     "apply_index_increment",
+    "apply_index_delete",
+    "ivf_index_append",
+    "lsh_index_append",
+    "image_dhash",
     "dedup_survivors",
     "connected_components",
     "ann_topk_lsh",
@@ -60,7 +66,13 @@ def __getattr__(name):
         "jaccard_pairs_prefix": "llm_ops.dedup",
         "minhash_index_artifacts": "llm_ops.dedup",
         "minhash_index_update": "llm_ops.dedup",
+        "minhash_index_delete": "llm_ops.dedup",
+        "minhash_drop_ledger": "llm_ops.dedup",
         "apply_index_increment": "streaming.parity",
+        "apply_index_delete": "streaming.parity",
+        "ivf_index_append": "llm_ops.similarity",
+        "lsh_index_append": "llm_ops.similarity",
+        "image_dhash": "llm_ops.multimodal",
         "dedup_survivors": "llm_ops.clusters",
         "connected_components": "llm_ops.clusters",
         "ann_topk_lsh": "llm_ops.similarity",

@@ -326,6 +326,26 @@ N_CELLS = 16
 N_PROBE = 3
 
 
+def assign_to_centroids(emb: DataFrame, centroids: DataFrame,
+                        vec_col: str = "embedding") -> DataFrame:
+    """Nearest-centroid assignment against a FROZEN centroid table
+    (broadcast cross join + one window) — the per-row pure function
+    both the initial IVF build and every later append evaluate.
+    Extracted from ``ivf_assign`` in round 9 (byte-identical plan for
+    its callers); ``ivf_index_append`` reuses it so an append is, by
+    construction, the same function the rebuild would apply."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("vec_id").orderBy(F.desc("sim_to_centroid"), F.asc("cell_id"))
+    return (
+        emb.crossJoin(F.broadcast(centroids))
+        .withColumn("sim_to_centroid", cosine(vec_col, "cv"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", vec_col, "cell_id")
+    )
+
+
 def ivf_assign(emb: DataFrame, vec_col: str = "embedding",
                n_cells: int = N_CELLS) -> tuple[DataFrame, DataFrame]:
     """One-pass IVF index: the first n_cells corpus vectors (by vec_id)
@@ -333,20 +353,10 @@ def ivf_assign(emb: DataFrame, vec_col: str = "embedding",
     100 TB you'd train centroids offline on a sample and broadcast
     them, exactly as here); every vector is assigned to its nearest
     centroid via a broadcast cross join + one window."""
-    from pyspark.sql import Window as W
-
     centroids = (emb.orderBy("vec_id").limit(n_cells)
                  .select(F.col("vec_id").alias("cell_id"),
                          F.col(vec_col).alias("cv")))
-    w = W.partitionBy("vec_id").orderBy(F.desc("sim_to_centroid"), F.asc("cell_id"))
-    assigned = (
-        emb.crossJoin(F.broadcast(centroids))
-        .withColumn("sim_to_centroid", cosine(vec_col, "cv"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", vec_col, "cell_id")
-    )
-    return assigned, centroids
+    return assign_to_centroids(emb, centroids, vec_col), centroids
 
 
 def ann_topk_ivf(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES,
@@ -491,3 +501,80 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.round(F.count("_hit") * 1.0 / TOP_K, 6).alias("recall"))
     )
+
+
+# --- ANN index lifecycle: the append path (round 9) -------------------------
+#
+# What a production embedding store does on every ingest tick: new
+# vectors are assigned against the FROZEN centroid table (IVF) or the
+# constant hyperplanes (LSH) and their index rows appended — the
+# corpus is never re-assigned, centroids are never re-trained inline.
+# Because both signatures are per-row pure functions of (vector,
+# frozen parameters), append-equals-rebuild is a THEOREM here — the
+# oracle certifies the implementation actually has that shape (no
+# union-order dependence, no accidental centroid refresh from the
+# post-append corpus).
+
+ANN_BATCH_MOD = 10  # vec_id % 10 == 0 plays "this tick's new vectors"
+
+
+def ivf_index_append(batch_emb: DataFrame, centroids: DataFrame,
+                     assigned: DataFrame,
+                     vec_col: str = "embedding") -> DataFrame:
+    """index(t+1) = index(t) ∪ assign(batch, frozen centroids). The
+    existing assignment is untouched (append-only; in parquet terms a
+    blind directory append — no read-modify-write, so none of the
+    dedup lifecycle's cache-invalidation hazards apply)."""
+    return assigned.unionByName(
+        assign_to_centroids(batch_emb, centroids, vec_col))
+
+
+def lsh_index_append(batch_emb: DataFrame, banded: DataFrame,
+                     vec_col: str = "embedding") -> DataFrame:
+    """LSH twin of ``ivf_index_append``: band signatures come from
+    compile-time hyperplane constants, so an append IS the rebuild of
+    the batch slice. Kept as the explicit lifecycle verb so storage
+    code has one name per index family."""
+    return banded.unionByName(signatures(batch_emb, vec_col))
+
+
+def _duck_ivf_index_rebuild() -> str:
+    """Full-rebuild oracle of the post-append IVF index: centroids
+    frozen from the CORPUS slice (first N_CELLS by vec_id, exactly the
+    state at build time), every vector — corpus and batch alike —
+    assigned in one pass. A hash match against the Spark append plan
+    certifies append == rebuild."""
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cell_id, embedding AS cv
+      FROM embeddings WHERE vec_id % {ANN_BATCH_MOD} <> 0
+      ORDER BY vec_id LIMIT {N_CELLS}
+    )
+    SELECT vec_id, cell_id FROM (
+      SELECT e.vec_id, c.cell_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_duck_cosine('e.embedding', 'c.cv')} DESC,
+                        c.cell_id) AS rk
+      FROM embeddings e, cent c
+    ) WHERE rk = 1
+    """
+
+
+@query("similarity_index_update", oracle=_duck_ivf_index_rebuild())
+def similarity_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN index's append verb on the embeddings table: build the
+    IVF index over the 90% corpus slice (centroids = its first
+    N_CELLS vectors, frozen), then append this tick's batch
+    (vec_id % 10 == 0) via ``ivf_index_append``. The oracle assigns
+    ALL vectors against the same frozen centroids from scratch, so
+    the driver hash certifies the append path never re-derives
+    centroids from the grown corpus and never re-assigns old rows.
+
+    Scale shape: the append touches O(|batch| x n_cells) work under a
+    broadcast centroid table — corpus contact zero."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_batch = F.col("vec_id") % ANN_BATCH_MOD == 0
+    assigned_t, centroids = ivf_assign(emb.filter(~is_batch))
+    return (ivf_index_append(emb.filter(is_batch), centroids, assigned_t)
+            .select("vec_id", "cell_id"))

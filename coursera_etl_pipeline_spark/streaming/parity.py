@@ -588,3 +588,92 @@ def stream_index_update_parity(spark: SparkSession, sf_dir: str,
         result = _run_stream_index_update(spark, sf_dir)
         result.createOrReplaceTempView(name)
     return spark.table(name)
+
+
+# --- streamed ANN index maintenance (round 9) -------------------------------
+
+
+def apply_ann_index_increment(bdf: "DataFrame", centroid_dir: str,
+                              index_dir: str) -> None:
+    """One ANN-index append against parquet-backed storage: assign the
+    arriving embeddings to the FROZEN centroid table and append their
+    (vec_id, cell_id) rows. The foreachBatch unit of the streamed
+    lifecycle — and deliberately the simplest one in the family: the
+    append never READS index_dir (assignment depends only on the batch
+    and the frozen centroids), so it is a blind directory append with
+    none of the dedup increment's stage-then-commit obligations."""
+    from coursera_etl_pipeline_spark.llm_ops.similarity import (
+        assign_to_centroids,
+    )
+
+    centroids = bdf.sparkSession.read.parquet(centroid_dir)
+    (assign_to_centroids(bdf, centroids)
+     .select("vec_id", "cell_id")
+     .write.mode("append").parquet(index_dir))
+
+
+def _run_stream_ann_index_update(spark: SparkSession,
+                                 sf_dir: str) -> "DataFrame":
+    """Seed the IVF index from the frozen corpus slice, then let the
+    real micro-batch engine append the arriving vectors; returns the
+    final stored assignment."""
+    import tempfile
+
+    from coursera_etl_pipeline_spark.catalog import load_table
+    from coursera_etl_pipeline_spark.llm_ops.similarity import (
+        ANN_BATCH_MOD,
+        ivf_assign,
+    )
+
+    root = tempfile.mkdtemp(prefix="stream_ann_index_")
+    cent_dir, index_dir = f"{root}/centroids", f"{root}/index"
+    is_batch = F.col("vec_id") % ANN_BATCH_MOD == 0
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_assign(emb.filter(~is_batch))
+    centroids.write.parquet(cent_dir)
+    assigned.select("vec_id", "cell_id").write.parquet(index_dir)
+
+    schema = spark.read.parquet(table_path(sf_dir, "embeddings")).schema
+    src = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", "embeddings.parquet")
+           .parquet(sf_dir))
+    q = (src.filter(is_batch).writeStream
+         .foreachBatch(lambda bdf, _epoch:
+                       apply_ann_index_increment(bdf, cent_dir, index_dir))
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(index_dir)
+
+
+from coursera_etl_pipeline_spark.llm_ops.similarity import (  # noqa: E402
+    _duck_ivf_index_rebuild,
+)
+
+
+@query(
+    "stream_ann_index_parity",
+    # similarity_index_update's full-rebuild oracle: every vector
+    # assigned from scratch against the frozen corpus centroids
+    oracle=_duck_ivf_index_rebuild(),
+)
+def stream_ann_index_parity(spark: SparkSession, sf_dir: str,
+                            force: bool = False) -> DataFrame:
+    """The ANN index's append verb run by the REAL streaming engine:
+    arriving embeddings (the vec_id % 10 slice playing the ingest
+    tick) hit `foreachBatch`, are assigned against the centroid table
+    AS STORED (frozen at corpus build), and their index rows appended
+    to parquet — what a production embedding store does on every
+    ingest tick. The oracle is the from-scratch rebuild over frozen
+    centroids, so the driver hash certifies the streamed, storage-
+    mediated append equals the rebuild — including that no micro-batch
+    ever refreshed centroids from the grown corpus.
+
+    Scale posture: per tick O(|batch| x n_cells) against a broadcast
+    centroid table, blind parquet appends, zero corpus contact."""
+    name = "stream_annidx_" + re.sub(r"\W", "_", sf_dir).strip("_")
+    if _needs_run(spark, name, force):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        result = _run_stream_ann_index_update(spark, sf_dir)
+        result.createOrReplaceTempView(name)
+    return spark.table(name)

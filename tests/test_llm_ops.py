@@ -899,3 +899,43 @@ def test_dedup_image_dhash_recovers_planted_pairs(spark):
     got = {(r.doc_a, r.doc_b) for r in rows}
     assert got == {(2 * g, 2 * g + 1) for g in range(16)}
     assert all(r.hamming <= 6 for r in rows)
+
+
+def test_ivf_index_append_two_increments_equal_rebuild(spark, sf_dir):
+    """Chained ANN appends against frozen centroids must equal one
+    from-scratch assignment of the full set — including that neither
+    increment refreshes centroids from the grown corpus (the failure
+    mode the oracle certifies at driver level)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ten = F.col("vec_id") % 10
+    corpus = emb.filter(ten.isin(1, 2, 3, 4, 5, 6, 7))
+    b1 = emb.filter(ten.isin(0, 8))
+    b2 = emb.filter(ten == 9)
+
+    assigned, centroids = similarity.ivf_assign(corpus)
+    t1 = similarity.ivf_index_append(b1, centroids, assigned)
+    t2 = similarity.ivf_index_append(b2, centroids, t1)
+    got = sorted((r.vec_id, r.cell_id)
+                 for r in t2.select("vec_id", "cell_id").collect())
+
+    rebuilt = similarity.assign_to_centroids(emb, centroids)
+    want = sorted((r.vec_id, r.cell_id)
+                  for r in rebuilt.select("vec_id", "cell_id").collect())
+    assert got == want and len(got) == emb.count()
+
+
+def test_lsh_index_append_equals_rebuild(spark, sf_dir):
+    """The LSH band signature is a per-row pure function of constant
+    hyperplanes, so append == rebuild by construction — pinned anyway
+    so a future stateful signature (e.g. learned planes) cannot land
+    without updating the lifecycle contract."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ten = F.col("vec_id") % 10
+    corpus, batch = emb.filter(ten != 0), emb.filter(ten == 0)
+    appended = similarity.lsh_index_append(
+        batch, similarity.signatures(corpus))
+    cols = ["vec_id", "band0", "band1", "band2"]
+    got = sorted(tuple(r) for r in appended.select(*cols).collect())
+    want = sorted(tuple(r)
+                  for r in similarity.signatures(emb).select(*cols).collect())
+    assert got == want

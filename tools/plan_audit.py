@@ -72,6 +72,9 @@ ALLOWED = {
     # hamming join is pure built-ins (llm_ops/multimodal.image_dhash)
     ("dedup_image_dhash", "MapInPandas"),
     ("dedup_image_dhash", "ArrowEvalPython"),
+    # ANN index append: corpus x broadcast(n_cells frozen centroids),
+    # the same deliberate design as similarity_ann_ivf's assignment
+    ("similarity_index_update", "BroadcastNestedLoopJoin"),
 }
 
 NODES = (
@@ -90,6 +93,7 @@ EXECUTES_ON_BUILD = {"stream_batch_parity", "stream_dedup_parity",
                      "stream_incremental_dedup",
                      "stream_stateful_profile_parity",
                      "stream_index_update_parity",
+                     "stream_ann_index_parity",
                      "dedup_components", "dedup_clusters"}
 
 
