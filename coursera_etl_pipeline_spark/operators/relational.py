@@ -19,7 +19,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from coursera_etl_pipeline_spark.catalog import load_table, views
-from coursera_etl_pipeline_spark.registry import davg, dsum, query
+from coursera_etl_pipeline_spark.registry import (
+    davg,
+    dsum,
+    dsum_join,
+    dsum_split,
+    micros_expr,
+    query,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -58,18 +65,48 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from coursera_etl_pipeline_spark.catalog import fan_out
 
     li = fan_out(spark, li)
-    return (
+    # Three-stage split-BIGINT dsum (registry.micros_expr/dsum_split/
+    # dsum_join): each micros product is projected ONCE, the 8 heavy
+    # decimal partials become 10 codegen-fast BIGINT sums, and the
+    # exact recombination yields bit-identical doubles — 2.7x faster
+    # than the single-decimal form on this shape (registry.py round-9
+    # note); the oracle's plain-dsum SQL is unchanged.
+    measures = [
+        ("_mq", "l_quantity"),
+        ("_mp", "l_extendedprice"),
+        ("_md", "l_extendedprice * (1 - l_discount)"),
+        ("_mc", "l_extendedprice * (1 - l_discount) * (1 + l_tax)"),
+        ("_mx", "l_discount"),
+    ]
+    pre = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.expr(dsum("l_quantity")).alias("sum_qty"),
-            F.expr(dsum("l_extendedprice")).alias("sum_base_price"),
-            F.expr(dsum("l_extendedprice * (1 - l_discount)")).alias("sum_disc_price"),
-            F.expr(dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")).alias("sum_charge"),
-            F.expr(davg("l_quantity")).alias("avg_qty"),
-            F.expr(davg("l_extendedprice")).alias("avg_price"),
-            F.expr(davg("l_discount")).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+        .select("l_returnflag", "l_linestatus",
+                *[F.expr(micros_expr(sql)).alias(n) for n, sql in measures])
+    )
+    aggs = []
+    for n, _sql in measures:
+        hi, lo = dsum_split(n)
+        aggs += [F.expr(hi).alias(f"{n}_hi"), F.expr(lo).alias(f"{n}_lo")]
+    # davg divides by COUNT(col): the micros column is null exactly
+    # when its source expression is, so COUNT(micros) == COUNT(col)
+    aggs += [F.count("_mq").alias("_nq"), F.count("_mp").alias("_np"),
+             F.count("_mx").alias("_nx"), F.count(F.lit(1)).alias("count_order")]
+
+    def rec(n: str) -> str:
+        return dsum_join(f"{n}_hi", f"{n}_lo")
+
+    return (
+        pre.groupBy("l_returnflag", "l_linestatus").agg(*aggs)
+        .select(
+            "l_returnflag", "l_linestatus",
+            F.expr(rec("_mq")).alias("sum_qty"),
+            F.expr(rec("_mp")).alias("sum_base_price"),
+            F.expr(rec("_md")).alias("sum_disc_price"),
+            F.expr(rec("_mc")).alias("sum_charge"),
+            F.expr(f"{rec('_mq')} / _nq").alias("avg_qty"),
+            F.expr(f"{rec('_mp')} / _np").alias("avg_price"),
+            F.expr(f"{rec('_mx')} / _nx").alias("avg_disc"),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -419,18 +456,29 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB at sf10). count and decimal-sum are decomposable, so
     aggregate to the finest group first (one ordinary partial-agg'd
     shuffle, result ~|distinct group combos|), then cube the tiny
-    intermediate. Decimal addition is associative and the single cast
-    to double still happens once at the end, so the result is
-    bit-identical to the direct cube — same NULL-group semantics too,
-    since a data-NULL group is just another base row that the second
-    level groups/subtotals exactly as the direct plan would."""
+    intermediate. The sum is associative in exact integer micros and
+    the single cast to double still happens once at the end, so the
+    result is bit-identical to the direct cube — same NULL-group
+    semantics too, since a data-NULL group is just another base row
+    that the second level groups/subtotals exactly as the direct plan
+    would.
+
+    Round 9: the finest-group partial switched from the DECIMAL(38,0)
+    accumulator to the three-stage split-BIGINT form (registry
+    micros_expr/dsum_split/dsum_join — 1.87x faster on a 60M-row
+    replica of exactly this shape, same exact integer, oracle
+    unchanged); the tiny cube level re-sums the BIGINT partials and
+    recombines once."""
     li = load_table(spark, sf_dir, "lineitem")
-    base = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.expr(_micro_partial("l_quantity")).alias("_qty"))
+    hi, lo = dsum_split("_m")
+    base = (li.select("l_returnflag", "l_linestatus",
+                      F.expr(micros_expr("l_quantity")).alias("_m"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("_n"),
+                 F.expr(hi).alias("_hi"), F.expr(lo).alias("_lo")))
     return base.cube("l_returnflag", "l_linestatus").agg(
         F.sum("_n").alias("n"),
-        F.expr("CAST(SUM(_qty) AS DOUBLE) / 1000000").alias("qty"))
+        F.expr(dsum_join("SUM(_hi)", "SUM(_lo)")).alias("qty"))
 
 
 @query(
