@@ -46,12 +46,15 @@ _EDITED_THIS_ROUND = [
     # for plans that round-9 edits actually changed;
     # tests/test_entry_rotation.py derives helper consumers at runtime
     # and fails if a changed-helper user is missing.
-    # q1_pricing_summary / agg_cube: aggregates rewritten onto the
-    # three-stage split-BIGINT dsum (registry round-9 note) — values
-    # bit-identical (oracle-rechecked at all three fixture scales),
-    # but the PLANS changed, so both re-certify in the r9 window.
+    # q1_pricing_summary / agg_cube / agg_rollup / agg_grouping_sets:
+    # aggregates rewritten onto the three-stage split-BIGINT dsum
+    # (registry round-9 note) — values bit-identical (oracle-rechecked
+    # at all three fixture scales), but the PLANS changed, so all four
+    # re-certify in the r9 window.
     "q1_pricing_summary",
     "agg_cube",
+    "agg_rollup",
+    "agg_grouping_sets",
     # Round-9 carve-outs (files edited, NO forcing — each provably
     # leaves every registered result unchanged):
     #  - multimodal.py JPEG-EOI / MP3-ID3v1+footer header fixes

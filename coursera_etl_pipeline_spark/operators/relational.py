@@ -400,20 +400,6 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _micro_partial(col_sql: str) -> str:
-    """Finest-group partial for the two-level cube/rollup plans: the
-    SAME per-row micro-units transform as registry.dsum, summed exactly
-    in DECIMAL(38,0). The second level sums these integer partials and
-    applies dsum's identical final ops (decimal->double cast, /1e6), so
-    two-level == one-level bit-for-bit AT ANY MAGNITUDE — integer
-    addition is associative with no intermediate rounding, unlike the
-    earlier DECIMAL(38,6)-partials form whose final cast path could
-    double-round differently from the oracle once a subtotal passed
-    2^53 micro-units."""
-    return ("SUM(CAST(CAST(FLOOR((" + col_sql + ") * 1000000 + 0.5) AS BIGINT)"
-            " AS DECIMAL(38,0)))")
-
-
 @query(
     "agg_rollup",
     oracle=f"""
@@ -430,15 +416,17 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     |fact rows|. Decimal addition is associative, so the two-level
     sum is bit-identical to the direct rollup."""
     o = load_table(spark, sf_dir, "orders")
+    hi, lo = dsum_split("_m")
     base = (
-        o.withColumn("order_year", F.year("o_orderdate"))
+        o.select(F.year("o_orderdate").alias("order_year"), "o_orderstatus",
+                 F.expr(micros_expr("o_totalprice")).alias("_m"))
         .groupBy("order_year", "o_orderstatus")
         .agg(F.count(F.lit(1)).alias("_n"),
-             F.expr(_micro_partial("o_totalprice")).alias("_total"))
+             F.expr(hi).alias("_hi"), F.expr(lo).alias("_lo"))
     )
     return base.rollup("order_year", "o_orderstatus").agg(
         F.sum("_n").alias("n"),
-        F.expr("CAST(SUM(_total) AS DOUBLE) / 1000000").alias("total"))
+        F.expr(dsum_join("SUM(_hi)", "SUM(_lo)")).alias("total"))
 
 
 @query(
@@ -494,14 +482,18 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expand runs over the pre-aggregated (flag, status) combos, not the
     fact table."""
     views(spark, sf_dir, "lineitem")
+    hi, lo = dsum_split("_m")
     return spark.sql(f"""
-        WITH base AS (
+        WITH pre AS (
           SELECT l_returnflag, l_linestatus,
-                 {_micro_partial('l_extendedprice')} AS _price
-          FROM lineitem GROUP BY l_returnflag, l_linestatus
+                 {micros_expr('l_extendedprice')} AS _m
+          FROM lineitem
+        ), base AS (
+          SELECT l_returnflag, l_linestatus, {hi} AS _hi, {lo} AS _lo
+          FROM pre GROUP BY l_returnflag, l_linestatus
         )
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(_price) AS DOUBLE) / 1000000 AS price
+               {dsum_join('SUM(_hi)', 'SUM(_lo)')} AS price
         FROM base
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """)
