@@ -36,6 +36,7 @@ __all__ = [
     "minhash_drop_ledger",
     "apply_index_increment",
     "apply_index_delete",
+    "compact_index",
     "ivf_index_append",
     "lsh_index_append",
     "image_dhash",
@@ -70,6 +71,7 @@ def __getattr__(name):
         "minhash_drop_ledger": "llm_ops.dedup",
         "apply_index_increment": "streaming.parity",
         "apply_index_delete": "streaming.parity",
+        "compact_index": "streaming.parity",
         "ivf_index_append": "llm_ops.similarity",
         "lsh_index_append": "llm_ops.similarity",
         "image_dhash": "llm_ops.multimodal",

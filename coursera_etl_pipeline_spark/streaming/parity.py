@@ -677,3 +677,35 @@ def stream_ann_index_parity(spark: SparkSession, sf_dir: str,
         result = _run_stream_ann_index_update(spark, sf_dir)
         result.createOrReplaceTempView(name)
     return spark.table(name)
+
+
+def compact_index(spark: SparkSession, dirs: list[str],
+                  target_files: int = 4,
+                  staging_root: str | None = None) -> None:
+    """The COMPACT verb of the index lifecycle: every increment's
+    stage-then-commit append leaves one small parquet file-set per
+    batch, and a year of ingest ticks turns each index dir into
+    thousands of footer-read-dominated files. Compaction rewrites each
+    dir's CONTENT-IDENTICAL rows into `target_files` files — a pure
+    storage-layout verb, no row added, removed, or changed (pinned by
+    test_storage_compact_preserves_content_and_reduces_files).
+
+    Same stage-then-commit discipline as delete, for the same reason:
+    the rewrite reads the very dirs it overwrites. At 100 TB this is
+    the maintenance job a table format schedules automatically
+    (Iceberg rewrite_data_files / Delta OPTIMIZE); target_files maps
+    to max-file-size there, and compaction would additionally sort
+    within band buckets so the probe join's scan stays clustered."""
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="idx_compact_", dir=staging_root)
+    try:
+        for i, d in enumerate(dirs):
+            (spark.read.parquet(d).repartition(target_files)
+             .write.parquet(f"{stage}/{i}"))
+        for i, d in enumerate(dirs):
+            (spark.read.parquet(f"{stage}/{i}")
+             .write.mode("overwrite").parquet(d))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

@@ -349,3 +349,46 @@ def test_storage_append_then_delete_equals_rebuild(spark, tmp_path):
         == {(50, 40), (20, 21)}
     assert {r.doc_id for r in spark.read.parquet(dirs["tband"])
             .select("doc_id").distinct().collect()} == {50, 20}
+
+
+def test_storage_compact_preserves_content_and_reduces_files(spark, sf_dir, tmp_path):
+    """COMPACT is a pure storage-layout verb: after several appends the
+    index dirs hold one file-set per increment; compaction must leave
+    every row bit-identical while collapsing each dir to the target
+    file count — and the compacted store must still serve the next
+    increment correctly (the stored-state probe reads it)."""
+    import glob
+
+    from coursera_etl_pipeline_spark.llm_ops import dedup
+    from coursera_etl_pipeline_spark.streaming.parity import (
+        apply_index_increment,
+        compact_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    ten = F.col("doc_id") % 10
+    corpus = docs.filter(ten != 0)
+    c_post, c_band = dedup.minhash_index_artifacts(corpus)
+    post_dir, band_dir = str(tmp_path / "post"), str(tmp_path / "band")
+    c_post.write.parquet(post_dir)
+    c_band.write.parquet(band_dir)
+
+    # three appends -> three extra file-sets per dir
+    batch = docs.filter(ten == 0)
+    for lo, hi in [(0, 20), (20, 40), (40, 10**9)]:
+        apply_index_increment(
+            batch.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            post_dir, band_dir)
+    before_band = sorted(tuple(r) for r in spark.read.parquet(band_dir).collect())
+    before_post = sorted(tuple(r) for r in spark.read.parquet(post_dir).collect())
+    n_files_before = len(glob.glob(f"{band_dir}/*.parquet"))
+    assert n_files_before >= 4  # seed + one file-set per increment
+
+    compact_index(spark, [post_dir, band_dir], target_files=2)
+
+    assert sorted(tuple(r) for r in spark.read.parquet(band_dir).collect()) \
+        == before_band
+    assert sorted(tuple(r) for r in spark.read.parquet(post_dir).collect()) \
+        == before_post
+    assert len(glob.glob(f"{band_dir}/*.parquet")) <= 2
+    assert len(glob.glob(f"{post_dir}/*.parquet")) <= 2
