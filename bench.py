@@ -122,6 +122,7 @@ _exclude(
     "stream_batch_parity", "stream_dedup_parity",
     "stream_incremental_dedup", "stream_stateful_profile_parity",
     "stream_index_update_parity", "stream_ann_index_parity",
+    "stream_index_delete_parity",
 )
 
 

@@ -709,3 +709,102 @@ def compact_index(spark: SparkSession, dirs: list[str],
              .write.mode("overwrite").parquet(d))
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def _run_stream_index_delete(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """Full streamed lifecycle against parquet-backed storage: seed the
+    frozen corpus in the DELETE-capable layout, stream the arriving
+    batch through the increment (ledger + tombstones recorded), then
+    stream the takedown ids through the DELETE verb; returns the final
+    stored band index."""
+    import tempfile
+
+    from coursera_etl_pipeline_spark.catalog import load_table
+    from coursera_etl_pipeline_spark.llm_ops.dedup import (
+        INCREMENTAL_BATCH_MOD,
+        TAKEDOWN_RESIDUE,
+        _banded,
+        _materialize,
+        _signatures_from_shingles,
+        shingles,
+    )
+
+    root = tempfile.mkdtemp(prefix="stream_dedup_idxdel_")
+    dirs = {n: f"{root}/{n}" for n in ("post", "band", "ledger", "tpost", "tband")}
+    aux = (dirs["ledger"], dirs["tpost"], dirs["tband"])
+    is_batch = F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0
+    is_removed = F.col("doc_id") % INCREMENTAL_BATCH_MOD == TAKEDOWN_RESIDUE
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh_idx = _materialize(
+        shingles(docs)
+        .select("doc_id", F.size("_shingles").alias("nsh"),
+                F.explode("_shingles").alias("shingle")))
+    banded = _banded(_signatures_from_shingles(sh_idx))
+    sh_idx.filter(~is_batch).write.parquet(dirs["post"])
+    banded.filter(~is_batch).write.parquet(dirs["band"])
+    spark.createDataFrame([], "doc_id long, partner long") \
+        .write.parquet(dirs["ledger"])
+    sh_idx.limit(0).write.parquet(dirs["tpost"])
+    banded.limit(0).write.parquet(dirs["tband"])
+
+    schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    src = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", "documents.parquet")
+           .parquet(sf_dir))
+    # tick 1: the arriving batch, increment with ledger + tombstones
+    q = (src.filter(is_batch).writeStream
+         .foreachBatch(lambda bdf, _epoch: apply_index_increment(
+             bdf, dirs["post"], dirs["band"], aux_dirs=aux))
+         .option("checkpointLocation", f"{root}/ckpt_inc")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    # tick 2: the takedown feed — corpus doc ids to erase
+    q = (src.filter(is_removed).select("doc_id").writeStream
+         .foreachBatch(lambda bdf, _epoch: apply_index_delete(
+             bdf.sparkSession, bdf.select("doc_id"),
+             dirs["post"], dirs["band"], *aux))
+         .option("checkpointLocation", f"{root}/ckpt_del")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(dirs["band"])
+
+
+from coursera_etl_pipeline_spark.llm_ops.dedup import (  # noqa: E402
+    _duck_index_delete_oracle,
+)
+
+
+@query(
+    "stream_index_delete_parity",
+    # dedup_index_delete's oracle: the from-scratch rebuild over
+    # (corpus ∖ removed) ∪ batch with the increment's drop rule
+    # applied against the REMAINING corpus — resurrection included
+    oracle=_duck_index_delete_oracle(),
+)
+def stream_index_delete_parity(spark: SparkSession, sf_dir: str,
+                               force: bool = False) -> DataFrame:
+    """The DELETE verb run by the REAL streaming engine, chained after
+    a streamed increment against the same parquet store: micro-batch 1
+    ingests the arriving documents (ledger and tombstones recorded),
+    micro-batch 2 consumes the takedown feed (doc_id % 10 == 1) and
+    applies `apply_index_delete` — anti-join the removed docs' rows
+    and resurrect previously-dropped docs whose every justification
+    was removed, all through storage, stage-then-commit on every
+    read-modify-write. The oracle rebuilds from scratch over the
+    remaining corpus, so the driver hash certifies the streamed,
+    storage-mediated GDPR-erasure path equals a rebuild — the
+    strongest form of the r9 delete certification (the batch twin
+    `dedup_index_delete` holds intermediate state in memory; this one
+    round-trips every artifact through parquet between the verbs).
+
+    Scale posture: identical to the batch verbs per tick — the
+    takedown costs O(|removed| + touched ledger rows) in joins, plus
+    (plain-parquet only) the dir rewrite a table format would replace
+    with delete files."""
+    name = "stream_idxdel_" + re.sub(r"\W", "_", sf_dir).strip("_")
+    if _needs_run(spark, name, force):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        result = _run_stream_index_delete(spark, sf_dir)
+        result.createOrReplaceTempView(name)
+    return spark.table(name)

@@ -94,6 +94,7 @@ EXECUTES_ON_BUILD = {"stream_batch_parity", "stream_dedup_parity",
                      "stream_stateful_profile_parity",
                      "stream_index_update_parity",
                      "stream_ann_index_parity",
+                     "stream_index_delete_parity",
                      "dedup_components", "dedup_clusters"}
 
 
