@@ -109,6 +109,7 @@ _exclude(
     "dedup_components", "similarity_neardup_pairs",
     "multimodal_blob_metadata", "multimodal_resize",
     "dedup_image_dhash",  # fixed 32-image fixture: no scale signal
+    "dedup_image_clusters",  # same fixture, components of the above
     # CDC pair (merge shares the snapshot-join+window shape)
     "merge_upsert_snapshot", "scd2_versions",
 )

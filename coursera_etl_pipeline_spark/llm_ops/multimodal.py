@@ -603,15 +603,12 @@ def _dhash_fixture_dir() -> str:
     return d
 
 
-@query(
-    "dedup_image_dhash",
-    # the oracle recomputes every dHash from the fixture's closed form
-    # (sampled-grid pixel values -> comparison bits -> 32-bit halves)
-    # and takes the O(n^2) hamming join — exact at n=32; the Spark
-    # side must reproduce it bit-for-bit through REAL file ingest,
-    # pixel decode, and the banded candidate join
-    oracle=f"""
-    WITH imgs AS (
+def _duck_dhash_hashes() -> str:
+    """Closed-form DuckDB CTE chain ending in hashes(i, lo, hi) — the
+    fixture's sampled-grid pixels -> comparison bits -> 32-bit halves.
+    Shared by the pairs oracle and the clusters oracle (byte-identical
+    emission for the pre-existing registered SQL)."""
+    return f"""WITH imgs AS (
       SELECT CAST(i AS BIGINT) AS i, i // 2 AS g, i % 2 AS v
       FROM (SELECT unnest(range({N_DHASH_IMAGES})) AS i)
     ), dims AS (
@@ -646,7 +643,18 @@ def _dhash_fixture_dir() -> str:
                       THEN bit * CAST(pow(2, r * 8 + c - 32) AS BIGINT)
                       ELSE 0 END) AS hi
       FROM bits GROUP BY i
-    )
+    )"""
+
+
+@query(
+    "dedup_image_dhash",
+    # the oracle recomputes every dHash from the fixture's closed form
+    # (sampled-grid pixel values -> comparison bits -> 32-bit halves)
+    # and takes the O(n^2) hamming join — exact at n=32; the Spark
+    # side must reproduce it bit-for-bit through REAL file ingest,
+    # pixel decode, and the banded candidate join
+    oracle=f"""
+    {_duck_dhash_hashes()}
     SELECT a.i AS doc_a, b.i AS doc_b,
            CAST(bit_count(xor(a.lo, b.lo))
                 + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
@@ -701,3 +709,42 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cand.filter((F.col("ci") == first_zero)
                         & (hamming <= DHASH_MAX_HAMMING))
             .select("doc_a", "doc_b", hamming.cast("int").alias("hamming")))
+
+
+@query(
+    "dedup_image_clusters",
+    # the pairs oracle's closed-form hashes, then the same
+    # recursive-CTE transitive closure dedup_components pins: label =
+    # min reachable image index over the hamming<=threshold graph
+    oracle=f"""
+    {_duck_dhash_hashes().replace("WITH ", "WITH RECURSIVE ", 1)}, pairs AS (
+      SELECT a.i AS doc_a, b.i AS doc_b
+      FROM hashes a JOIN hashes b ON a.i < b.i
+      WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+            <= {DHASH_MAX_HAMMING}
+    ), edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(u, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+    )
+    SELECT u AS doc_id, MIN(r) AS component
+    FROM reach GROUP BY u
+    """,
+)
+def dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-IMAGE cluster labels: the dHash near-dup pair graph
+    resolved to connected components by the alternating-star algorithm
+    (llm_ops.clusters) — the same find-pairs -> resolve-clusters ->
+    keep-canonical pipeline a production image corpus runs, certified
+    end to end: mapInPandas pixel decode -> banded hamming join ->
+    ITERATIVE component labeling, against a recursive-CTE closure over
+    closed-form pixels. On the planted fixture the components are
+    exactly the 16 variant pairs."""
+    from coursera_etl_pipeline_spark.llm_ops.clusters import (
+        connected_components,
+    )
+
+    return connected_components(dedup_image_dhash(spark, sf_dir))

@@ -939,3 +939,16 @@ def test_lsh_index_append_equals_rebuild(spark, sf_dir):
     want = sorted(tuple(r)
                   for r in similarity.signatures(emb).select(*cols).collect())
     assert got == want
+
+
+def test_dedup_image_clusters_labels_planted_pairs(spark):
+    """Cluster labels over the dHash fixture: each of the 16 planted
+    variant pairs forms its own component labeled by the smaller
+    index; no cross-group edges exist (measured hamming separation),
+    so every image is labeled and there are exactly 16 components."""
+    from coursera_etl_pipeline_spark.llm_ops.multimodal import (
+        dedup_image_clusters,
+    )
+    rows = dedup_image_clusters(spark, "/unused").collect()
+    got = {r.doc_id: r.component for r in rows}
+    assert got == {i: (i // 2) * 2 for i in range(32)}

@@ -72,6 +72,8 @@ ALLOWED = {
     # hamming join is pure built-ins (llm_ops/multimodal.image_dhash)
     ("dedup_image_dhash", "MapInPandas"),
     ("dedup_image_dhash", "ArrowEvalPython"),
+    ("dedup_image_clusters", "MapInPandas"),
+    ("dedup_image_clusters", "ArrowEvalPython"),
     # ANN index append: corpus x broadcast(n_cells frozen centroids),
     # the same deliberate design as similarity_ann_ivf's assignment
     ("similarity_index_update", "BroadcastNestedLoopJoin"),
@@ -95,7 +97,8 @@ EXECUTES_ON_BUILD = {"stream_batch_parity", "stream_dedup_parity",
                      "stream_index_update_parity",
                      "stream_ann_index_parity",
                      "stream_index_delete_parity",
-                     "dedup_components", "dedup_clusters"}
+                     "dedup_components", "dedup_clusters",
+                     "dedup_image_clusters"}
 
 
 def formatted_plan(df) -> str:
