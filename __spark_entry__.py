@@ -80,6 +80,8 @@ _EDITED_THIS_ROUND = [
     #    the extraction emits byte-identical plans for
     #    dedup_index_update (pinned by the oracle gate re-run); the
     #    new dedup_index_delete query is likewise uncertified.
+    #  - similarity.py ivf_index_delete addition (late r9) is a pure
+    #    append: an anti-join verb no registered plan calls.
     #  - similarity.py assign_to_centroids extraction (the ANN append
     #    verb's shared assignment function): byte-identical plan for
     #    ivf_assign's callers — similarity_ann_ivf and

@@ -38,6 +38,7 @@ __all__ = [
     "apply_index_delete",
     "compact_index",
     "ivf_index_append",
+    "ivf_index_delete",
     "lsh_index_append",
     "image_dhash",
     "dedup_survivors",
@@ -73,6 +74,7 @@ def __getattr__(name):
         "apply_index_delete": "streaming.parity",
         "compact_index": "streaming.parity",
         "ivf_index_append": "llm_ops.similarity",
+        "ivf_index_delete": "llm_ops.similarity",
         "lsh_index_append": "llm_ops.similarity",
         "image_dhash": "llm_ops.multimodal",
         "dedup_survivors": "llm_ops.clusters",

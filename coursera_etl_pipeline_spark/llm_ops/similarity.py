@@ -578,3 +578,15 @@ def similarity_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned_t, centroids = ivf_assign(emb.filter(~is_batch))
     return (ivf_index_append(emb.filter(is_batch), centroids, assigned_t)
             .select("vec_id", "cell_id"))
+
+
+def ivf_index_delete(removed_ids: DataFrame,
+                     assigned: DataFrame) -> DataFrame:
+    """The ANN index's DELETE verb: one anti-join. Unlike the dedup
+    index there is nothing to resurrect — vectors are independent
+    (removing one never changes another's centroid assignment, since
+    centroids are frozen), so erasure is exactly the removed rows'
+    disappearance; delete == rebuild over the remainder is immediate
+    from per-row purity (pinned by test_ivf_index_delete_is_antijoin).
+    In a table format this emits O(|removed|) delete records."""
+    return assigned.join(removed_ids.select("vec_id"), "vec_id", "left_anti")

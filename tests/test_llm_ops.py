@@ -952,3 +952,62 @@ def test_dedup_image_clusters_labels_planted_pairs(spark):
     rows = dedup_image_clusters(spark, "/unused").collect()
     got = {r.doc_id: r.component for r in rows}
     assert got == {i: (i // 2) * 2 for i in range(32)}
+
+
+def test_ivf_index_delete_is_antijoin(spark, sf_dir):
+    """ANN delete == rebuild over the remainder: frozen centroids make
+    assignment per-row pure, so dropping the removed rows IS the
+    rebuild — pinned against assign-from-scratch on the remainder."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, centroids = similarity.ivf_assign(emb)
+    removed = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    after = similarity.ivf_index_delete(removed, assigned)
+    got = sorted((r.vec_id, r.cell_id)
+                 for r in after.select("vec_id", "cell_id").collect())
+    remainder = emb.filter(F.col("vec_id") % 7 != 0)
+    want = sorted((r.vec_id, r.cell_id)
+                  for r in similarity.assign_to_centroids(remainder, centroids)
+                  .select("vec_id", "cell_id").collect())
+    assert got == want
+
+
+def test_index_delete_empty_and_total_takedown(spark):
+    """DELETE verb edges: an empty takedown is the identity on every
+    artifact, and taking down ALL corpus docs resurrects exactly the
+    batch docs whose every justification was corpus-side — batch x
+    batch drops (smaller-id winner) survive takedowns untouched."""
+    rows = [(11, _uniq_doc(11)), (21, _uniq_doc(21)),
+            (10, _uniq_doc(11)),   # drops: dup of corpus 11
+            (20, _uniq_doc(21)),   # drops: dup of corpus 21
+            (40, _uniq_doc(40)),   # survives
+            (50, _uniq_doc(40))]   # drops: dup of smaller batch doc 40
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ten = F.col("doc_id") % 10
+    corpus, batch = docs.filter(ten != 0), docs.filter(ten == 0)
+    c_post, c_band = dedup.minhash_index_artifacts(corpus)
+    b_post, b_band = dedup.minhash_index_artifacts(batch)
+    ledger = dedup.minhash_drop_ledger(
+        b_band, c_band, c_post.unionByName(b_post))
+    dropped = ledger.select("doc_id").distinct()
+    survivors = batch.select("doc_id").join(dropped, "doc_id", "left_anti")
+    post_t1 = c_post.unionByName(b_post.join(survivors, "doc_id", "left_semi"))
+    index_t1 = c_band.unionByName(b_band.join(survivors, "doc_id", "left_semi"))
+    tomb_p = b_post.join(dropped, "doc_id", "left_semi")
+    tomb_b = b_band.join(dropped, "doc_id", "left_semi")
+
+    # empty takedown: identity
+    empty = spark.createDataFrame([], "doc_id long")
+    p0, i0, r0 = dedup.minhash_index_delete(
+        empty, post_t1, index_t1, ledger, tomb_p, tomb_b)
+    assert r0.count() == 0
+    assert (sorted(tuple(r) for r in i0.collect())
+            == sorted(tuple(r) for r in index_t1.collect()))
+
+    # total corpus takedown: 10 and 20 resurrect (corpus-justified),
+    # 50 stays dropped (justified by surviving batch doc 40)
+    all_corpus = corpus.select("doc_id")
+    _p, i1, r1 = dedup.minhash_index_delete(
+        all_corpus, post_t1, index_t1, ledger, tomb_p, tomb_b)
+    assert {r.doc_id for r in r1.collect()} == {10, 20}
+    final_ids = {r.doc_id for r in i1.select("doc_id").distinct().collect()}
+    assert final_ids == {10, 20, 40}
