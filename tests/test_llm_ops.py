@@ -1011,3 +1011,70 @@ def test_index_delete_empty_and_total_takedown(spark):
     assert {r.doc_id for r in r1.collect()} == {10, 20}
     final_ids = {r.doc_id for r in i1.select("doc_id").distinct().collect()}
     assert final_ids == {10, 20, 40}
+
+
+def test_index_delete_equals_rebuild_property(spark):
+    """Property: for RANDOM duplicate topologies and takedown subsets,
+    increment-then-delete equals the from-scratch rebuild whose drop
+    rule runs against the remaining corpus. Docs are unique-token
+    blocks (jaccard 1.0 within a content group, 0.0 across), so the
+    expected survivor set has a closed form in pure Python — the
+    Spark artifacts must match it row-for-row. Deterministic,
+    derandomized hypothesis (3 examples keeps the Spark round-trips
+    bounded); any found counterexample shrinks to a minimal topology."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    corpus_ids = [11, 21, 31, 41]
+    batch_ids = [10, 20, 30, 40]
+
+    @settings(max_examples=3, deadline=None, derandomize=True,
+              suppress_health_check=list(HealthCheck))
+    @given(groups=st.fixed_dictionaries(
+               {i: st.integers(0, 2) for i in corpus_ids + batch_ids}),
+           removed=st.sets(st.sampled_from(corpus_ids)))
+    def check(groups, removed):
+        docs = spark.createDataFrame(
+            [(i, _uniq_doc(groups[i])) for i in corpus_ids + batch_ids],
+            "doc_id long, text string")
+        ten = F.col("doc_id") % 10
+        corpus, batch = docs.filter(ten != 0), docs.filter(ten == 0)
+        c_post, c_band = dedup.minhash_index_artifacts(corpus)
+        b_post, b_band = dedup.minhash_index_artifacts(batch)
+        ledger = dedup.minhash_drop_ledger(
+            b_band, c_band, c_post.unionByName(b_post))
+        dropped_t1 = {r.doc_id for r in
+                      ledger.select("doc_id").distinct().collect()}
+        surv = spark.createDataFrame(
+            [(i,) for i in batch_ids if i not in dropped_t1], "doc_id long")
+        post_t1 = c_post.unionByName(b_post.join(surv, "doc_id", "left_semi"))
+        index_t1 = c_band.unionByName(b_band.join(surv, "doc_id", "left_semi"))
+        rm = spark.createDataFrame([(i,) for i in sorted(removed)] or
+                                   [], "doc_id long")
+        dropped_df = ledger.select("doc_id").distinct()
+        _p, new_index, _r = dedup.minhash_index_delete(
+            rm, post_t1, index_t1, ledger,
+            tombstone_postings=b_post.join(dropped_df, "doc_id", "left_semi"),
+            tombstone_index=b_band.join(dropped_df, "doc_id", "left_semi"))
+
+        # closed-form expected survivors of the rebuild over the
+        # remaining corpus: batch b drops iff a REMAINING corpus doc
+        # shares its group, or a smaller batch doc shares its group
+        # (pair-local rule — independent of that doc's own fate)
+        remaining = [c for c in corpus_ids if c not in removed]
+        expected = set(remaining)
+        for b in batch_ids:
+            corpus_hit = any(groups[c] == groups[b] for c in remaining)
+            batch_hit = any(groups[b2] == groups[b]
+                            for b2 in batch_ids if b2 < b)
+            if not corpus_hit and not batch_hit:
+                expected.add(b)
+        got_ids = {r.doc_id for r in
+                   new_index.select("doc_id").distinct().collect()}
+        assert got_ids == expected
+        rb_post, rb_band = dedup.minhash_index_artifacts(
+            docs.filter(F.col("doc_id").isin(sorted(expected))))
+        assert (sorted(tuple(r) for r in new_index.collect())
+                == sorted(tuple(r) for r in rb_band.collect()))
+
+    check()
