@@ -118,6 +118,11 @@ _exclude(
     "similarity_ann_recall", "similarity_ivf_recall",
 )
 _exclude(
+    "per-row-pure signature append; similarity_index_update is the "
+    "family's timed lifecycle row",
+    "similarity_lsh_index_update",
+)
+_exclude(
     "real-stream parity memoizes its memory sink (tableExists) — warm "
     "bench runs would time a cached-table read, not the stream",
     "stream_batch_parity", "stream_dedup_parity",

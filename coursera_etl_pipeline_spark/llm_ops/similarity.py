@@ -590,3 +590,36 @@ def ivf_index_delete(removed_ids: DataFrame,
     from per-row purity (pinned by test_ivf_index_delete_is_antijoin).
     In a table format this emits O(|removed|) delete records."""
     return assigned.join(removed_ids.select("vec_id"), "vec_id", "left_anti")
+
+
+@query(
+    "similarity_lsh_index_update",
+    # full-rebuild oracle: every vector's band signature from scratch
+    # (the hyperplanes are compile-time constants, so the frozen state
+    # is the code itself); hash match certifies the append emits the
+    # same rows the rebuild would
+    oracle=f"""
+    SELECT vec_id, band, bucket
+    FROM ({_duck_lsh_sig()})
+    """,
+)
+def similarity_lsh_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH band index's append verb: corpus signatures built at t,
+    this tick's batch (vec_id % 10 == 0) appended via
+    ``lsh_index_append`` — then flattened to the (vec_id, band,
+    bucket) rows the bucket-join probes. The hyperplane twin of
+    `similarity_index_update`, closing the ADVICE-named pair at
+    driver level; per-row purity makes append==rebuild a theorem, and
+    the certification pins that the implementation keeps that shape
+    (no signature version skew between corpus and batch paths)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_batch = F.col("vec_id") % ANN_BATCH_MOD == 0
+    idx = lsh_index_append(emb.filter(is_batch),
+                           signatures(emb.filter(~is_batch)))
+    return idx.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+            for b in range(N_BANDS_ANN)])).alias("bb"),
+    ).select("vec_id", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
