@@ -134,6 +134,13 @@ def davg(col_sql: str) -> str:
 # DECIMAL equals dsum's accumulator bit-for-bit — oracles keep using
 # plain dsum SQL unchanged.
 #
+# Round-10 candidates, deliberately NOT converted in round 9 (window
+# restraint — each conversion forces a re-certification slot): the
+# single-sum join queries q3/q5/q6/q10 and the streaming dsum users.
+# Their decimal partial is a smaller share of cost (join/scan
+# dominated), so convert only with an interleaved A/B showing a
+# per-row win, after the round-9 four hold driver-green rows.
+#
 # Overflow bounds (ANSI mode raises loudly, never wraps): SUM(lo)
 # overflows BIGINT at ~9.2e12 rows per group (sf ~1.5e6 for q1 — far
 # past the 100 TB target); SUM(hi) at a per-group value total of

@@ -1078,3 +1078,36 @@ def test_index_delete_equals_rebuild_property(spark):
                 == sorted(tuple(r) for r in rb_band.collect()))
 
     check()
+
+
+def test_media_header_parsers_total_on_garbage():
+    """Fuzz property (no Spark): the stdlib header parsers are TOTAL
+    over arbitrary bytes — they either return a dict/tuple or raise
+    the contractual ValueError / NotImplementedError, never an
+    IndexError/KeyError/struct error from unguarded byte indexing.
+    Magic-prefixed variants steer the fuzz into each format's deeper
+    branches (marker walks, syncsafe sizes, header token scans)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    prefixes = [b"", b"\xff\xd8", b"ID3", b"RIFF", b"\x89PNG\r\n\x1a\n",
+                b"GIF89a", b"BM", b"P5\n", b"P6\n", b"P6 # c\n",
+                b"ID3\x04\x00\x10", b"\xff\xfb"]
+
+    @settings(max_examples=300, deadline=None, derandomize=True)
+    @given(prefix=st.sampled_from(prefixes),
+           tail=st.binary(min_size=0, max_size=64))
+    def check(prefix, tail):
+        payload = prefix + tail
+        for mt in ("image/jpeg", "audio/mp3", "audio/wav", "image/png",
+                   "image/gif", "image/bmp", "image/ppm", "image/pgm"):
+            try:
+                multimodal.decode_media(payload, mt)
+            except (ValueError, NotImplementedError):
+                pass  # the contract
+        try:
+            multimodal._parse_netpbm_raw(payload)
+        except (ValueError, NotImplementedError):
+            pass
+
+    check()
