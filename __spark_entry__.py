@@ -39,55 +39,14 @@ _EDITED_THIS_ROUND = [
     # Queries whose implementing FILE changed this round: their recorded
     # green rows predate the change, so they outrank everything the history
     # says is current.  Update per round alongside the round's edits.
-    # Round 9 continues the restraint discipline (VERDICT r8 item 1):
-    # the 7 r6-certified queries plus the 47-strong r7 cohort are the
-    # stale set; new queries (never certified) lead automatically
-    # without needing entries here.  Entries are appended below ONLY
-    # for plans that round-9 edits actually changed;
-    # tests/test_entry_rotation.py derives helper consumers at runtime
-    # and fails if a changed-helper user is missing.
-    # q1_pricing_summary / agg_cube / agg_rollup / agg_grouping_sets:
-    # aggregates rewritten onto the three-stage split-BIGINT dsum
-    # (registry round-9 note) — values bit-identical (oracle-rechecked
-    # at all three fixture scales), but the PLANS changed, so all four
-    # re-certify in the r9 window.
-    "q1_pricing_summary",
-    "agg_cube",
-    "agg_rollup",
-    "agg_grouping_sets",
-    # Round-9 carve-outs (files edited, NO forcing — each provably
-    # leaves every registered result unchanged):
-    #  - multimodal.py JPEG-EOI / MP3-ID3v1+footer header fixes
-    #    (ADVICE r8 item 4): neither registered multimodal query
-    #    decodes JPEG/MP3 (blob_metadata is the metadata slice,
-    #    resize is netpbm-only); pytest covers the fixes.
-    #  - skew.py hot_keys exact-by-default (ADVICE r8 item 2):
-    #    salted_join_hotkey opts into the same 5% sampled detection
-    #    explicitly, so join_salted_skew's plan is byte-identical.
-    #  - plans/pipeline.py latest_response streaming gate + frozen-at-
-    #    construction docstring (ADVICE r8 item 3): batch path — the
-    #    only registered path — unchanged.
-    #  - streaming/parity.py commit-order swap, postings before band
-    #    rows (ADVICE r8 item 1): same rows written to the same dirs;
-    #    stream_index_update_parity's returned frame reads band_dir
-    #    whose content is unchanged.
-    #  - multimodal.py dHash addition (image_dhash/_dhash_fixture_dir/
-    #    dedup_image_dhash) is pure append: no existing multimodal
-    #    plan touches the new code, and the new query is uncertified
-    #    so it leads the window without an entry here.
-    #  - dedup.py delete-verb addition (_increment_drop_candidates
-    #    extraction + minhash_drop_ledger/minhash_index_delete):
-    #    the extraction emits byte-identical plans for
-    #    dedup_index_update (pinned by the oracle gate re-run); the
-    #    new dedup_index_delete query is likewise uncertified.
-    #  - similarity.py ivf_index_delete addition (late r9) is a pure
-    #    append: an anti-join verb no registered plan calls.
-    #  - similarity.py assign_to_centroids extraction (the ANN append
-    #    verb's shared assignment function): byte-identical plan for
-    #    ivf_assign's callers — similarity_ann_ivf and
-    #    similarity_ivf_recall oracle-rechecked at sf0.001+sf0.01
-    #    post-change; similarity_index_update/stream_ann_index_parity
-    #    are new (uncertified, lead automatically).
+    # Round 10 continues the restraint discipline: the stalest cohort
+    # (the 11 r7-green rows) leads automatically via _latest_green;
+    # new queries (never certified) lead without entries here.
+    # similarity_lsh_index_update: the r9 red row — bucket CAST to
+    # BIGINT on both the Spark select and the oracle's outer select
+    # (HUGEINT/int32 value-type divergence, VERDICT r9 item 1).
+    # Never green, so it leads anyway; listed for the audit trail.
+    "similarity_lsh_index_update",
 ]
 
 

@@ -597,9 +597,16 @@ def ivf_index_delete(removed_ids: DataFrame,
     # full-rebuild oracle: every vector's band signature from scratch
     # (the hyperplanes are compile-time constants, so the frozen state
     # is the code itself); hash match certifies the append emits the
-    # same rows the rebuild would
+    # same rows the rebuild would. The bucket is CAST to BIGINT on
+    # BOTH engines: DuckDB's list_sum over BIGINT terms widens to
+    # HUGEINT while Spark's bit*2^j sum is a plain int — the first
+    # registered query exposing a raw bucket as output hit exactly
+    # that value-TYPE divergence under the driver's hash (r9 red row;
+    # the green LSH queries only consume buckets inside a join). The
+    # cast is applied here, not inside the shared _duck_lsh_sig, so
+    # the green consumers' oracle text stays byte-identical.
     oracle=f"""
-    SELECT vec_id, band, bucket
+    SELECT vec_id, band, CAST(bucket AS BIGINT) AS bucket
     FROM ({_duck_lsh_sig()})
     """,
 )
@@ -622,4 +629,4 @@ def similarity_lsh_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
             for b in range(N_BANDS_ANN)])).alias("bb"),
     ).select("vec_id", F.col("bb.band").alias("band"),
-             F.col("bb.bucket").alias("bucket"))
+             F.col("bb.bucket").cast("bigint").alias("bucket"))
