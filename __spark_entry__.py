@@ -47,6 +47,20 @@ _EDITED_THIS_ROUND = [
     # (HUGEINT/int32 value-type divergence, VERDICT r9 item 1).
     # Never green, so it leads anyway; listed for the audit trail.
     "similarity_lsh_index_update",
+    # Round-10 carve-outs (files edited, NO forcing — each provably
+    # leaves every registered result unchanged):
+    #  - multimodal.py ID3v1 trailer length guard (ADVICE r9): no
+    #    registered query decodes MP3 (blob_metadata slices metadata
+    #    of the fixture formats, resize/dHash are netpbm-only);
+    #    pytest covers the decode path.
+    #  - streaming/parity.py apply_index_delete removed-ids
+    #    validation + staged-state preservation on failed commits
+    #    (ADVICE r9): stream_index_delete_parity's returned frame and
+    #    values are unchanged (validation is a side count that passes
+    #    for the registered takedown slice; the staging change only
+    #    alters the FAILURE path) — oracle-rechecked at sf0.01
+    #    post-change alongside dedup_index_delete and
+    #    stream_index_update_parity.
 ]
 
 

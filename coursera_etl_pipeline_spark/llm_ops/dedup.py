@@ -853,6 +853,14 @@ def minhash_index_delete(removed_ids: DataFrame,
     or removes another doc's justification (pinned by
     test_index_delete_resurrection_matches_rebuild).
 
+    CONTRACT: ``removed_ids`` must be docs the index actually holds
+    (corpus rows or admitted survivors). Passing a dropped/unknown id
+    is a misuse this pure-plan verb cannot itself detect cheaply — it
+    would leave stale ledger rows keyed by that id and diverge from a
+    rebuild. The storage layer enforces it loudly
+    (``streaming.parity.apply_index_delete`` anti-joins removed_ids
+    against the stored band index and raises on any miss).
+
     100 TB posture: cost is O(|removed| + |ledger rows touching
     removed|) — three anti/semi joins against a broadcast-size removed
     set; the corpus artifacts are touched only to filter the removed

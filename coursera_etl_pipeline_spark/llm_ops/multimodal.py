@@ -160,7 +160,12 @@ def _decode_mp3_header(payload: bytes, n_bytes: int) -> dict:
     rate = _MP3_RATES[version][rate_idx]
     channels = 1.0 if (h[3] >> 6) & 0x3 == 0x3 else 2.0
     samples_per_frame = 1152 if version == 3 else 576
-    tail = 128 if payload[-128:-125] == b"TAG" else 0  # ID3v1 trailer
+    # ID3v1 trailer: only when a full 128-byte block fits AFTER the
+    # first frame header — for shorter payloads the [-128:] window
+    # overlaps the ID3v2 header region and a byte-coincidence "TAG"
+    # would undercount audio_bytes (clamped to 0)
+    tail = (128 if len(payload) - 128 >= off + 4
+            and payload[-128:-125] == b"TAG" else 0)
     audio_bytes = max(n_bytes - off - tail, 0)
     duration = audio_bytes * 8 / bitrate
     return {"kind": "audio", "channels": channels,

@@ -26,6 +26,7 @@ on a 1000-executor cluster against a landing zone.
 from __future__ import annotations
 
 import re
+import sys
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -314,7 +315,20 @@ def stream_stateful_profile_parity(spark: SparkSession, sf_dir: str,
 
 def _run_stream_index_update(spark: SparkSession, sf_dir: str) -> "DataFrame":
     """One streamed increment of the dedup-index lifecycle against
-    parquet-backed index storage; returns the final band index."""
+    parquet-backed index storage; returns the final band index.
+
+    SINGLE-MICRO-BATCH ASSUMPTION (ADVICE r9): the fixture is one
+    parquet file, so availableNow delivers the whole batch slice as
+    ONE micro-batch — exactly the one-increment split the rebuild
+    oracle computes. If the source ever split the slice (multi-file
+    landing zone, or an explicit maxFilesPerTrigger), each micro-batch
+    would be its OWN increment probing the previous ones' appends, and
+    the batch-x-batch drop-larger-id rule would become arrival-order-
+    dependent — a different (still self-consistent) lifecycle whose
+    result the single-increment oracle does not describe. The parity
+    therefore pins the one-tick semantics; multi-tick sequencing is
+    pinned separately by
+    test_stream_index_update_multi_batch_append_equals_rebuild."""
     import tempfile
 
     from coursera_etl_pipeline_spark.catalog import load_table
@@ -512,6 +526,23 @@ def apply_index_delete(spark: SparkSession, removed_ids: "DataFrame",
     )
 
     s = spark
+    removed = removed_ids.select("doc_id")
+    # Contract enforcement (ADVICE r9): removed_ids must be docs the
+    # store actually INDEXES (corpus rows or admitted survivors).
+    # Passing a dropped/unknown id would silently leave stale ledger
+    # rows keyed by it — a later takedown of its partners would then
+    # "resurrect" a doc the caller meant to erase. The check is one
+    # count over an anti-join against the (broadcast-size) removed
+    # set; a maintenance verb can afford the extra job to fail loudly.
+    n_unindexed = (removed
+                   .join(s.read.parquet(band_dir).select("doc_id"),
+                         "doc_id", "left_anti").count())
+    if n_unindexed:
+        raise ValueError(
+            f"apply_index_delete: {n_unindexed} removed doc_id(s) are "
+            "not in the stored band index — only indexed (corpus or "
+            "surviving) docs can be taken down; dropped docs are "
+            "already absent and must not leave stale ledger rows")
     new_post, new_index, resurrected = minhash_index_delete(
         removed_ids,
         postings=s.read.parquet(post_dir),
@@ -519,7 +550,6 @@ def apply_index_delete(spark: SparkSession, removed_ids: "DataFrame",
         drop_ledger=s.read.parquet(ledger_dir),
         tombstone_postings=s.read.parquet(tomb_post_dir),
         tombstone_index=s.read.parquet(tomb_band_dir))
-    removed = removed_ids.select("doc_id")
     rem_partner = removed.withColumnRenamed("doc_id", "partner")
     new_ledger = (s.read.parquet(ledger_dir)
                   .join(rem_partner, "partner", "left_anti")
@@ -542,8 +572,15 @@ def apply_index_delete(spark: SparkSession, removed_ids: "DataFrame",
         for _frame, name, dest in targets:
             (s.read.parquet(f"{stage}/{name}")
              .write.mode("overwrite").parquet(dest))
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
+    except BaseException:
+        # KEEP the staging dir (ADVICE r9): each commit is an
+        # overwrite, which deletes the destination before writing —
+        # a crash mid-commit can leave a destination dir partial, and
+        # the staged new state is then the only recoverable copy.
+        print(f"apply_index_delete: commit failed; staged index states "
+              f"preserved at {stage} for recovery", file=sys.stderr)
+        raise
+    shutil.rmtree(stage, ignore_errors=True)
 
 
 from coursera_etl_pipeline_spark.llm_ops.dedup import (  # noqa: E402
@@ -707,8 +744,14 @@ def compact_index(spark: SparkSession, dirs: list[str],
         for i, d in enumerate(dirs):
             (spark.read.parquet(f"{stage}/{i}")
              .write.mode("overwrite").parquet(d))
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
+    except BaseException:
+        # same recovery posture as apply_index_delete: the commits are
+        # overwrites, so a mid-commit crash leaves the staged rewrite
+        # as the only complete copy — keep it and say where it is
+        print(f"compact_index: commit failed; staged rewrites "
+              f"preserved at {stage} for recovery", file=sys.stderr)
+        raise
+    shutil.rmtree(stage, ignore_errors=True)
 
 
 def _run_stream_index_delete(spark: SparkSession, sf_dir: str) -> "DataFrame":
@@ -716,7 +759,8 @@ def _run_stream_index_delete(spark: SparkSession, sf_dir: str) -> "DataFrame":
     frozen corpus in the DELETE-capable layout, stream the arriving
     batch through the increment (ledger + tombstones recorded), then
     stream the takedown ids through the DELETE verb; returns the final
-    stored band index."""
+    stored band index. Same single-micro-batch-per-tick assumption as
+    ``_run_stream_index_update`` (which see), one tick per verb."""
     import tempfile
 
     from coursera_etl_pipeline_spark.catalog import load_table
