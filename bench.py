@@ -58,6 +58,7 @@ HEADLINE = [
     "dedup_index_update",        # index append + rebuild-equivalence
     "dedup_index_delete",        # index takedown + ledger resurrection
     "similarity_index_update",   # ANN index append vs frozen centroids
+    "similarity_index_delete",   # ANN index takedown (anti-join rewrite)
 ]
 
 
@@ -128,7 +129,8 @@ _exclude(
     "stream_batch_parity", "stream_dedup_parity",
     "stream_incremental_dedup", "stream_stateful_profile_parity",
     "stream_index_update_parity", "stream_ann_index_parity",
-    "stream_index_delete_parity",
+    "stream_index_delete_parity", "stream_ann_index_delete_parity",
+    "dedup_index_compact",
 )
 
 

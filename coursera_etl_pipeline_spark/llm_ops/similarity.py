@@ -592,6 +592,62 @@ def ivf_index_delete(removed_ids: DataFrame,
     return assigned.join(removed_ids.select("vec_id"), "vec_id", "left_anti")
 
 
+ANN_TAKEDOWN_RESIDUE = 1  # vec_id % 10 == 1 plays "today's takedown slice"
+
+
+def _duck_ivf_remainder_rebuild() -> str:
+    """Rebuild-over-remainder oracle of the post-delete IVF index:
+    centroids stay FROZEN from the original corpus slice (first
+    N_CELLS by vec_id — including any whose source vector is later
+    taken down: a centroid is a trained parameter of the index, not
+    the document itself, exactly as an offline-trained k-means
+    codebook survives deletions of its training rows), and every
+    remaining vector is assigned in one pass. A hash match against
+    the Spark anti-join plan certifies delete == rebuild over the
+    remainder."""
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cell_id, embedding AS cv
+      FROM embeddings WHERE vec_id % {ANN_BATCH_MOD} <> 0
+      ORDER BY vec_id LIMIT {N_CELLS}
+    )
+    SELECT vec_id, cell_id FROM (
+      SELECT e.vec_id, c.cell_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_duck_cosine('e.embedding', 'c.cv')} DESC,
+                        c.cell_id) AS rk
+      FROM embeddings e, cent c
+      WHERE e.vec_id % {ANN_BATCH_MOD} <> {ANN_TAKEDOWN_RESIDUE}
+    ) WHERE rk = 1
+    """
+
+
+@query("similarity_index_delete", oracle=_duck_ivf_remainder_rebuild())
+def similarity_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-then-takedown on the embeddings table: build the IVF
+    index over the 90% corpus slice, append this tick's batch
+    (vec_id % 10 == 0) via ``ivf_index_append``, then take down the
+    vec_id % 10 == 1 corpus slice via ``ivf_index_delete`` — the ANN
+    family's driver-certified DELETE row, completing the lifecycle
+    verb-for-verb with the dedup family (append r9, delete here).
+    The oracle assigns the REMAINDER from scratch against the same
+    frozen centroids, so the hash certifies delete == rebuild — in
+    particular that no code path re-derives centroids from the
+    post-delete corpus.
+
+    Scale shape: the takedown is one anti-join against a
+    broadcast-size removed set — O(|removed|) delete records in a
+    table format, zero corpus recompute."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_batch = F.col("vec_id") % ANN_BATCH_MOD == 0
+    is_removed = F.col("vec_id") % ANN_BATCH_MOD == ANN_TAKEDOWN_RESIDUE
+    assigned_t, centroids = ivf_assign(emb.filter(~is_batch))
+    idx_t1 = ivf_index_append(emb.filter(is_batch), centroids, assigned_t)
+    return (ivf_index_delete(emb.filter(is_removed).select("vec_id"), idx_t1)
+            .select("vec_id", "cell_id"))
+
+
 @query(
     "similarity_lsh_index_update",
     # full-rebuild oracle: every vector's band signature from scratch

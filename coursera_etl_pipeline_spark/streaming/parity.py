@@ -754,6 +754,196 @@ def compact_index(spark: SparkSession, dirs: list[str],
     shutil.rmtree(stage, ignore_errors=True)
 
 
+def apply_ann_index_delete(spark: SparkSession, removed_ids: "DataFrame",
+                           index_dir: str,
+                           staging_root: str | None = None) -> None:
+    """The ANN index's DELETE verb against parquet-backed storage: one
+    anti-join rewrite (llm_ops.similarity.ivf_index_delete — vectors
+    are independent, nothing resurrects). Same contract enforcement
+    and recovery posture as ``apply_index_delete``: removed ids must
+    be indexed, and the staging copy survives a failed commit."""
+    import shutil
+    import tempfile
+
+    from coursera_etl_pipeline_spark.llm_ops.similarity import (
+        ivf_index_delete,
+    )
+
+    s = spark
+    removed = removed_ids.select("vec_id")
+    n_unindexed = (removed
+                   .join(s.read.parquet(index_dir).select("vec_id"),
+                         "vec_id", "left_anti").count())
+    if n_unindexed:
+        raise ValueError(
+            f"apply_ann_index_delete: {n_unindexed} removed vec_id(s) "
+            "are not in the stored index — only indexed vectors can "
+            "be taken down")
+    new_index = ivf_index_delete(removed, s.read.parquet(index_dir))
+    stage = tempfile.mkdtemp(prefix="ann_idx_del_", dir=staging_root)
+    try:
+        new_index.write.parquet(f"{stage}/index")
+        (s.read.parquet(f"{stage}/index")
+         .write.mode("overwrite").parquet(index_dir))
+    except BaseException:
+        print(f"apply_ann_index_delete: commit failed; staged index "
+              f"preserved at {stage} for recovery", file=sys.stderr)
+        raise
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def _run_stream_ann_index_delete(spark: SparkSession,
+                                 sf_dir: str) -> "DataFrame":
+    """Full streamed ANN lifecycle against parquet storage: seed the
+    corpus index, stream the append tick (blind per-tick appends),
+    stream the takedown tick through the DELETE verb, then COMPACT the
+    accumulated file sets — content-identical rewrite closing the
+    small-file debt the blind appends build up at one tick per cron
+    run. Returns the final stored assignment. Same single-micro-batch-
+    per-tick assumption as ``_run_stream_index_update``."""
+    import tempfile
+
+    from coursera_etl_pipeline_spark.catalog import load_table
+    from coursera_etl_pipeline_spark.llm_ops.similarity import (
+        ANN_BATCH_MOD,
+        ANN_TAKEDOWN_RESIDUE,
+        ivf_assign,
+    )
+
+    root = tempfile.mkdtemp(prefix="stream_ann_idxdel_")
+    cent_dir, index_dir = f"{root}/centroids", f"{root}/index"
+    is_batch = F.col("vec_id") % ANN_BATCH_MOD == 0
+    is_removed = F.col("vec_id") % ANN_BATCH_MOD == ANN_TAKEDOWN_RESIDUE
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_assign(emb.filter(~is_batch))
+    centroids.write.parquet(cent_dir)
+    assigned.select("vec_id", "cell_id").write.parquet(index_dir)
+
+    schema = spark.read.parquet(table_path(sf_dir, "embeddings")).schema
+    src = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", "embeddings.parquet")
+           .parquet(sf_dir))
+    # tick 1: the arriving batch, appended against frozen centroids
+    q = (src.filter(is_batch).writeStream
+         .foreachBatch(lambda bdf, _epoch:
+                       apply_ann_index_increment(bdf, cent_dir, index_dir))
+         .option("checkpointLocation", f"{root}/ckpt_inc")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    # tick 2: the takedown feed — corpus vec_ids to erase
+    q = (src.filter(is_removed).select("vec_id").writeStream
+         .foreachBatch(lambda bdf, _epoch: apply_ann_index_delete(
+             bdf.sparkSession, bdf.select("vec_id"), index_dir))
+         .option("checkpointLocation", f"{root}/ckpt_del")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    # maintenance: compact the delta file sets; content-identical
+    compact_index(spark, [index_dir], target_files=4)
+    return spark.read.parquet(index_dir)
+
+
+from coursera_etl_pipeline_spark.llm_ops.similarity import (  # noqa: E402
+    _duck_ivf_remainder_rebuild,
+)
+
+
+@query(
+    "stream_ann_index_delete_parity",
+    # similarity_index_delete's oracle: the remainder assigned from
+    # scratch against the FROZEN corpus centroids
+    oracle=_duck_ivf_remainder_rebuild(),
+)
+def stream_ann_index_delete_parity(spark: SparkSession, sf_dir: str,
+                                   force: bool = False) -> DataFrame:
+    """The ANN DELETE verb run by the REAL streaming engine, chained
+    after a streamed append against the same parquet store, then
+    COMPACTED: micro-batch 1 appends the arriving vectors (blind
+    per-tick appends against frozen centroids), micro-batch 2 consumes
+    the takedown feed (vec_id % 10 == 1) and applies
+    `apply_ann_index_delete` (anti-join rewrite, stage-then-commit),
+    and `compact_index` then rewrites the accumulated small files into
+    a bounded file set. The oracle rebuilds the remainder from
+    scratch, so one hash certifies BOTH maintenance verbs through
+    storage: the delete removed exactly the right rows, and compaction
+    changed layout without touching content — closing the ANN
+    lifecycle (append r9, delete + compact here) verb-for-verb with
+    the dedup family.
+
+    Scale posture: per tick O(|batch| x n_cells) appends /
+    O(|removed|) delete records; compaction is the maintenance job a
+    table format schedules automatically (file-count reduction pinned
+    by pytest, content by this oracle)."""
+    name = "stream_annidxdel_" + re.sub(r"\W", "_", sf_dir).strip("_")
+    if _needs_run(spark, name, force):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        result = _run_stream_ann_index_delete(spark, sf_dir)
+        result.createOrReplaceTempView(name)
+    return spark.table(name)
+
+
+def _run_dedup_index_compact(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """Batch-side increment-then-compact against parquet storage: seed
+    the frozen corpus artifacts, apply one increment (appending one
+    delta file-set per dir — the state a tick of ingest leaves), then
+    COMPACT both dirs and return the stored band index."""
+    import tempfile
+
+    from coursera_etl_pipeline_spark.catalog import load_table
+    from coursera_etl_pipeline_spark.llm_ops.dedup import (
+        INCREMENTAL_BATCH_MOD,
+        _banded,
+        _materialize,
+        _signatures_from_shingles,
+        shingles,
+    )
+
+    root = tempfile.mkdtemp(prefix="dedup_idx_compact_")
+    post_dir, band_dir = f"{root}/post", f"{root}/band"
+    is_batch = F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh_idx = _materialize(
+        shingles(docs)
+        .select("doc_id", F.size("_shingles").alias("nsh"),
+                F.explode("_shingles").alias("shingle")))
+    banded = _banded(_signatures_from_shingles(sh_idx))
+    sh_idx.filter(~is_batch).write.parquet(post_dir)
+    banded.filter(~is_batch).write.parquet(band_dir)
+    apply_index_increment(docs.filter(is_batch), post_dir, band_dir)
+    compact_index(spark, [post_dir, band_dir], target_files=2)
+    return spark.read.parquet(band_dir)
+
+
+@query(
+    "dedup_index_compact",
+    # dedup_index_update's full-rebuild oracle: compaction must be
+    # content-invisible, so the post-compact store hashes equal to the
+    # from-scratch rebuild of the post-increment index
+    oracle=_duck_index_update_oracle(),
+)
+def dedup_index_compact(spark: SparkSession, sf_dir: str,
+                        force: bool = False) -> DataFrame:
+    """The COMPACT verb of the dedup-index lifecycle at driver level:
+    one increment appends its delta file-set to the parquet store
+    (exactly what every ingest tick does), then `compact_index`
+    rewrites both artifact dirs into a bounded file count. Returning
+    the post-compact band index under `dedup_index_update`'s
+    full-rebuild oracle certifies compaction is a pure storage-layout
+    verb — no row added, removed, or changed — while the file-count
+    reduction itself is pinned by
+    test_storage_compact_preserves_content_and_reduces_files.
+
+    At 100 TB this is Iceberg rewrite_data_files / Delta OPTIMIZE,
+    scheduled after every N ticks; without it a year of daily appends
+    leaves ~365 footer-read-dominated file-sets per artifact dir."""
+    name = "dedup_idxcompact_" + re.sub(r"\W", "_", sf_dir).strip("_")
+    if _needs_run(spark, name, force):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        result = _run_dedup_index_compact(spark, sf_dir)
+        result.createOrReplaceTempView(name)
+    return spark.table(name)
+
+
 def _run_stream_index_delete(spark: SparkSession, sf_dir: str) -> "DataFrame":
     """Full streamed lifecycle against parquet-backed storage: seed the
     frozen corpus in the DELETE-capable layout, stream the arriving

@@ -392,3 +392,65 @@ def test_storage_compact_preserves_content_and_reduces_files(spark, sf_dir, tmp_
         == before_post
     assert len(glob.glob(f"{band_dir}/*.parquet")) <= 2
     assert len(glob.glob(f"{post_dir}/*.parquet")) <= 2
+
+
+def test_ann_store_append_delete_compact_equals_rebuild(spark, sf_dir, tmp_path):
+    """The full ANN lifecycle chain through parquet storage —
+    append -> delete -> compact — must equal assigning the remainder
+    from scratch against the frozen centroids, and compaction must
+    collapse the accumulated delta file-sets to the target count."""
+    import glob
+
+    from coursera_etl_pipeline_spark.llm_ops.similarity import (
+        assign_to_centroids,
+        ivf_assign,
+    )
+    from coursera_etl_pipeline_spark.streaming.parity import (
+        apply_ann_index_delete,
+        apply_ann_index_increment,
+        compact_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 80)
+    ten = F.col("vec_id") % 10
+    assigned, centroids = ivf_assign(emb.filter(ten.isin(2, 3, 4, 5)))
+    cent_dir, index_dir = str(tmp_path / "cent"), str(tmp_path / "index")
+    centroids.write.parquet(cent_dir)
+    assigned.select("vec_id", "cell_id").write.parquet(index_dir)
+
+    # two append ticks, then a takedown of the %10==3 corpus slice
+    for residue in (0, 1):
+        apply_ann_index_increment(emb.filter(ten == residue),
+                                  cent_dir, index_dir)
+    n_files_appended = len(glob.glob(f"{index_dir}/*.parquet"))
+    assert n_files_appended >= 3  # seed + one file-set per tick
+    apply_ann_index_delete(spark, emb.filter(ten == 3).select("vec_id"),
+                           index_dir)
+    compact_index(spark, [index_dir], target_files=2)
+
+    stored = sorted(tuple(r) for r in spark.read.parquet(index_dir).collect())
+    rebuild = assign_to_centroids(
+        emb.filter(ten.isin(0, 1, 2, 4, 5)),
+        spark.read.parquet(cent_dir)).select("vec_id", "cell_id")
+    assert stored == sorted(tuple(r) for r in rebuild.collect())
+    assert len(glob.glob(f"{index_dir}/*.parquet")) <= 2
+
+
+def test_ann_delete_rejects_unindexed_ids(spark, sf_dir, tmp_path):
+    """apply_ann_index_delete must fail loudly when asked to remove a
+    vec_id the store never indexed (ADVICE-r9 contract, ANN twin)."""
+    import pytest
+
+    from coursera_etl_pipeline_spark.llm_ops.similarity import ivf_assign
+    from coursera_etl_pipeline_spark.streaming.parity import (
+        apply_ann_index_delete,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    assigned, _cent = ivf_assign(emb)
+    index_dir = str(tmp_path / "index")
+    assigned.select("vec_id", "cell_id").write.parquet(index_dir)
+    with pytest.raises(ValueError, match="not in the stored index"):
+        apply_ann_index_delete(
+            spark, spark.createDataFrame([(10**9,)], "vec_id long"),
+            index_dir)
