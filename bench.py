@@ -59,6 +59,7 @@ HEADLINE = [
     "dedup_index_delete",        # index takedown + ledger resurrection
     "similarity_index_update",   # ANN index append vs frozen centroids
     "similarity_index_delete",   # ANN index takedown (anti-join rewrite)
+    "multimodal_frame_sample",   # stride-slice explode over documents
 ]
 
 

@@ -321,6 +321,51 @@ def sample_frames(blobs: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     )
 
 
+FRAME_STRIDE = 64
+
+
+@query(
+    "multimodal_frame_sample",
+    # closed-form oracle over the documents-as-blobs corpus: per doc,
+    # frames = max(trunc(n_bytes/stride), 1); frame k is the byte
+    # slice [k*stride, k*stride+stride). The fixture text is pure
+    # ASCII at every scale (pinned by test_documents_fixture_is_ascii)
+    # so DuckDB's CHARACTER substring/md5 equal Spark's BYTE slice —
+    # the one place the two engines' string/binary semantics are
+    # reconciled by a data property rather than an expression.
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST(t.i AS INTEGER) AS frame_idx,
+           CAST(LEAST({FRAME_STRIDE},
+                      octet_length(encode(d.text)) - t.i * {FRAME_STRIDE})
+                AS INTEGER) AS n_frame_bytes,
+           md5(substring(d.text, CAST(t.i * {FRAME_STRIDE} + 1 AS BIGINT),
+                         {FRAME_STRIDE})) AS frame_md5
+    FROM documents d, LATERAL (
+      SELECT unnest(range(0,
+        greatest(octet_length(encode(d.text)) // {FRAME_STRIDE}, 1))) AS i) t
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frame-sampling verb at driver level, completing the
+    multimodal quartet (decode / feature-extract / resize /
+    FRAME-SAMPLE): fixed-stride payload slicing via `sample_frames`
+    (posexplode over a built-in sequence+transform — one input row ->
+    many frame rows, no Python), projected to per-frame byte counts
+    and content hashes the SQL oracle can replicate. Real video would
+    swap the slicer for a keyframe decoder with the identical
+    one-to-many shape.
+
+    Scale shape: embarrassingly parallel narrow op — the explode
+    multiplies rows ~n_bytes/stride before any shuffle, so downstream
+    aggregates see frame-level parallelism for free."""
+    blobs = as_blobs(load_table(spark, sf_dir, "documents"))
+    return (sample_frames(blobs, every_n_bytes=FRAME_STRIDE)
+            .select("doc_id", "frame_idx",
+                    F.length("frame_bytes").alias("n_frame_bytes"),
+                    F.md5("frame_bytes").alias("frame_md5")))
+
+
 def _parse_netpbm_raw(payload: bytes) -> tuple[int, int, int, int]:
     """(width, height, channels, data_offset) of a raw netpbm payload
     (P5 grayscale / P6 RGB, maxval <= 255). Header = magic + up to 3

@@ -519,6 +519,43 @@ def test_frame_sampling_shape(spark, sf_dir):
         assert sorted(idxs) == list(range(len(idxs)))  # contiguous frames
 
 
+def test_sample_frames_slices_bytes_not_chars(spark):
+    """sample_frames operates on BYTES of the binary payload — pinned
+    on a payload with multi-byte content so a regression to character
+    slicing fails. Frames reassemble the sampled prefix exactly and
+    the count is max(trunc(n_bytes/stride), 1)."""
+    payload = ("héllo wörld! " * 40).encode()  # non-ASCII bytes
+    df = spark.createDataFrame(
+        [(1, bytearray(payload), len(payload))],
+        "doc_id long, payload binary, n_bytes long")
+    got = sorted((r.frame_idx, bytes(r.frame_bytes))
+                 for r in multimodal.sample_frames(df, every_n_bytes=64).collect())
+    n_frames = max(len(payload) // 64, 1)
+    assert [i for i, _ in got] == list(range(n_frames))
+    assert b"".join(b for _, b in got) == payload[:n_frames * 64]
+
+
+def test_documents_fixture_is_ascii():
+    """multimodal_frame_sample's oracle equates DuckDB CHARACTER
+    substring/md5 with Spark's BYTE slice — valid only while the
+    documents text is pure ASCII. Pin that data property at every
+    fixture scale so a regeneration with multi-byte text fails HERE
+    with a pointer, not as an opaque driver hash mismatch."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("0.001", "0.01", "0.1"):
+        n = con.execute(
+            "SELECT sum(CASE WHEN octet_length(encode(text)) <> length(text)"
+            " THEN 1 ELSE 0 END) FROM read_parquet("
+            f"'/root/testdata/sf{sf}/documents.parquet')").fetchone()[0]
+        assert n == 0, (
+            f"sf{sf} documents contain {n} non-ASCII doc(s): "
+            "multimodal_frame_sample's char-slice oracle no longer "
+            "matches the byte slicer — rewrite the oracle before "
+            "re-running the driver gate")
+
+
 def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     exact = similarity.similarity_topk_bruteforce(spark, sf_dir)
