@@ -47,6 +47,13 @@ _EDITED_THIS_ROUND = [
     # (HUGEINT/int32 value-type divergence, VERDICT r9 item 1).
     # Never green, so it leads anyway; listed for the audit trail.
     "similarity_lsh_index_update",
+    # q5_local_supplier_volume: rewritten onto the three-stage
+    # split-BIGINT dsum with the micros projection pushed below the
+    # join (registry round-10 resolution note) — values bit-identical
+    # (asserted in tools/ab_split_dsum_r10.py and oracle-rechecked),
+    # but the PLAN changed, so it re-certifies in the r10 window.
+    # q3/q6/q10 measured parity in the same A/B and are UNCHANGED.
+    "q5_local_supplier_volume",
     # Round-10 carve-outs (files edited, NO forcing — each provably
     # leaves every registered result unchanged):
     #  - multimodal.py ID3v1 trailer length guard (ADVICE r9): no

@@ -203,12 +203,29 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way star join. All dimensions broadcast; only
     lineitem x orders shuffles. The c_nationkey = s_nationkey condition
-    rides along the supplier join (no extra shuffle)."""
+    rides along the supplier join (no extra shuffle).
+
+    Round-10 split-BIGINT dsum conversion (the registry's scheduled
+    candidate list): the revenue measure references only lineitem
+    columns, so its integer-micros projection is computed ON THE SCAN
+    SIDE below the join — the fact exchange then carries one BIGINT
+    instead of two doubles and the partial aggregation is two
+    codegen-fast BIGINT sums. The K=100 interleaved A/B measured a
+    consistent win for exactly this query (new arm faster 6/8 paired
+    cycles, calm-point 2.14 vs 2.53 s; q3/q6/q10 measured PARITY and
+    stay on the one-stage dsum — their cost is the join/scan kernel,
+    as the registry's round-9 note predicted). Values bit-identical
+    (SUM(m) = 1e6*SUM(hi) + SUM(lo) exactly); the oracle's plain-dsum
+    SQL is unchanged."""
+    hi, lo = dsum_split("_m")
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
-    li = load_table(spark, sf_dir, "lineitem")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey",
+                  F.expr(micros_expr("l_extendedprice * (1 - l_discount)"))
+                  .alias("_m")))
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -220,7 +237,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.expr(dsum("l_extendedprice * (1 - l_discount)")).alias("revenue"))
+        .agg(F.expr(hi).alias("_hi"), F.expr(lo).alias("_lo"))
+        .select("n_name", F.expr(dsum_join("_hi", "_lo")).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 

@@ -134,12 +134,21 @@ def davg(col_sql: str) -> str:
 # DECIMAL equals dsum's accumulator bit-for-bit — oracles keep using
 # plain dsum SQL unchanged.
 #
-# Round-10 candidates, deliberately NOT converted in round 9 (window
-# restraint — each conversion forces a re-certification slot): the
-# single-sum join queries q3/q5/q6/q10 and the streaming dsum users.
-# Their decimal partial is a smaller share of cost (join/scan
-# dominated), so convert only with an interleaved A/B showing a
-# per-row win, after the round-9 four hold driver-green rows.
+# Round-10 RESOLUTION of the scheduled candidates (q3/q5/q6/q10;
+# tools/ab_split_dsum_r10.py, two K=100 interleaved sessions, values
+# asserted bit-identical at sf0.01 first): q5 converted — consistent
+# win (new arm faster 6/8 paired cycles, calm-point 2.14 vs 2.53 s;
+# mechanism: the micros projection drops below the join, so the fact
+# exchange carries one BIGINT instead of two doubles). q3/q6/q10
+# measured PARITY at every calm point (q10: 1.465 vs 1.466 s min —
+# the cleanest null result in the repo) and stay on the one-stage
+# dsum: their cost is the join/scan kernel, exactly as the prediction
+# above said, so the r9 hope that conversion would close q3's sf10
+# ratio is recorded as a measured negative. Streaming dsum users
+# (12h-window/session aggs over events.value): single-sum group-by
+# shapes over a SMALL post-window cardinality — the r9 single-sum
+# cube A/B already bounds their win, and their certified streamed
+# plans are not worth a forced slot for it; unconverted.
 #
 # Overflow bounds (ANSI mode raises loudly, never wraps): SUM(lo)
 # overflows BIGINT at ~9.2e12 rows per group (sf ~1.5e6 for q1 — far

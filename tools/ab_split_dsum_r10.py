@@ -1,0 +1,186 @@
+"""Round-10 interleaved A/B: split-BIGINT dsum conversion candidates
+q3 / q5 / q6 / q10 (the registry round-9 note's scheduled list).
+
+Protocol (same as the round-9 agg_cube A/B, BASELINE.md §2): build the
+K-fold key-shifted replica, then run OLD-plan and NEW-plan variants
+interleaved (old, new, old, new, ...) for N cycles so host drift hits
+both arms equally; report per-arm medians. Before timing, assert the
+two variants collect IDENTICAL rows at sf0.01 (bit-exact doubles —
+the conversion is only legal because SUM(m) = 1e6*SUM(hi)+SUM(lo)
+holds in exact integer arithmetic).
+
+The NEW variants push the micros projection below the join onto the
+lineitem scan (the measures reference only lineitem columns), so the
+join shuffles one BIGINT instead of the source doubles and the
+partial aggregation is two codegen-fast BIGINT sums.
+
+Usage: python tools/ab_split_dsum_r10.py [K] [cycles]
+Prints one JSON line per query + a summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from coursera_etl_pipeline_spark.catalog import load_table  # noqa: E402
+from coursera_etl_pipeline_spark.registry import (  # noqa: E402
+    dsum_join,
+    dsum_split,
+    micros_expr,
+)
+from coursera_etl_pipeline_spark.session import get_spark  # noqa: E402
+from tools.scale_probe import build_scaled  # noqa: E402
+
+REV = "l_extendedprice * (1 - l_discount)"
+
+
+def q3_new(spark, sf_dir):
+    hi, lo = dsum_split("_m")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+          .select("l_orderkey", F.expr(micros_expr(REV)).alias("_m")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.expr(hi).alias("_hi"), F.expr(lo).alias("_lo"))
+        .select("l_orderkey",
+                F.expr(dsum_join("_hi", "_lo")).alias("revenue"),
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_new(spark, sf_dir):
+    hi, lo = dsum_split("_m")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey",
+                  F.expr(micros_expr(REV)).alias("_m")))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.expr(hi).alias("_hi"), F.expr(lo).alias("_lo"))
+        .select("n_name", F.expr(dsum_join("_hi", "_lo")).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def q6_new(spark, sf_dir):
+    hi, lo = dsum_split("_m")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24))
+        .select(F.expr(micros_expr("l_extendedprice * l_discount")).alias("_m"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.expr(hi).alias("_hi"), F.expr(lo).alias("_lo"))
+        .select("n", F.expr(dsum_join("_hi", "_lo")).alias("revenue"))
+    )
+
+
+def q10_new(spark, sf_dir):
+    hi, lo = dsum_split("_m")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp")))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", F.expr(micros_expr(REV)).alias("_m")))
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.expr(hi).alias("_hi"), F.expr(lo).alias("_lo"))
+        .select("c_custkey", "c_name", "n_name",
+                F.expr(dsum_join("_hi", "_lo")).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+NEW = {
+    "q3_shipping_priority": q3_new,
+    "q5_local_supplier_volume": q5_new,
+    "q6_forecast_revenue": q6_new,
+    "q10_returned_items": q10_new,
+}
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    cycles = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    spark = get_spark("ab_split_dsum")
+    spark.sparkContext.setLogLevel("ERROR")
+    old = entrymod.queries()
+
+    # 1) value identity at sf0.01 (bit-exact doubles)
+    sf001 = "/root/testdata/sf0.01"
+    for name, new_fn in NEW.items():
+        a = [tuple(r) for r in old[name](spark, sf001).collect()]
+        b = [tuple(r) for r in new_fn(spark, sf001).collect()]
+        assert a == b, f"{name}: split-dsum variant diverges at sf0.01"
+    print("identity: all 4 variants bit-identical at sf0.01", file=sys.stderr)
+
+    # 2) interleaved timing at Kx
+    dest = build_scaled(spark, k, dest=f"/tmp/spark_graft_bench_{k}x",
+                        reuse=True)
+    out = {}
+    for name, new_fn in NEW.items():
+        _noop(old[name](spark, dest))  # warm both arms
+        _noop(new_fn(spark, dest))
+        ts_old, ts_new = [], []
+        for _ in range(cycles):
+            t0 = time.perf_counter()
+            _noop(old[name](spark, dest))
+            ts_old.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            _noop(new_fn(spark, dest))
+            ts_new.append(time.perf_counter() - t0)
+        out[name] = {
+            "old_median": round(statistics.median(ts_old), 3),
+            "new_median": round(statistics.median(ts_new), 3),
+            "old_runs": [round(t, 3) for t in ts_old],
+            "new_runs": [round(t, 3) for t in ts_new],
+        }
+        print(json.dumps({name: out[name]}), file=sys.stderr)
+    print(json.dumps({"k": k, "cycles": cycles, "ab": out}))
+
+
+if __name__ == "__main__":
+    main()
