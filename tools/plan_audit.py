@@ -77,6 +77,10 @@ ALLOWED = {
     # ANN index append: corpus x broadcast(n_cells frozen centroids),
     # the same deliberate design as similarity_ann_ivf's assignment
     ("similarity_index_update", "BroadcastNestedLoopJoin"),
+    # ANN index delete: the takedown itself is a hash anti-join, but
+    # the index(t+1) it deletes from is built by the same broadcast
+    # centroid assignment as the append row above
+    ("similarity_index_delete", "BroadcastNestedLoopJoin"),
 }
 
 NODES = (
@@ -97,6 +101,8 @@ EXECUTES_ON_BUILD = {"stream_batch_parity", "stream_dedup_parity",
                      "stream_index_update_parity",
                      "stream_ann_index_parity",
                      "stream_index_delete_parity",
+                     "stream_ann_index_delete_parity",
+                     "dedup_index_compact",
                      "dedup_components", "dedup_clusters",
                      "dedup_image_clusters"}
 
