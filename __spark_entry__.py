@@ -47,6 +47,9 @@ _EDITED_THIS_ROUND = [
     # (HUGEINT/int32 value-type divergence, VERDICT r9 item 1).
     # Never green, so it leads anyway; listed for the audit trail.
     "similarity_lsh_index_update",
+    # stream_late_data_parity (new r10): never certified, leads
+    # without an entry — the watermark late-drop/append-emission
+    # semantics under the hash gate (streaming/parity.py tail note).
     # q5_local_supplier_volume: rewritten onto the three-stage
     # split-BIGINT dsum with the micros projection pushed below the
     # join (registry round-10 resolution note) — values bit-identical

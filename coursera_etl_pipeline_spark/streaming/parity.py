@@ -1042,3 +1042,203 @@ def stream_index_delete_parity(spark: SparkSession, sf_dir: str,
         result = _run_stream_index_delete(spark, sf_dir)
         result.createOrReplaceTempView(name)
     return spark.table(name)
+
+
+# --- watermark late-data drop parity -------------------------------
+#
+# Every other streaming parity feeds availableNow a landing zone whose
+# slices arrive either as ONE micro-batch or in foreachBatch ticks, so
+# the watermark's defining behavior — DROPPING data that arrives after
+# its window was finalized — never actually fires (stream_batch_parity
+# even runs complete mode to sidestep it). This query stages a
+# multi-file landing zone with deterministic late arrivals, streams it
+# one file per micro-batch in append mode, and hash-certifies the drop
+# and emission sets against a DuckDB oracle that recomputes the
+# engine's watermark rule in closed form.
+#
+# The rule, established empirically on this Spark build (two
+# experiments, four micro-batches each, numRowsDroppedByWatermark
+# cross-checked) and encoded in the oracle:
+#
+#   * the watermark AFTER micro-batch k is max(event time over batches
+#     <= k) - delay;
+#   * a row arriving in batch k is DROPPED iff its window end <= the
+#     watermark after batch k-2 — one batch more lenient than the
+#     batch-k watermark, because the late filter admits any row whose
+#     window is still in the state store, and eviction at the end of
+#     batch k-1 used the watermark computed from batches <= k-2;
+#   * append mode emits exactly the windows with end <= final
+#     watermark (non-strict), the final no-data micro-batch included
+#     (spark.sql.streaming.noDataMicroBatches, default on).
+#
+# Both engines compute the batch assignment and thresholds in exact
+# integer microsecond arithmetic, so the only equality risk would be a
+# window end EXACTLY equal to a watermark — impossible here: window
+# ends are multiples of 12h while watermarks inherit the fixture
+# timestamps' microsecond noise.
+
+LATE_EPOCH0_US = 1_704_067_200 * 1_000_000  # 2024-01-01, fixture origin
+LATE_SLICE_US = 648_000 * 1_000_000  # 7.5 days: 4 slices over the span
+LATE_WINDOW_US = 43_200 * 1_000_000  # the 12h tumbling grid
+LATE_DELAY_US = 47 * 3600 * 1_000_000  # odd on purpose: off the grid
+LATE_N_BATCHES = 4
+
+
+def _stage_late_zone(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events fixture as a 4-file landing zone with
+    deterministic late arrivals: each row's file = its 7.5-day time
+    slice, except event_id % 5 rows shift one file later (late by up
+    to 7.5 days — some beyond the 47h delay, some within it) and
+    event_id % 11 rows land in the last file regardless (late by up
+    to three slices — always beyond). File mtimes ascend 10s apart so
+    FileStreamSource's (modTime, path) order IS the batch order.
+
+    Staged once per (fixture fingerprint); a driver-regenerated
+    fixture misses the marker and re-stages (same invalidation policy
+    as catalog.load_table). On a cluster the zone would live on the
+    shared filesystem; the per-slice single file is the fixture's
+    analogue of "one landing-zone drop per tick", not a scale claim —
+    each micro-batch's aggregation still shuffles per (window, key)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from coursera_etl_pipeline_spark.catalog import (
+        _path_fingerprint,
+        load_table,
+    )
+
+    fp = _path_fingerprint(table_path(sf_dir, "events"))
+    key = hashlib.md5(f"{sf_dir}|{fp}".encode()).hexdigest()[:12]
+    zone = os.path.join(tempfile.gettempdir(), f"late_zone_{key}")
+    marker = os.path.join(zone, "_STAGED")
+    if os.path.exists(marker):
+        return zone
+
+    ev = load_table(spark, sf_dir, "events")
+    # exact integer slice: `div` truncates where DuckDB's // floors,
+    # but the clamp to [0, 3] makes them agree on every input
+    sl = F.least(
+        F.lit(LATE_N_BATCHES - 1),
+        F.greatest(
+            F.lit(0),
+            F.expr(f"(unix_micros(ts) - {LATE_EPOCH0_US}) "
+                   f"div {LATE_SLICE_US}").cast("int")))
+    batch_seq = (
+        F.when(F.col("event_id") % 11 == 0, F.lit(LATE_N_BATCHES - 1))
+        .when(F.col("event_id") % 5 == 0,
+              F.least(F.lit(LATE_N_BATCHES - 1), sl + 1))
+        .otherwise(sl))
+    tagged = ev.withColumn("_b", batch_seq)
+
+    build = zone + "._build"
+    shutil.rmtree(build, ignore_errors=True)
+    os.makedirs(build)
+    t0 = _time.time() - 10 * LATE_N_BATCHES
+    for k in range(LATE_N_BATCHES):
+        tmp = os.path.join(build, f"_tmp{k}")
+        (tagged.filter(F.col("_b") == k).drop("_b")
+         .coalesce(1).write.mode("overwrite").parquet(tmp))
+        parts = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        if parts:  # an empty slice = an empty micro-batch = no file
+            dst = os.path.join(build, f"batch{k}.parquet")
+            shutil.copy(os.path.join(tmp, parts[0]), dst)
+            os.utime(dst, (t0 + 10 * k,) * 2)
+        shutil.rmtree(tmp)
+    open(os.path.join(build, "_STAGED"), "w").close()
+    # stage-then-commit like every other storage verb here: a crashed
+    # build leaves only the ._build dir, never a half-staged zone
+    shutil.rmtree(zone, ignore_errors=True)
+    os.rename(build, zone)
+    return zone
+
+
+def _duck_late_data_oracle() -> str:
+    """Closed-form recomputation of the streamed append-mode result:
+    tag each row with its staged batch, derive each batch's late-filter
+    threshold (watermark after batch k-2), keep the rows the engine
+    keeps, aggregate, and emit only the windows the final watermark
+    closed. All thresholds in exact BIGINT microseconds."""
+    e0, slc = LATE_EPOCH0_US, LATE_SLICE_US
+    w, d, nb = LATE_WINDOW_US, LATE_DELAY_US, LATE_N_BATCHES
+    return f"""
+    WITH tagged AS (
+      SELECT event_type, value, us,
+             CASE WHEN event_id % 11 = 0 THEN {nb - 1}
+                  WHEN event_id % 5 = 0 THEN least({nb - 1}, sl + 1)
+                  ELSE sl END AS batch_seq
+      FROM (SELECT event_id, event_type, value, epoch_us(ts) AS us,
+                   least({nb - 1}, greatest(0,
+                         (epoch_us(ts) - {e0}) // {slc})) AS sl
+            FROM events)
+    ),
+    batch_max AS (SELECT batch_seq, max(us) AS mx FROM tagged GROUP BY 1),
+    filter_wm AS (
+      SELECT k.batch_seq,
+             (SELECT max(b.mx) - {d} FROM batch_max b
+              WHERE b.batch_seq <= k.batch_seq - 2) AS wm_us
+      FROM batch_max k
+    ),
+    survivors AS (
+      SELECT t.us, t.event_type, t.value
+      FROM tagged t JOIN filter_wm f USING (batch_seq)
+      WHERE f.wm_us IS NULL OR (t.us // {w} + 1) * {w} > f.wm_us
+    ),
+    final_wm AS (SELECT max(us) - {d} AS wm_us FROM tagged)
+    SELECT strftime(to_timestamp((us // {w}) * {w} // 1000000)
+                    AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {dsum('value')} AS total_value,
+           max(value) AS max_value
+    FROM survivors, final_wm f
+    WHERE (us // {w} + 1) * {w} <= f.wm_us
+    GROUP BY 1, 2
+    """
+
+
+@query("stream_late_data_parity", oracle=_duck_late_data_oracle())
+def stream_late_data_parity(spark: SparkSession, sf_dir: str,
+                            force: bool = False) -> DataFrame:
+    """Watermark LATE-DATA semantics under the driver's hash gate: the
+    staged 4-file landing zone streams one file per micro-batch
+    (maxFilesPerTrigger=1) through a 47h watermark and 12h tumbling
+    aggregation in APPEND mode — so rows genuinely arrive after their
+    window's state was evicted and are dropped by the engine, and only
+    watermark-closed windows reach the sink. The oracle recomputes the
+    engine's exact drop and emission rule (see the module note above),
+    so a hash match certifies the three behaviors complete-mode parity
+    cannot see: per-batch watermark advancement, late-row dropping,
+    and append-mode window finalization.
+
+    Generalizes the reference's cron-tick ingest (O21) to the out-of-
+    order arrivals a real landing zone has; state is watermark-bounded
+    (47h of open windows per key), so the identical plan runs unchanged
+    on a 1000-executor cluster."""
+    name = "stream_late_" + re.sub(r"\W", "_", sf_dir).strip("_")
+    if _needs_run(spark, name, force):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+                       "true")
+        zone = _stage_late_zone(spark, sf_dir)
+        schema = (spark.read.option("pathGlobFilter", "batch*.parquet")
+                  .parquet(zone).schema)
+        src = (spark.readStream.schema(schema)
+               .option("pathGlobFilter", "batch*.parquet")
+               .option("maxFilesPerTrigger", "1")
+               .parquet(zone))
+        agg = (
+            src.withWatermark("ts", "47 hours")
+            .groupBy(F.window("ts", "12 hours"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr(dsum("value")).alias("total_value"),
+                 F.max("value").alias("max_value"))
+            .select(F.date_format("window.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"),
+                    "event_type", "n", "total_value", "max_value"))
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        _await_or_cleanup(spark, q, name)
+    return spark.table(name)

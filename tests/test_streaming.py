@@ -454,3 +454,47 @@ def test_ann_delete_rejects_unindexed_ids(spark, sf_dir, tmp_path):
         apply_ann_index_delete(
             spark, spark.createDataFrame([(10**9,)], "vec_id long"),
             index_dir)
+
+
+def test_stream_late_data_parity_matches_oracle_and_drops(spark, sf_dir):
+    """The registered late-data parity, self-contained at sf0.001:
+    (1) the streamed append-mode result value-matches the DuckDB
+    oracle's closed-form watermark rule, and (2) the parity is not
+    vacuous — the fixture's staged lateness makes the engine actually
+    drop rows and leave the last windows unemitted. If a fixture
+    regeneration ever collapses the drop set to zero, this fails with
+    a pointer instead of the certification silently degrading to a
+    plain stream==batch check."""
+    import duckdb
+
+    from coursera_etl_pipeline_spark.catalog import table_path
+    from coursera_etl_pipeline_spark.streaming.parity import (
+        _duck_late_data_oracle,
+        stream_late_data_parity,
+    )
+
+    got = sorted(
+        tuple(str(c) for c in r)
+        for r in stream_late_data_parity(spark, sf_dir, force=True).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet("
+                f"'{table_path(sf_dir, 'events')}')")
+    want = sorted(tuple(str(c) for c in r)
+                  for r in con.execute(_duck_late_data_oracle()).fetchall())
+    assert got == want
+
+    # non-vacuity: the emitted aggregate must differ from the no-drop
+    # batch aggregate over the same emitted windows (rows were dropped),
+    # and some open windows must be missing entirely (append gating)
+    full = con.execute("""
+        SELECT strftime(to_timestamp((epoch_us(ts) // 43200000000) * 43200)
+                        AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S'),
+               event_type, COUNT(*) FROM events GROUP BY 1, 2
+    """).fetchall()
+    emitted = {(r[0], r[1]) for r in got}
+    n_full = {(w, t): n for w, t, n in full}
+    n_got = {(r[0], r[1]): int(r[2]) for r in got}
+    assert any(n_got[k] < n_full[k] for k in emitted), \
+        "no late row was dropped: the staged lateness is vacuous"
+    assert emitted < set(n_full), \
+        "every window was emitted: append-mode gating never fired"
