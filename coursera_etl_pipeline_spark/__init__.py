@@ -40,6 +40,7 @@ __all__ = [
     "ivf_index_append",
     "ivf_index_delete",
     "lsh_index_append",
+    "lsh_index_delete",
     "image_dhash",
     "dedup_survivors",
     "connected_components",
@@ -76,6 +77,7 @@ def __getattr__(name):
         "ivf_index_append": "llm_ops.similarity",
         "ivf_index_delete": "llm_ops.similarity",
         "lsh_index_append": "llm_ops.similarity",
+        "lsh_index_delete": "llm_ops.similarity",
         "image_dhash": "llm_ops.multimodal",
         "dedup_survivors": "llm_ops.clusters",
         "connected_components": "llm_ops.clusters",

@@ -592,6 +592,22 @@ def ivf_index_delete(removed_ids: DataFrame,
     return assigned.join(removed_ids.select("vec_id"), "vec_id", "left_anti")
 
 
+def lsh_index_delete(removed_ids: DataFrame,
+                     banded: DataFrame) -> DataFrame:
+    """LSH twin of ``ivf_index_delete``: one anti-join on vec_id.
+    Band signatures are per-row functions of compile-time hyperplanes
+    (nothing to resurrect, no cross-row state), so delete == rebuild
+    over the remainder holds by the same per-row-purity argument —
+    pinned by test_lsh_index_delete_equals_remainder_rebuild so a
+    future signature scheme that DID couple rows (e.g. data-dependent
+    hyperplanes) fails the pin instead of silently diverging. The
+    driver-certified delete row for this family is the IVF one
+    (`similarity_index_delete` — identical anti-join shape); this verb
+    completes the storage API so both index families expose
+    append/delete under one name each."""
+    return banded.join(removed_ids.select("vec_id"), "vec_id", "left_anti")
+
+
 ANN_TAKEDOWN_RESIDUE = 1  # vec_id % 10 == 1 plays "today's takedown slice"
 
 

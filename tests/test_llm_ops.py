@@ -1008,6 +1008,26 @@ def test_ivf_index_delete_is_antijoin(spark, sf_dir):
     assert got == want
 
 
+def test_lsh_index_delete_equals_remainder_rebuild(spark, sf_dir):
+    """LSH band-index delete == rebuild over the remainder: signatures
+    are per-row functions of compile-time hyperplanes, so the anti-join
+    IS the rebuild. The pin exists so a future signature scheme that
+    coupled rows (data-dependent hyperplanes, corpus-calibrated
+    quantization) fails HERE instead of silently diverging from
+    rebuild semantics."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    is_batch = F.col("vec_id") % 10 == 0
+    idx = similarity.lsh_index_append(emb.filter(is_batch),
+                                      similarity.signatures(emb.filter(~is_batch)))
+    removed = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    after = similarity.lsh_index_delete(removed, idx)
+    got = sorted(tuple(r) for r in after.collect())
+    want = sorted(tuple(r) for r in
+                  similarity.signatures(
+                      emb.filter(F.col("vec_id") % 7 != 0)).collect())
+    assert got == want
+
+
 def test_index_delete_empty_and_total_takedown(spark):
     """DELETE verb edges: an empty takedown is the identity on every
     artifact, and taking down ALL corpus docs resurrects exactly the
