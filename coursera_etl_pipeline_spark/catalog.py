@@ -33,6 +33,44 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def scratch_root() -> str:
+    """Root for EPHEMERAL staged state (index-store scratch, landing
+    zones, per-batch delta staging): `SPARK_GRAFT_SCRATCH` if set, else
+    /dev/shm when writable, else the system tempdir.
+
+    Why tmpfs by default: the lifecycle queries' staged parquet
+    round-trips are the only disk-bound work in the suite, and on this
+    host's virtio disk they absorb multi-second stall episodes that
+    pure-compute rows never see (round-10 bench: dedup_index_update
+    1.4 s -> 4.8 s across back-to-back runs with identical plans).
+    Scratch on tmpfs is the local-mode analogue of pointing
+    spark.local.dir at NVMe — an ops setting, not a semantics change;
+    every commit into a DURABLE store location remains a Spark
+    write/overwrite, which is cross-filesystem safe. On a cluster,
+    deployments set SPARK_GRAFT_SCRATCH to a shared-filesystem path
+    (the staging docstrings in streaming/parity.py already require
+    that for multi-executor visibility)."""
+    env = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if env:
+        os.makedirs(env, exist_ok=True)
+        return env
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        d = os.path.join(shm, "spark_graft_scratch")
+        os.makedirs(d, exist_ok=True)
+        return d
+    import tempfile
+
+    return tempfile.gettempdir()
+
+
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp under scratch_root() — drop-in for tempfile.mkdtemp."""
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=prefix, dir=scratch_root())
+
+
 # load_table results memoized per (session, sf_dir, table, on-disk file
 # fingerprint). A DataFrame is an immutable logical plan, so handing the
 # same object back is safe; what the memo saves is the per-call driver

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from coursera_etl_pipeline_spark.catalog import load_table
+from coursera_etl_pipeline_spark.catalog import load_table, scratch_dir
 from coursera_etl_pipeline_spark.registry import query
 
 N_FEATURES = 8
@@ -492,7 +492,7 @@ def _image_fixture_dir() -> str:
 
     import numpy as np
 
-    d = tempfile.mkdtemp(prefix="mm_images_")
+    d = scratch_dir("mm_images_")
     for i in range(N_FIXTURE_IMAGES):
         w = 8 + (i % 5) * 4
         h = 6 + ((i * 3) % 7) * 3
@@ -636,7 +636,7 @@ def _dhash_fixture_dir() -> str:
 
     import numpy as np
 
-    d = tempfile.mkdtemp(prefix="mm_dhash_")
+    d = scratch_dir("mm_dhash_")
     for i in range(N_DHASH_IMAGES):
         g, v = divmod(i, 2)
         w = 12 + (g % 4) * 5

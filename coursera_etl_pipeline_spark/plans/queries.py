@@ -16,7 +16,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from coursera_etl_pipeline_spark.catalog import load_table
+from coursera_etl_pipeline_spark.catalog import load_table, scratch_dir
 from coursera_etl_pipeline_spark.registry import query
 
 
@@ -86,7 +86,7 @@ def _parity_fixture_dir() -> str:
     directories)."""
     from coursera_etl_pipeline_spark.plans import fixtures
 
-    tmp = tempfile.mkdtemp(prefix="coursera_parity_")
+    tmp = scratch_dir("coursera_parity_")
     fixtures.write_response_file(fixtures.make_response(2, 3), tmp, "20240101_000000")
     fixtures.write_response_file(
         fixtures.make_response(3, 4, drop_optionals=True), tmp, "20240102_000000")

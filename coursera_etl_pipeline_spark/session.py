@@ -28,10 +28,24 @@ def get_spark(app_name: str = "coursera_etl_pipeline_spark",
         with the DuckDB oracle.
       - Arrow on: vectorized createDataFrame/toPandas and pandas UDFs.
     """
+    from coursera_etl_pipeline_spark.catalog import scratch_root
+
     cpus = str(cpus or DEFAULT_CPUS)
+    # Shuffle/spill/broadcast scratch on the fastest ephemeral medium
+    # (tmpfs locally — the local-mode analogue of pointing local dirs
+    # at NVMe on a cluster node). Round 10 traced multi-second bench
+    # stall episodes on the heavy-shuffle rows (dedup_index_update
+    # 1.4 s -> 4.8 s, identical plans back to back) to shuffle files
+    # on the virtio /tmp disk; pure-compute rows never stalled.
+    # SPARK_GRAFT_LOCAL_DIR overrides for hosts without RAM headroom.
+    # Takes effect at JVM start only — later getOrCreate calls reuse
+    # the first context's dirs, exactly like a real cluster.
+    local_dir = (os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+                 or os.path.join(scratch_root(), "spark_local"))
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        .config("spark.local.dir", local_dir)
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.default.parallelism", cpus)
         .config("spark.sql.adaptive.enabled", "true")

@@ -31,7 +31,12 @@ import sys
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from coursera_etl_pipeline_spark.catalog import normalize_ts, table_path
+from coursera_etl_pipeline_spark.catalog import (
+    normalize_ts,
+    scratch_dir,
+    scratch_root,
+    table_path,
+)
 from coursera_etl_pipeline_spark.registry import dsum, query
 
 
@@ -340,7 +345,7 @@ def _run_stream_index_update(spark: SparkSession, sf_dir: str) -> "DataFrame":
         shingles,
     )
 
-    root = tempfile.mkdtemp(prefix="stream_dedup_index_")
+    root = scratch_dir("stream_dedup_index_")
     band_dir = f"{root}/band"
     post_dir = f"{root}/post"
     is_batch = F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0
@@ -441,7 +446,8 @@ def apply_index_increment(bdf: "DataFrame", post_dir: str,
         import shutil
         import tempfile
 
-        stage = tempfile.mkdtemp(prefix="idx_delta_", dir=staging_root)
+        stage = tempfile.mkdtemp(prefix="idx_delta_",
+                            dir=staging_root or scratch_root())
         try:
             (b_band.join(survivors, "doc_id", "left_semi")
              .write.parquet(f"{stage}/band"))
@@ -560,7 +566,8 @@ def apply_index_delete(spark: SparkSession, removed_ids: "DataFrame",
     new_tband = (s.read.parquet(tomb_band_dir)
                  .join(resurrected, "doc_id", "left_anti")
                  .join(removed, "doc_id", "left_anti"))
-    stage = tempfile.mkdtemp(prefix="idx_del_", dir=staging_root)
+    stage = tempfile.mkdtemp(prefix="idx_del_",
+                            dir=staging_root or scratch_root())
     targets = [(new_post, "post", post_dir),
                (new_index, "band", band_dir),
                (new_ledger, "ledger", ledger_dir),
@@ -662,7 +669,7 @@ def _run_stream_ann_index_update(spark: SparkSession,
         ivf_assign,
     )
 
-    root = tempfile.mkdtemp(prefix="stream_ann_index_")
+    root = scratch_dir("stream_ann_index_")
     cent_dir, index_dir = f"{root}/centroids", f"{root}/index"
     is_batch = F.col("vec_id") % ANN_BATCH_MOD == 0
     emb = load_table(spark, sf_dir, "embeddings")
@@ -736,7 +743,8 @@ def compact_index(spark: SparkSession, dirs: list[str],
     import shutil
     import tempfile
 
-    stage = tempfile.mkdtemp(prefix="idx_compact_", dir=staging_root)
+    stage = tempfile.mkdtemp(prefix="idx_compact_",
+                            dir=staging_root or scratch_root())
     try:
         for i, d in enumerate(dirs):
             (spark.read.parquet(d).repartition(target_files)
@@ -780,7 +788,8 @@ def apply_ann_index_delete(spark: SparkSession, removed_ids: "DataFrame",
             "are not in the stored index — only indexed vectors can "
             "be taken down")
     new_index = ivf_index_delete(removed, s.read.parquet(index_dir))
-    stage = tempfile.mkdtemp(prefix="ann_idx_del_", dir=staging_root)
+    stage = tempfile.mkdtemp(prefix="ann_idx_del_",
+                            dir=staging_root or scratch_root())
     try:
         new_index.write.parquet(f"{stage}/index")
         (s.read.parquet(f"{stage}/index")
@@ -810,7 +819,7 @@ def _run_stream_ann_index_delete(spark: SparkSession,
         ivf_assign,
     )
 
-    root = tempfile.mkdtemp(prefix="stream_ann_idxdel_")
+    root = scratch_dir("stream_ann_idxdel_")
     cent_dir, index_dir = f"{root}/centroids", f"{root}/index"
     is_batch = F.col("vec_id") % ANN_BATCH_MOD == 0
     is_removed = F.col("vec_id") % ANN_BATCH_MOD == ANN_TAKEDOWN_RESIDUE
@@ -897,7 +906,7 @@ def _run_dedup_index_compact(spark: SparkSession, sf_dir: str) -> "DataFrame":
         shingles,
     )
 
-    root = tempfile.mkdtemp(prefix="dedup_idx_compact_")
+    root = scratch_dir("dedup_idx_compact_")
     post_dir, band_dir = f"{root}/post", f"{root}/band"
     is_batch = F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0
 
@@ -963,7 +972,7 @@ def _run_stream_index_delete(spark: SparkSession, sf_dir: str) -> "DataFrame":
         shingles,
     )
 
-    root = tempfile.mkdtemp(prefix="stream_dedup_idxdel_")
+    root = scratch_dir("stream_dedup_idxdel_")
     dirs = {n: f"{root}/{n}" for n in ("post", "band", "ledger", "tpost", "tband")}
     aux = (dirs["ledger"], dirs["tpost"], dirs["tband"])
     is_batch = F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0
@@ -1112,7 +1121,7 @@ def _stage_late_zone(spark: SparkSession, sf_dir: str) -> str:
 
     fp = _path_fingerprint(table_path(sf_dir, "events"))
     key = hashlib.md5(f"{sf_dir}|{fp}".encode()).hexdigest()[:12]
-    zone = os.path.join(tempfile.gettempdir(), f"late_zone_{key}")
+    zone = os.path.join(scratch_root(), f"late_zone_{key}")
     marker = os.path.join(zone, "_STAGED")
     if os.path.exists(marker):
         return zone
