@@ -498,3 +498,80 @@ def test_stream_late_data_parity_matches_oracle_and_drops(spark, sf_dir):
         "no late row was dropped: the staged lateness is vacuous"
     assert emitted < set(n_full), \
         "every window was emitted: append-mode gating never fired"
+
+
+def test_late_drop_rule_matches_engine_on_random_zones(spark, tmp_path):
+    """The closed-form watermark rule stream_late_data_parity's oracle
+    encodes — drop iff window end <= watermark after batch k-2, emit
+    iff window end <= final watermark — re-verified against the ENGINE
+    on three randomized micro-zones (random batch counts, timestamps,
+    delays). The registered parity pins the rule on one fixture shape;
+    this pins it generically, so a Spark upgrade that moved the late
+    threshold or emission boundary fails HERE with a small repro
+    instead of as an opaque driver hash mismatch."""
+    import datetime as dt
+    import os
+    import random
+    import time as _time
+    import uuid
+
+    BASE = dt.datetime(2024, 1, 1)
+    WIN_US = 10 * 60 * 1_000_000
+    rng = random.Random(20260814)
+    for case in range(3):
+        n_batches = rng.choice([3, 4])
+        delay_us = rng.choice([25, 35, 55]) * 60 * 1_000_000
+        batches: list[list[int]] = []
+        for b in range(n_batches):
+            batches.append(sorted(
+                (rng.randint(0, 300) * 60_000_000 + rng.randint(0, 59_999_999))
+                for _ in range(rng.randint(6, 12))))
+
+        zone = tmp_path / f"zone{case}"
+        zone.mkdir()
+        t0 = _time.time() - 10 * n_batches
+        for b, uss in enumerate(batches):
+            df = spark.createDataFrame(
+                [(BASE + dt.timedelta(microseconds=us),) for us in uss],
+                "ts timestamp")
+            tmp = str(tmp_path / f"tmp{case}_{b}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = str(zone / f"batch{b}.parquet")
+            os.replace(os.path.join(tmp, part), dst)
+            os.utime(dst, (t0 + 10 * b,) * 2)
+
+        name = "wmrule_" + uuid.uuid4().hex[:8]
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+                       "true")
+        schema = spark.read.parquet(str(zone)).schema
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1").parquet(str(zone)))
+        agg = (src.withWatermark("ts", f"{delay_us // 60_000_000} minutes")
+               .groupBy(F.window("ts", "10 minutes"))
+               .agg(F.count(F.lit(1)).alias("n"))
+               .select(F.col("window.start").cast("string").alias("ws"), "n"))
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = {(r.ws, r.n) for r in spark.table(name).collect()}
+
+        # the closed-form rule, in plain integers
+        batch_max = [max(uss) for uss in batches]
+        survivors: list[int] = []
+        for k, uss in enumerate(batches):
+            wm = (max(batch_max[:k - 1]) - delay_us) if k >= 2 else None
+            for us in uss:
+                wend = (us // WIN_US + 1) * WIN_US
+                if wm is None or wend > wm:
+                    survivors.append(us)
+        final_wm = max(batch_max) - delay_us
+        counts: dict[int, int] = {}
+        for us in survivors:
+            ws = us // WIN_US * WIN_US
+            if ws + WIN_US <= final_wm:
+                counts[ws] = counts.get(ws, 0) + 1
+        want = {
+            (str(BASE + dt.timedelta(microseconds=ws)), n)
+            for ws, n in counts.items()}
+        assert got == want, f"case {case}: engine diverged from the rule"
