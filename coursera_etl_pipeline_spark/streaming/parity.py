@@ -25,6 +25,7 @@ on a 1000-executor cluster against a landing zone.
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 
@@ -318,6 +319,52 @@ def stream_stateful_profile_parity(spark: SparkSession, sf_dir: str,
                     .alias("last_ts")))
 
 
+# --- micro-batch replay idempotence (round 10) ----------------------
+#
+# foreachBatch is AT-LEAST-ONCE: after a crash between a batch's
+# commit and the engine's checkpoint write, restart RE-DELIVERS the
+# same epoch. The append-shaped verbs would then double-append their
+# delta (and delete would re-append its resurrection rows), silently
+# corrupting the store. Each verb therefore seals a per-epoch marker
+# file (`_applied_<verb>_<epoch>`) in its anchor dir after a
+# successful commit and no-ops when the marker already exists —
+# underscore-prefixed, so Spark's readers ignore it, and it lives IN
+# the store, so it travels with the data (on a cluster the store is
+# shared-filesystem and foreachBatch runs driver-side, so the check
+# is visible where it runs). This closes the common replay window
+# (restart after checkpoint lag); a crash MID-commit still leaves a
+# partial append/overwrite that plain parquet cannot roll back — the
+# table-format note in apply_index_increment's commit-order comment
+# covers that residual honestly.
+
+
+def _epoch_marker(anchor_dir: str, verb: str, epoch_id) -> str | None:
+    return (None if epoch_id is None
+            else os.path.join(anchor_dir, f"_applied_{verb}_{epoch_id}"))
+
+
+def _epoch_already_applied(marker: str | None) -> bool:
+    return marker is not None and os.path.exists(marker)
+
+
+def _seal_epoch(marker: str | None) -> None:
+    if marker is not None:
+        open(marker, "w").close()
+
+
+def _preserve_markers(dir_: str):
+    """Snapshot a dir's epoch markers before an overwrite-commit (which
+    clears the dir); returns a callback that re-seals them after."""
+    names = [f for f in os.listdir(dir_) if f.startswith("_applied_")] \
+        if os.path.isdir(dir_) else []
+
+    def restore() -> None:
+        for n in names:
+            open(os.path.join(dir_, n), "w").close()
+
+    return restore
+
+
 def _run_stream_index_update(spark: SparkSession, sf_dir: str) -> "DataFrame":
     """One streamed increment of the dedup-index lifecycle against
     parquet-backed index storage; returns the final band index.
@@ -366,8 +413,9 @@ def _run_stream_index_update(spark: SparkSession, sf_dir: str) -> "DataFrame":
            .option("pathGlobFilter", "documents.parquet")
            .parquet(sf_dir))
     q = (src.filter(is_batch).writeStream
-         .foreachBatch(lambda bdf, _epoch:
-                       apply_index_increment(bdf, post_dir, band_dir))
+         .foreachBatch(lambda bdf, epoch:
+                       apply_index_increment(bdf, post_dir, band_dir,
+                                             epoch_id=epoch))
          .option("checkpointLocation", f"{root}/ckpt")
          .trigger(availableNow=True).start())
     q.awaitTermination()
@@ -378,6 +426,7 @@ def apply_index_increment(bdf: "DataFrame", post_dir: str,
                           band_dir: str,
                           staging_root: str | None = None,
                           aux_dirs: tuple[str, str, str] | None = None,
+                          epoch_id: int | None = None,
                           ) -> None:
     """One dedup-index increment against parquet-backed storage: verify
     the batch against the index AS STORED, append the survivors' band
@@ -402,6 +451,10 @@ def apply_index_increment(bdf: "DataFrame", post_dir: str,
         minhash_index_artifacts,
         minhash_index_update,
     )
+
+    marker = _epoch_marker(band_dir, "inc", epoch_id)
+    if _epoch_already_applied(marker):
+        return  # replayed micro-batch: the store already has this delta
 
     s = bdf.sparkSession
     b_post, b_band = minhash_index_artifacts(bdf)
@@ -469,10 +522,11 @@ def apply_index_increment(bdf: "DataFrame", post_dir: str,
             # with them, find no shingles on the verify side, and
             # undercount jaccard — silently admitting near-dups. So
             # the order below leaves only the inert orphan on a crash.
-            # (Exactly-once across a retry would additionally need a
-            # commit marker or a transactional table format — out of
-            # scope here; the ordering alone removes the silent-
-            # admission failure mode.)
+            # (Micro-batch REPLAY exactly-once is handled by the
+            # epoch marker sealed after these commits — module note
+            # above; a crash MID-commit still needs a transactional
+            # table format, and the ordering alone removes that
+            # crash's silent-admission failure mode.)
             (s.read.parquet(f"{stage}/post")
              .write.mode("append").parquet(post_dir))
             (s.read.parquet(f"{stage}/band")
@@ -489,6 +543,7 @@ def apply_index_increment(bdf: "DataFrame", post_dir: str,
                  .write.mode("append").parquet(tpost_dir))
                 (s.read.parquet(f"{stage}/tband")
                  .write.mode("append").parquet(tband_dir))
+            _seal_epoch(marker)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
     finally:
@@ -504,7 +559,8 @@ def apply_index_delete(spark: SparkSession, removed_ids: "DataFrame",
                        post_dir: str, band_dir: str,
                        ledger_dir: str, tomb_post_dir: str,
                        tomb_band_dir: str,
-                       staging_root: str | None = None) -> None:
+                       staging_root: str | None = None,
+                       epoch_id: int | None = None) -> None:
     """The DELETE verb against parquet-backed index storage: remove the
     given corpus docs' rows and RESURRECT previously-dropped docs whose
     every ledger justification was removed (llm_ops.dedup
@@ -530,6 +586,10 @@ def apply_index_delete(spark: SparkSession, removed_ids: "DataFrame",
     from coursera_etl_pipeline_spark.llm_ops.dedup import (
         minhash_index_delete,
     )
+
+    marker = _epoch_marker(band_dir, "del", epoch_id)
+    if _epoch_already_applied(marker):
+        return  # replayed takedown micro-batch: already applied
 
     s = spark
     removed = removed_ids.select("doc_id")
@@ -573,12 +633,17 @@ def apply_index_delete(spark: SparkSession, removed_ids: "DataFrame",
                (new_ledger, "ledger", ledger_dir),
                (new_tpost, "tpost", tomb_post_dir),
                (new_tband, "tband", tomb_band_dir)]
+    # the band-dir overwrite below clears prior epoch markers with the
+    # data files; snapshot them so replay idempotence survives a delete
+    restore_markers = _preserve_markers(band_dir)
     try:
         for frame, name, _dir in targets:
             frame.write.parquet(f"{stage}/{name}")
         for _frame, name, dest in targets:
             (s.read.parquet(f"{stage}/{name}")
              .write.mode("overwrite").parquet(dest))
+        restore_markers()
+        _seal_epoch(marker)
     except BaseException:
         # KEEP the staging dir (ADVICE r9): each commit is an
         # overwrite, which deletes the destination before writing —
@@ -638,7 +703,8 @@ def stream_index_update_parity(spark: SparkSession, sf_dir: str,
 
 
 def apply_ann_index_increment(bdf: "DataFrame", centroid_dir: str,
-                              index_dir: str) -> None:
+                              index_dir: str,
+                              epoch_id: int | None = None) -> None:
     """One ANN-index append against parquet-backed storage: assign the
     arriving embeddings to the FROZEN centroid table and append their
     (vec_id, cell_id) rows. The foreachBatch unit of the streamed
@@ -650,10 +716,14 @@ def apply_ann_index_increment(bdf: "DataFrame", centroid_dir: str,
         assign_to_centroids,
     )
 
+    marker = _epoch_marker(index_dir, "inc", epoch_id)
+    if _epoch_already_applied(marker):
+        return  # replayed micro-batch: the append already landed
     centroids = bdf.sparkSession.read.parquet(centroid_dir)
     (assign_to_centroids(bdf, centroids)
      .select("vec_id", "cell_id")
      .write.mode("append").parquet(index_dir))
+    _seal_epoch(marker)
 
 
 def _run_stream_ann_index_update(spark: SparkSession,
@@ -682,8 +752,9 @@ def _run_stream_ann_index_update(spark: SparkSession,
            .option("pathGlobFilter", "embeddings.parquet")
            .parquet(sf_dir))
     q = (src.filter(is_batch).writeStream
-         .foreachBatch(lambda bdf, _epoch:
-                       apply_ann_index_increment(bdf, cent_dir, index_dir))
+         .foreachBatch(lambda bdf, epoch:
+                       apply_ann_index_increment(bdf, cent_dir, index_dir,
+                                                 epoch_id=epoch))
          .option("checkpointLocation", f"{root}/ckpt")
          .trigger(availableNow=True).start())
     q.awaitTermination()
@@ -745,6 +816,10 @@ def compact_index(spark: SparkSession, dirs: list[str],
 
     stage = tempfile.mkdtemp(prefix="idx_compact_",
                             dir=staging_root or scratch_root())
+    # the overwrite-commits clear each dir's epoch markers with the
+    # data files; snapshot and re-seal so a replayed increment after a
+    # maintenance compact still no-ops
+    restores = [_preserve_markers(d) for d in dirs]
     try:
         for i, d in enumerate(dirs):
             (spark.read.parquet(d).repartition(target_files)
@@ -752,6 +827,8 @@ def compact_index(spark: SparkSession, dirs: list[str],
         for i, d in enumerate(dirs):
             (spark.read.parquet(f"{stage}/{i}")
              .write.mode("overwrite").parquet(d))
+        for r in restores:
+            r()
     except BaseException:
         # same recovery posture as apply_index_delete: the commits are
         # overwrites, so a mid-commit crash leaves the staged rewrite
@@ -764,7 +841,8 @@ def compact_index(spark: SparkSession, dirs: list[str],
 
 def apply_ann_index_delete(spark: SparkSession, removed_ids: "DataFrame",
                            index_dir: str,
-                           staging_root: str | None = None) -> None:
+                           staging_root: str | None = None,
+                           epoch_id: int | None = None) -> None:
     """The ANN index's DELETE verb against parquet-backed storage: one
     anti-join rewrite (llm_ops.similarity.ivf_index_delete — vectors
     are independent, nothing resurrects). Same contract enforcement
@@ -776,6 +854,10 @@ def apply_ann_index_delete(spark: SparkSession, removed_ids: "DataFrame",
     from coursera_etl_pipeline_spark.llm_ops.similarity import (
         ivf_index_delete,
     )
+
+    marker = _epoch_marker(index_dir, "del", epoch_id)
+    if _epoch_already_applied(marker):
+        return  # replayed takedown micro-batch: already applied
 
     s = spark
     removed = removed_ids.select("vec_id")
@@ -790,10 +872,13 @@ def apply_ann_index_delete(spark: SparkSession, removed_ids: "DataFrame",
     new_index = ivf_index_delete(removed, s.read.parquet(index_dir))
     stage = tempfile.mkdtemp(prefix="ann_idx_del_",
                             dir=staging_root or scratch_root())
+    restore_markers = _preserve_markers(index_dir)
     try:
         new_index.write.parquet(f"{stage}/index")
         (s.read.parquet(f"{stage}/index")
          .write.mode("overwrite").parquet(index_dir))
+        restore_markers()
+        _seal_epoch(marker)
     except BaseException:
         print(f"apply_ann_index_delete: commit failed; staged index "
               f"preserved at {stage} for recovery", file=sys.stderr)
@@ -834,15 +919,17 @@ def _run_stream_ann_index_delete(spark: SparkSession,
            .parquet(sf_dir))
     # tick 1: the arriving batch, appended against frozen centroids
     q = (src.filter(is_batch).writeStream
-         .foreachBatch(lambda bdf, _epoch:
-                       apply_ann_index_increment(bdf, cent_dir, index_dir))
+         .foreachBatch(lambda bdf, epoch:
+                       apply_ann_index_increment(bdf, cent_dir, index_dir,
+                                                 epoch_id=epoch))
          .option("checkpointLocation", f"{root}/ckpt_inc")
          .trigger(availableNow=True).start())
     q.awaitTermination()
     # tick 2: the takedown feed — corpus vec_ids to erase
     q = (src.filter(is_removed).select("vec_id").writeStream
-         .foreachBatch(lambda bdf, _epoch: apply_ann_index_delete(
-             bdf.sparkSession, bdf.select("vec_id"), index_dir))
+         .foreachBatch(lambda bdf, epoch: apply_ann_index_delete(
+             bdf.sparkSession, bdf.select("vec_id"), index_dir,
+             epoch_id=epoch))
          .option("checkpointLocation", f"{root}/ckpt_del")
          .trigger(availableNow=True).start())
     q.awaitTermination()
@@ -997,16 +1084,17 @@ def _run_stream_index_delete(spark: SparkSession, sf_dir: str) -> "DataFrame":
            .parquet(sf_dir))
     # tick 1: the arriving batch, increment with ledger + tombstones
     q = (src.filter(is_batch).writeStream
-         .foreachBatch(lambda bdf, _epoch: apply_index_increment(
-             bdf, dirs["post"], dirs["band"], aux_dirs=aux))
+         .foreachBatch(lambda bdf, epoch: apply_index_increment(
+             bdf, dirs["post"], dirs["band"], aux_dirs=aux,
+             epoch_id=epoch))
          .option("checkpointLocation", f"{root}/ckpt_inc")
          .trigger(availableNow=True).start())
     q.awaitTermination()
     # tick 2: the takedown feed — corpus doc ids to erase
     q = (src.filter(is_removed).select("doc_id").writeStream
-         .foreachBatch(lambda bdf, _epoch: apply_index_delete(
+         .foreachBatch(lambda bdf, epoch: apply_index_delete(
              bdf.sparkSession, bdf.select("doc_id"),
-             dirs["post"], dirs["band"], *aux))
+             dirs["post"], dirs["band"], *aux, epoch_id=epoch))
          .option("checkpointLocation", f"{root}/ckpt_del")
          .trigger(availableNow=True).start())
     q.awaitTermination()

@@ -575,3 +575,80 @@ def test_late_drop_rule_matches_engine_on_random_zones(spark, tmp_path):
             (str(BASE + dt.timedelta(microseconds=ws)), n)
             for ws, n in counts.items()}
         assert got == want, f"case {case}: engine diverged from the rule"
+
+
+def test_replayed_micro_batches_are_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: a crash between a batch's commit
+    and the checkpoint write re-delivers the same epoch. Every storage
+    verb must no-op on the replay (epoch markers), and the markers must
+    survive the overwrite-commit verbs (delete, compact) so a replay
+    arriving after maintenance still no-ops."""
+    from coursera_etl_pipeline_spark.llm_ops import dedup, similarity
+    from coursera_etl_pipeline_spark.streaming.parity import (
+        apply_ann_index_delete,
+        apply_ann_index_increment,
+        apply_index_increment,
+        compact_index,
+    )
+
+    def doc(i):
+        return " ".join(f"d{i}t{j}" for j in range(30))
+
+    docs = spark.createDataFrame(
+        [(11, doc(11)), (21, doc(21)), (31, doc(31)),
+         (40, doc(40)), (60, doc(60))],
+        "doc_id long, text string")
+    post_dir, band_dir = str(tmp_path / "post"), str(tmp_path / "band")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    c_post, c_band = dedup.minhash_index_artifacts(corpus)
+    c_post.write.parquet(post_dir)
+    c_band.write.parquet(band_dir)
+
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    apply_index_increment(batch, post_dir, band_dir, epoch_id=0)
+    once = sorted(tuple(r) for r in spark.read.parquet(band_dir).collect())
+    # the replay: same epoch re-delivered -> must not double-append
+    apply_index_increment(batch, post_dir, band_dir, epoch_id=0)
+    assert sorted(tuple(r)
+                  for r in spark.read.parquet(band_dir).collect()) == once
+    # markers survive COMPACT, so a replay after maintenance still no-ops
+    compact_index(spark, [post_dir, band_dir], target_files=1)
+    apply_index_increment(batch, post_dir, band_dir, epoch_id=0)
+    assert sorted(tuple(r)
+                  for r in spark.read.parquet(band_dir).collect()) == once
+    # a NEW epoch is a genuine new delta and must apply
+    apply_index_increment(batch, post_dir, band_dir, epoch_id=1)
+    assert len(spark.read.parquet(band_dir).collect()) > len(once)
+
+    # ANN family: append replay, then delete replay, then a stale
+    # append replay arriving after the delete
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    assigned, centroids = similarity.ivf_assign(
+        emb.filter(F.col("vec_id") % 10 != 0))
+    cent_dir, index_dir = str(tmp_path / "cent"), str(tmp_path / "index")
+    centroids.write.parquet(cent_dir)
+    assigned.select("vec_id", "cell_id").write.parquet(index_dir)
+
+    abatch = emb.filter(F.col("vec_id") % 10 == 0)
+    apply_ann_index_increment(abatch, cent_dir, index_dir, epoch_id=0)
+    once_ann = sorted(tuple(r)
+                      for r in spark.read.parquet(index_dir).collect())
+    apply_ann_index_increment(abatch, cent_dir, index_dir, epoch_id=0)
+    assert sorted(tuple(r)
+                  for r in spark.read.parquet(index_dir).collect()) == once_ann
+
+    removed = emb.filter(F.col("vec_id") % 10 == 3).select("vec_id")
+    apply_ann_index_delete(spark, removed, index_dir, epoch_id=0)
+    after_del = sorted(tuple(r)
+                       for r in spark.read.parquet(index_dir).collect())
+    assert after_del != once_ann
+    # replayed delete: the contract check would reject the now-absent
+    # ids, so the marker must short-circuit BEFORE it
+    apply_ann_index_delete(spark, removed, index_dir, epoch_id=0)
+    assert sorted(tuple(r)
+                  for r in spark.read.parquet(index_dir).collect()) == after_del
+    # stale APPEND replay after the delete (markers survived the
+    # overwrite): still a no-op, the deleted rows must not resurrect
+    apply_ann_index_increment(abatch, cent_dir, index_dir, epoch_id=0)
+    assert sorted(tuple(r)
+                  for r in spark.read.parquet(index_dir).collect()) == after_del
