@@ -419,6 +419,13 @@ def _run_stream_index_update(spark: SparkSession, sf_dir: str) -> "DataFrame":
          .option("checkpointLocation", f"{root}/ckpt")
          .trigger(availableNow=True).start())
     q.awaitTermination()
+    # REPLAY the tick the engine just ran (same epoch 0 — fresh
+    # checkpoint, first batch): exactly what a restart after
+    # checkpoint lag re-delivers. The epoch marker must make it a
+    # no-op, and the full-rebuild oracle certifies it did — a
+    # double-append would double the band rows and fail the hash.
+    apply_index_increment(docs.filter(is_batch), post_dir, band_dir,
+                          epoch_id=0)
     return spark.read.parquet(band_dir)
 
 
@@ -680,7 +687,11 @@ def stream_index_update_parity(spark: SparkSession, sf_dir: str,
     The oracle is `dedup_index_update`'s full-rebuild SQL, so the
     driver hash certifies that the STREAMED, storage-mediated
     maintenance equals a from-scratch rebuild — not merely that the
-    batch twin does. The single-file fixture source yields one
+    batch twin does. Since round 10 the run also REPLAYS its tick
+    (same epoch id, the restart-after-checkpoint-lag delivery
+    foreachBatch's at-least-once contract allows): the epoch marker
+    must no-op it, and the same rebuild oracle certifies it did —
+    replay exactly-once is under the hash gate, not just pytest. The single-file fixture source yields one
     micro-batch, matching the oracle's one-increment split; a
     multi-file landing zone runs the same loop sequentially, each
     batch probing the previous batches' appends (the lifecycle
@@ -758,6 +769,10 @@ def _run_stream_ann_index_update(spark: SparkSession,
          .option("checkpointLocation", f"{root}/ckpt")
          .trigger(availableNow=True).start())
     q.awaitTermination()
+    # replay epoch 0 (restart-after-checkpoint-lag shape); the marker
+    # must no-op it or the rebuild oracle fails on doubled rows
+    apply_ann_index_increment(emb.filter(is_batch), cent_dir, index_dir,
+                              epoch_id=0)
     return spark.read.parquet(index_dir)
 
 
@@ -782,7 +797,9 @@ def stream_ann_index_parity(spark: SparkSession, sf_dir: str,
     ingest tick. The oracle is the from-scratch rebuild over frozen
     centroids, so the driver hash certifies the streamed, storage-
     mediated append equals the rebuild — including that no micro-batch
-    ever refreshed centroids from the grown corpus.
+    ever refreshed centroids from the grown corpus, and (round 10)
+    that a REPLAYED tick no-ops via its epoch marker instead of
+    double-appending.
 
     Scale posture: per tick O(|batch| x n_cells) against a broadcast
     centroid table, blind parquet appends, zero corpus contact."""
