@@ -64,11 +64,63 @@ def scratch_root() -> str:
     return tempfile.gettempdir()
 
 
+_SCRATCH_CREATED: list[str] = []
+_SCRATCH_SWEPT = False
+
+
+def _cleanup_scratch() -> None:
+    import shutil
+
+    for d in _SCRATCH_CREATED:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _sweep_stale_scratch(root: str, ttl_s: int = 24 * 3600) -> None:
+    """Best-effort removal of scratch left by CRASHED processes: on
+    tmpfs, leaked dirs cost RAM (unlike /tmp, nothing reclaims them
+    until reboot). Live processes' dirs are younger than the TTL —
+    every scratch consumer here runs minutes, not hours. The TTL
+    also bounds how long a failed-commit recovery copy (the staged
+    states apply_index_delete/compact preserve) survives — a real
+    deployment stages on a shared filesystem, not scratch."""
+    import shutil
+    import time
+
+    cutoff = time.time() - ttl_s
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    for name in entries:
+        p = os.path.join(root, name)
+        try:
+            if os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue
+
+
 def scratch_dir(prefix: str) -> str:
-    """mkdtemp under scratch_root() — drop-in for tempfile.mkdtemp."""
+    """mkdtemp under scratch_root() — drop-in for tempfile.mkdtemp,
+    plus lifecycle hygiene tmpfs needs: dirs this process creates are
+    removed at interpreter exit (atexit), and the first call sweeps
+    dirs older than 24h that a crashed process left behind. Dirs NOT
+    created through here (raw mkdtemp under scratch_root, the staged
+    late-data zone) are exempt from the atexit pass — recovery copies
+    and cross-process caches must outlive the process — and fall to
+    the TTL sweep instead."""
+    import atexit
     import tempfile
 
-    return tempfile.mkdtemp(prefix=prefix, dir=scratch_root())
+    global _SCRATCH_SWEPT
+    root = scratch_root()
+    if not _SCRATCH_SWEPT:
+        _SCRATCH_SWEPT = True
+        _sweep_stale_scratch(root)
+        atexit.register(_cleanup_scratch)
+    d = tempfile.mkdtemp(prefix=prefix, dir=root)
+    _SCRATCH_CREATED.append(d)
+    return d
 
 
 # load_table results memoized per (session, sf_dir, table, on-disk file

@@ -1265,7 +1265,14 @@ def _stage_late_zone(spark: SparkSession, sf_dir: str) -> str:
     # stage-then-commit like every other storage verb here: a crashed
     # build leaves only the ._build dir, never a half-staged zone
     shutil.rmtree(zone, ignore_errors=True)
-    os.rename(build, zone)
+    try:
+        os.rename(build, zone)
+    except OSError:
+        # lost a concurrent-stager race: the winner's zone is complete
+        # (its marker exists by rename atomicity) — use it
+        shutil.rmtree(build, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
     return zone
 
 
