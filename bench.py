@@ -114,6 +114,8 @@ _exclude(
     "dedup_image_clusters",  # same fixture, components of the above
     # CDC pair (merge shares the snapshot-join+window shape)
     "merge_upsert_snapshot", "scd2_versions",
+    # one-pass multi-agg + anti-join: both shapes timed by q1/q21 family
+    "dq_audit_orders",
 )
 _exclude(
     "recall metric re-running an ANN query the headline already times",

@@ -188,3 +188,48 @@ def test_q1_partials_are_micro_units_not_decimal_casts(spark, sf_dir):
     assert "FLOOR(" in plan
     assert "decimal(38,0)" in plan
     assert "as decimal(38,6)" not in plan.lower()
+
+
+def test_dq_audit_catches_each_violation(spark):
+    """Every DQ expectation must actually fire: feed a deliberately
+    corrupted orders/customer pair and assert exactly the right checks
+    fail with the right metrics — a DQ operator whose checks never
+    fire is worse than none."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from coursera_etl_pipeline_spark.operators.quality import dq_audit
+
+    d = dt.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(1, 10, "O", 5.0, d),
+         (1, 10, "F", 7.0, d),        # duplicate key
+         (None, 10, "P", 3.0, d),     # null key
+         (4, 99, "X", -2.0, None),    # orphan custkey, bad status,
+                                      # non-positive price, null date
+         (5, 10, None, 6.0, d)],      # NULL status = out-of-domain
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp")
+    customer = spark.createDataFrame([(10,)], "c_custkey long")
+
+    got = {r.check_name: (r.metric, r.passed)
+           for r in dq_audit(orders, customer).collect()}
+    assert got == {
+        "row_count": (5, True),
+        "orderkey_nulls": (1, False),
+        "orderkey_dups": (1, False),
+        "custkey_orphans": (1, False),
+        "totalprice_nonpositive": (1, False),
+        "orderstatus_out_of_domain": (2, False),
+        "orderdate_nulls": (1, False),
+    }
+
+    # and a clean pair passes everything
+    clean = {r.check_name: r.passed
+             for r in dq_audit(
+                 orders.filter(F.col("o_orderkey").isin(1, 5))
+                 .dropDuplicates(["o_orderkey"])
+                 .withColumn("o_orderstatus", F.lit("O")),
+                 customer).collect()}
+    assert all(clean.values()) and len(clean) == 7

@@ -40,6 +40,7 @@ ALLOWED = {
     ("q15_top_supplier", "BroadcastNestedLoopJoin"),       # max-scalar broadcast
     ("agg_approx_bounds", "BroadcastNestedLoopJoin"),      # O(1) bounds row
     ("agg_approx", "BroadcastNestedLoopJoin"),             # O(1) bounds row
+    ("dq_audit_orders", "BroadcastNestedLoopJoin"),        # O(1) stats-row assembly
     ("subquery_scalar", "BroadcastNestedLoopJoin"),        # scalar subquery
     # broadcast 1-row total_docs aggregate (the oracle's CROSS JOIN n
     # mirrored) replacing a per-plan-construction driver count (r8)
