@@ -60,8 +60,9 @@ _EDITED_THIS_ROUND = [
     "stream_index_delete_parity",
     "stream_ann_index_parity",
     # (stream_ann_index_delete_parity, dedup_index_compact,
-    # similarity_index_delete, multimodal_frame_sample are new this
-    # round — never certified, they lead without entries.)
+    # similarity_index_delete, multimodal_frame_sample,
+    # stream_late_data_parity, dq_audit_orders are new this round —
+    # never certified, they lead without entries.)
     # Carve-outs (files edited, NO forcing, each provably output-
     # invariant and oracle-rechecked at sf0.01 post-change):
     # multimodal.py + plans/queries.py fixture dirs moved to tmpfs
