@@ -1,11 +1,15 @@
 """Custom stateful streaming operator via applyInPandasWithState:
 a per-user running profile (event count, value sum, last event time)
-maintained across micro-batches with timeout-based eviction.
+maintained across micro-batches.
 
 This is the escape hatch for stateful semantics the built-in window/
 dedup operators can't express (SURVEY §2.2 streaming note). State is
-partitioned by key across executors; eviction via ProcessingTimeTimeout
-bounds memory exactly like a watermark bounds window state.
+partitioned by key across executors. The operator here runs with
+NoTimeout — right for the bounded availableNow parity runs, where
+every key's profile must survive to the last tick; an unbounded
+production deployment would pass GroupStateTimeout.ProcessingTimeTimeout
+and call state.setTimeoutDuration per update so idle keys evict,
+bounding memory exactly like a watermark bounds window state.
 """
 
 from __future__ import annotations
