@@ -115,7 +115,7 @@ _exclude(
     # CDC pair (merge shares the snapshot-join+window shape)
     "merge_upsert_snapshot", "scd2_versions",
     # one-pass multi-agg + anti-join: both shapes timed by q1/q21 family
-    "dq_audit_orders",
+    "dq_audit_orders", "dq_audit_documents",
 )
 _exclude(
     "recall metric re-running an ANN query the headline already times",

@@ -108,3 +108,85 @@ def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the driver hash certifies metric values AND pass verdicts."""
     return dq_audit(load_table(spark, sf_dir, "orders"),
                     load_table(spark, sf_dir, "customer"))
+
+
+def dq_audit_documents(docs: DataFrame) -> DataFrame:
+    """Corpus-hygiene expectations over an LLM documents table — the
+    checks a training-data pipeline gates ingest on: identity (key
+    nulls/dups), content (empty or non-ASCII text), metadata
+    consistency (n_chars must equal the text's length — stale metadata
+    silently corrupts length-stratified sampling), and exact-duplicate
+    rate (md5 fingerprint, the dedup_exact measure). One pass, one
+    multi-aggregate; no joins at all."""
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("doc_id").alias("n_key"),
+        F.count_distinct(F.col("doc_id")).alias("n_key_d"),
+        F.sum(F.when(F.col("text").isNull() | (F.col("text") == ""), 1)
+              .otherwise(0)).cast("bigint").alias("n_empty"),
+        F.sum(F.when(F.octet_length("text") != F.length("text"), 1)
+              .otherwise(0)).cast("bigint").alias("n_nonascii"),
+        F.sum(F.when(F.col("n_chars") != F.length("text"), 1)
+              .otherwise(0)).cast("bigint").alias("n_meta_bad"),
+        # distinct over NON-EMPTY texts only: an empty string's md5 is
+        # a real value, and counting it here while its rows sit in
+        # n_empty would understate the dup metric by one
+        F.count_distinct(
+            F.when(F.col("text").isNotNull() & (F.col("text") != ""),
+                   F.md5(F.col("text")))).alias("n_text_d"),
+    )
+    return stats.selectExpr("""stack(7,
+        'row_count', n_rows, n_rows > 0,
+        'doc_id_nulls', n_rows - n_key, n_rows - n_key = 0,
+        'doc_id_dups', n_key - n_key_d, n_key - n_key_d = 0,
+        'empty_text', n_empty, n_empty = 0,
+        'non_ascii_text', n_nonascii, n_nonascii = 0,
+        'n_chars_metadata_mismatch', n_meta_bad, n_meta_bad = 0,
+        'exact_dup_texts', n_rows - n_empty - n_text_d,
+            n_rows - n_empty - n_text_d = 0
+      ) as (check_name, metric, passed)""")
+
+
+@query(
+    "dq_audit_documents",
+    oracle="""
+    WITH s AS (
+      SELECT count(*) AS n_rows,
+             count(doc_id) AS n_key,
+             count(DISTINCT doc_id) AS n_key_d,
+             sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+               AS n_empty,
+             sum(CASE WHEN octet_length(encode(text)) <> length(text)
+                      THEN 1 ELSE 0 END) AS n_nonascii,
+             sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+               AS n_meta_bad,
+             count(DISTINCT CASE WHEN text IS NOT NULL AND text <> ''
+                                 THEN md5(text) END) AS n_text_d
+      FROM documents
+    )
+    SELECT check_name, CAST(metric AS BIGINT) AS metric, passed FROM (
+      SELECT 'row_count' AS check_name, n_rows AS metric,
+             n_rows > 0 AS passed FROM s
+      UNION ALL SELECT 'doc_id_nulls', n_rows - n_key,
+             n_rows - n_key = 0 FROM s
+      UNION ALL SELECT 'doc_id_dups', n_key - n_key_d,
+             n_key - n_key_d = 0 FROM s
+      UNION ALL SELECT 'empty_text', n_empty, n_empty = 0 FROM s
+      UNION ALL SELECT 'non_ascii_text', n_nonascii, n_nonascii = 0 FROM s
+      UNION ALL SELECT 'n_chars_metadata_mismatch', n_meta_bad,
+             n_meta_bad = 0 FROM s
+      UNION ALL SELECT 'exact_dup_texts', n_rows - n_empty - n_text_d,
+             n_rows - n_empty - n_text_d = 0 FROM s
+    )
+    """,
+)
+def dq_audit_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus DQ suite over the documents table. NULL/empty texts
+    are excluded from the exact-dup metric (their md5 is NULL /
+    shared-empty, which would double-count the emptiness check).
+    Non-ASCII is a first-class check because two certified operators
+    (multimodal_frame_sample's char-slice oracle, the byte-level
+    fingerprints) assume the fixture's ASCII purity — a regeneration
+    that breaks it shows up HERE as a failed expectation on both
+    engines, with the metric naming how many docs broke it."""
+    return dq_audit_documents(load_table(spark, sf_dir, "documents"))

@@ -233,3 +233,35 @@ def test_dq_audit_catches_each_violation(spark):
                  .withColumn("o_orderstatus", F.lit("O")),
                  customer).collect()}
     assert all(clean.values()) and len(clean) == 7
+
+
+def test_dq_audit_documents_catches_each_violation(spark):
+    """Corpus DQ twin of the orders test: every expectation fires on a
+    deliberately corrupted documents frame, including the empty-text /
+    exact-dup interaction (an empty string's md5 must not offset the
+    dup metric)."""
+    from coursera_etl_pipeline_spark.operators.quality import (
+        dq_audit_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "en", "web", 10),
+         (1, "alpha beta", "en", "web", 10),    # dup id AND dup text
+         (None, "", "en", "web", 0),            # null id, empty text
+         (4, None, "en", "web", 0),             # null text
+         (5, "café latte", "fr", "web", 10),  # non-ASCII
+         (6, "gamma", "en", "web", 99)],        # n_chars mismatch
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r.check_name: (r.metric, r.passed)
+           for r in dq_audit_documents(docs).collect()}
+    assert got == {
+        "row_count": (6, True),
+        "doc_id_nulls": (1, False),
+        "doc_id_dups": (1, False),
+        "empty_text": (2, False),          # NULL and '' both count
+        "non_ascii_text": (1, False),
+        # NULL text rows can't be length-checked; é is 1 char/2 bytes,
+        # so doc 5's n_chars=10 matches char_length ('café latte')
+        "n_chars_metadata_mismatch": (1, False),
+        "exact_dup_texts": (1, False),     # the alpha-beta pair only
+    }
