@@ -652,3 +652,48 @@ def test_replayed_micro_batches_are_idempotent(spark, sf_dir, tmp_path):
     apply_ann_index_increment(abatch, cent_dir, index_dir, epoch_id=0)
     assert sorted(tuple(r)
                   for r in spark.read.parquet(index_dir).collect()) == after_del
+
+
+def test_two_tick_admission_dependence_and_order(spark, tmp_path):
+    """The cross-tick clause of the multi-tick parity oracle, pinned
+    at toy scale (the sf0.01 fixture has no cross-tick near-dups, so
+    the driver's run exercises it only at sf0.1): a tick-2 doc that
+    near-dups a tick-1 ADMISSION must drop — and with the arrival
+    order REVERSED, the other doc of the pair drops instead, proving
+    the admitted set is genuinely order-dependent (exactly what the
+    mtime-ordered staging pins for the oracle)."""
+    from coursera_etl_pipeline_spark.llm_ops import dedup
+    from coursera_etl_pipeline_spark.streaming.parity import (
+        apply_index_increment,
+    )
+
+    def doc(i, base):
+        return " ".join(f"{base}t{j}" for j in range(30))
+
+    docs = spark.createDataFrame(
+        [(3, doc(3, "corpus")),       # corpus, unrelated
+         (20, doc(20, "pair")),       # tick-1 (id % 20 == 0)
+         (30, doc(30, "pair")),       # tick-2, SAME text as 20
+         (50, doc(50, "solo"))],      # tick-2, unrelated
+        "doc_id long, text string")
+
+    def run(order):
+        post, band = str(tmp_path / f"p{order}"), str(tmp_path / f"b{order}")
+        c_post, c_band = dedup.minhash_index_artifacts(
+            docs.filter(F.col("doc_id") == 3))
+        c_post.write.parquet(post)
+        c_band.write.parquet(band)
+        ticks = [docs.filter(F.col("doc_id") == 20),
+                 docs.filter(F.col("doc_id").isin(30, 50))]
+        if order == "reversed":
+            ticks.reverse()
+        for e, t in enumerate(ticks):
+            apply_index_increment(t, post, band, epoch_id=e)
+        return {r.doc_id for r in
+                spark.read.parquet(band).select("doc_id").distinct().collect()}
+
+    # forward: 20 admitted at tick 1, so 30 drops against the stored
+    # index at tick 2; 50 is untouched either way
+    assert run("forward") == {3, 20, 50}
+    # reversed: 30 admitted first, so 20 drops at its tick
+    assert run("reversed") == {3, 30, 50}
