@@ -133,7 +133,8 @@ _exclude(
     "stream_incremental_dedup", "stream_stateful_profile_parity",
     "stream_index_update_parity", "stream_ann_index_parity",
     "stream_index_delete_parity", "stream_ann_index_delete_parity",
-    "stream_late_data_parity", "stream_index_multi_tick_parity",
+    "stream_late_data_parity", "stream_late_sliding_parity",
+    "stream_index_multi_tick_parity",
     "dedup_index_compact",
 )
 

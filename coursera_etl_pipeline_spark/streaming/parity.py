@@ -1559,3 +1559,95 @@ def stream_index_multi_tick_parity(spark: SparkSession, sf_dir: str,
         result = _run_stream_multi_tick_index(spark, sf_dir)
         result.createOrReplaceTempView(name)
     return spark.table(name)
+
+
+SLIDE_US = 4 * 3600 * 1_000_000  # sliding step: 12h windows every 4h
+
+
+@query(
+    "stream_late_sliding_parity",
+    # Same staged zone and watermark rule as stream_late_data_parity,
+    # on SLIDING windows (12h every 4h = 3 windows per row). The late
+    # filter is per (row, window) — a late row can be dropped for its
+    # oldest overlapping window (already evicted) while still counting
+    # toward the newer ones (still open), which the tumbling parity
+    # structurally cannot exhibit. The oracle explodes each row into
+    # its 3 epoch-aligned windows (offsets 0/1/2 slides back; all 3
+    # always overlap since size = 3 x slide) and applies the drop and
+    # emission thresholds per window end.
+    oracle=f"""
+    WITH tagged AS (
+      SELECT event_type, value, us,
+             CASE WHEN event_id % 11 = 0 THEN {LATE_N_BATCHES - 1}
+                  WHEN event_id % 5 = 0 THEN least({LATE_N_BATCHES - 1}, sl + 1)
+                  ELSE sl END AS batch_seq
+      FROM (SELECT event_id, event_type, value, epoch_us(ts) AS us,
+                   least({LATE_N_BATCHES - 1}, greatest(0,
+                         (epoch_us(ts) - {LATE_EPOCH0_US}) // {LATE_SLICE_US}))
+                     AS sl
+            FROM events)
+    ),
+    batch_max AS (SELECT batch_seq, max(us) AS mx FROM tagged GROUP BY 1),
+    filter_wm AS (
+      SELECT k.batch_seq,
+             (SELECT max(b.mx) - {LATE_DELAY_US} FROM batch_max b
+              WHERE b.batch_seq <= k.batch_seq - 2) AS wm_us
+      FROM batch_max k
+    ),
+    exploded AS (
+      SELECT t.us, t.event_type, t.value, f.wm_us,
+             (t.us // {SLIDE_US}) * {SLIDE_US} - k.k * {SLIDE_US} AS ws
+      FROM tagged t
+        JOIN filter_wm f USING (batch_seq),
+        (SELECT unnest([0, 1, 2]) AS k) k
+    ),
+    survivors AS (
+      SELECT us, event_type, value, ws FROM exploded
+      WHERE wm_us IS NULL OR ws + {LATE_WINDOW_US} > wm_us
+    ),
+    final_wm AS (SELECT max(us) - {LATE_DELAY_US} AS wm_us FROM tagged)
+    SELECT strftime(to_timestamp(ws // 1000000) AT TIME ZONE 'UTC',
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {dsum('value')} AS total_value,
+           max(value) AS max_value
+    FROM survivors, final_wm f
+    WHERE ws + {LATE_WINDOW_US} <= f.wm_us
+    GROUP BY 1, 2
+    """,
+)
+def stream_late_sliding_parity(spark: SparkSession, sf_dir: str,
+                               force: bool = False) -> DataFrame:
+    """Watermark late-data semantics at per-(row, window) granularity:
+    the staged multi-file zone streamed through SLIDING 12h/4h windows
+    in append mode. A late row's three overlapping windows have three
+    different ends, so the engine drops it from evicted windows while
+    merging it into open ones — the oracle replays exactly that, and
+    the hash certifies the window-expansion-then-filter order the
+    tumbling parity cannot distinguish."""
+    name = "stream_lateslide_" + re.sub(r"\W", "_", sf_dir).strip("_")
+    if _needs_run(spark, name, force):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+                       "true")
+        zone = _stage_late_zone(spark, sf_dir)
+        schema = (spark.read.option("pathGlobFilter", "batch*.parquet")
+                  .parquet(zone).schema)
+        src = (spark.readStream.schema(schema)
+               .option("pathGlobFilter", "batch*.parquet")
+               .option("maxFilesPerTrigger", "1")
+               .parquet(zone))
+        agg = (
+            src.withWatermark("ts", "47 hours")
+            .groupBy(F.window("ts", "12 hours", "4 hours"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr(dsum("value")).alias("total_value"),
+                 F.max("value").alias("max_value"))
+            .select(F.date_format("window.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"),
+                    "event_type", "n", "total_value", "max_value"))
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        _await_or_cleanup(spark, q, name)
+    return spark.table(name)

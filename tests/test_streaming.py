@@ -697,3 +697,51 @@ def test_two_tick_admission_dependence_and_order(spark, tmp_path):
     assert run("forward") == {3, 20, 50}
     # reversed: 30 admitted first, so 20 drops at its tick
     assert run("reversed") == {3, 30, 50}
+
+
+def test_sliding_late_zone_has_partial_drops(sf_dir):
+    """Fixture guard for stream_late_sliding_parity's distinctive
+    case: at least one row must be dropped from SOME of its three
+    overlapping windows while kept in others (kept in 1 or 2 of 3).
+    If a regeneration collapses this to zero, the sliding parity
+    silently degrades to the tumbling one."""
+    import duckdb
+
+    from coursera_etl_pipeline_spark.catalog import table_path
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet("
+                f"'{table_path(sf_dir, 'events')}')")
+    n = con.execute("""
+    WITH tagged AS (
+      SELECT event_id, us,
+             CASE WHEN event_id % 11 = 0 THEN 3
+                  WHEN event_id % 5 = 0 THEN least(3, sl + 1)
+                  ELSE sl END AS batch_seq
+      FROM (SELECT event_id, epoch_us(ts) AS us,
+                   least(3, greatest(0, (epoch_us(ts) - 1704067200000000)
+                         // 648000000000)) AS sl
+            FROM events)
+    ),
+    batch_max AS (SELECT batch_seq, max(us) AS mx FROM tagged GROUP BY 1),
+    filter_wm AS (
+      SELECT k.batch_seq,
+             (SELECT max(b.mx) - 169200000000 FROM batch_max b
+              WHERE b.batch_seq <= k.batch_seq - 2) AS wm_us
+      FROM batch_max k
+    ),
+    per_row AS (
+      SELECT t.event_id,
+             sum(CASE WHEN f.wm_us IS NULL
+                        OR (t.us // 14400000000) * 14400000000
+                           - k.k * 14400000000 + 43200000000 > f.wm_us
+                      THEN 1 ELSE 0 END) AS kept
+      FROM tagged t JOIN filter_wm f USING (batch_seq),
+           (SELECT unnest([0,1,2]) AS k) k
+      GROUP BY 1
+    )
+    SELECT count(*) FROM per_row WHERE kept IN (1, 2)
+    """).fetchone()[0]
+    assert n > 0, (
+        "no partially-dropped row in the staged late zone: the sliding "
+        "parity no longer exercises per-(row, window) filtering")
