@@ -134,6 +134,7 @@ _exclude(
     "stream_index_update_parity", "stream_ann_index_parity",
     "stream_index_delete_parity", "stream_ann_index_delete_parity",
     "stream_late_data_parity", "stream_late_sliding_parity",
+    "stream_dedup_expiry_parity",
     "stream_index_multi_tick_parity",
     "dedup_index_compact",
 )

@@ -1651,3 +1651,169 @@ def stream_late_sliding_parity(spark: SparkSession, sf_dir: str,
              .outputMode("append").trigger(availableNow=True).start())
         _await_or_cleanup(spark, q, name)
     return spark.table(name)
+
+
+# --- dedup state expiry under the watermark (late round 10) ----------
+#
+# `stream_dedup_parity` certifies exactly-once output from at-least-
+# once delivery with UNBOUNDED dedup state. Production uses
+# dropDuplicatesWithinWatermark, whose state EXPIRES — and the
+# interesting boundary is what happens to a redelivery that arrives
+# after its key's state expired. Empirically (six-case probe, this
+# Spark build): a redelivery carrying the ORIGINAL event time can
+# never be re-emitted (state expiry requires wm > ts + delay, which
+# makes the original ts late — the late filter eats it); a RE-STAMPED
+# redelivery (replayed feed assigning a fresh ingest time, the shape
+# that actually threatens downstream idempotence) in micro-batch k is
+# re-emitted iff the PREVIOUS batch's watermark passed the original
+# state's expiry:  wm_{k-1} > ts_orig + delay,  with wm_{k-1} =
+# max(event time over batches <= k-2) - delay — the same one-batch
+# lag as the aggregation rules above (eviction at the end of batch m
+# uses wm_m; arrival in batch k sees state alive iff no m < k
+# evicted it). A dropped redelivery does NOT refresh the state's
+# expiry (also pinned by the probe).
+
+DEDUP_DUP_MOD = 17  # event_id % 17 == 0 originals get one redelivery
+
+
+def _stage_dedup_zone(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as a 4-file zone in plain time-slice order (no
+    late shifts), PLUS one re-stamped redelivery for each
+    event_id % 17 == 0 original in slices 0-1: the duplicate lands
+    two batches later with ts = original + 2 slices (within its
+    batch's native range, so it is never watermark-late, and never
+    shares a micro-batch with its original — same-batch pairs would
+    make the surviving row nondeterministic)."""
+    import hashlib
+    import shutil
+    import time as _time
+
+    from coursera_etl_pipeline_spark.catalog import (
+        _path_fingerprint,
+        load_table,
+    )
+
+    fp = _path_fingerprint(table_path(sf_dir, "events"))
+    key = hashlib.md5(f"dedupzone|{sf_dir}|{fp}".encode()).hexdigest()[:12]
+    zone = os.path.join(scratch_root(), f"dedup_zone_{key}")
+    marker = os.path.join(zone, "_STAGED")
+    if os.path.exists(marker):
+        return zone
+
+    ev = load_table(spark, sf_dir, "events")
+    sl = F.least(
+        F.lit(LATE_N_BATCHES - 1),
+        F.greatest(
+            F.lit(0),
+            F.expr(f"(unix_micros(ts) - {LATE_EPOCH0_US}) "
+                   f"div {LATE_SLICE_US}").cast("int")))
+    orig = ev.withColumn("_b", sl)
+    dups = (orig.filter((F.col("event_id") % DEDUP_DUP_MOD == 0)
+                        & (F.col("_b") <= 1))
+            .withColumn("ts", F.timestamp_micros(
+                F.unix_micros("ts") + F.lit(2 * LATE_SLICE_US)))
+            .withColumn("_b", F.col("_b") + 2))
+    tagged = orig.unionByName(dups)
+
+    build = zone + "._build"
+    shutil.rmtree(build, ignore_errors=True)
+    os.makedirs(build)
+    t0 = _time.time() - 10 * LATE_N_BATCHES
+    for k in range(LATE_N_BATCHES):
+        tmp = os.path.join(build, f"_tmp{k}")
+        (tagged.filter(F.col("_b") == k).drop("_b")
+         .coalesce(1).write.mode("overwrite").parquet(tmp))
+        parts = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        if parts:
+            dst = os.path.join(build, f"batch{k}.parquet")
+            shutil.copy(os.path.join(tmp, parts[0]), dst)
+            os.utime(dst, (t0 + 10 * k,) * 2)
+        shutil.rmtree(tmp)
+    open(os.path.join(build, "_STAGED"), "w").close()
+    shutil.rmtree(zone, ignore_errors=True)
+    try:
+        os.rename(build, zone)
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
+    return zone
+
+
+@query(
+    "stream_dedup_expiry_parity",
+    # Every original is its id's first arrival -> emitted. A
+    # redelivery (batch b = sl+2, re-stamped +2 slices) is re-emitted
+    # iff wm_{b-1} > orig_ts + delay. Batch maxima include the
+    # redeliveries' re-stamped times — exactly what the engine's
+    # watermark tracker sees.
+    oracle=f"""
+    WITH orig AS (
+      SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us,
+             least({LATE_N_BATCHES - 1}, greatest(0,
+                   (epoch_us(ts) - {LATE_EPOCH0_US}) // {LATE_SLICE_US}))
+               AS b
+      FROM events
+    ),
+    dups AS (
+      SELECT event_id, user_id, event_type, value,
+             us + {2 * LATE_SLICE_US} AS us, us AS orig_us, b + 2 AS b
+      FROM orig
+      WHERE event_id % {DEDUP_DUP_MOD} = 0 AND b <= 1
+    ),
+    all_rows AS (
+      SELECT event_id, user_id, event_type, value, us, b FROM orig
+      UNION ALL
+      SELECT event_id, user_id, event_type, value, us, b FROM dups
+    ),
+    batch_max AS (SELECT b, max(us) AS mx FROM all_rows GROUP BY 1),
+    emitted AS (
+      SELECT event_id, user_id, event_type, value, us FROM orig
+      UNION ALL
+      SELECT d.event_id, d.user_id, d.event_type, d.value, d.us
+      FROM dups d
+      WHERE (SELECT max(m.mx) - {LATE_DELAY_US} FROM batch_max m
+             WHERE m.b <= d.b - 2) > d.orig_us + {LATE_DELAY_US}
+    )
+    SELECT event_id,
+           strftime(to_timestamp(us // 1000000) AT TIME ZONE 'UTC',
+                    '%Y-%m-%d %H:%M:%S') AS ts_str,
+           user_id, event_type, value
+    FROM emitted
+    """,
+)
+def stream_dedup_expiry_parity(spark: SparkSession, sf_dir: str,
+                               force: bool = False) -> DataFrame:
+    """dropDuplicatesWithinWatermark's STATE-EXPIRY boundary under the
+    hash gate: the staged zone redelivers ~6% of slice-0/1 events two
+    micro-batches later with re-stamped times. Within the 47h state
+    window the redelivery is dropped (exactly-once holds); once the
+    watermark passes the original's expiry the state is gone and the
+    redelivery is RE-EMITTED (the at-least-once boundary every
+    downstream consumer must reason about). The oracle replays the
+    engine's lagged eviction rule per redelivery, so the driver hash
+    certifies both the kept and re-emitted sets exactly — bounded
+    dedup state, not the unbounded dropDuplicates the original parity
+    pins."""
+    name = "stream_dedupexp_" + re.sub(r"\W", "_", sf_dir).strip("_")
+    if _needs_run(spark, name, force):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+                       "true")
+        zone = _stage_dedup_zone(spark, sf_dir)
+        schema = (spark.read.option("pathGlobFilter", "batch*.parquet")
+                  .parquet(zone).schema)
+        src = (spark.readStream.schema(schema)
+               .option("pathGlobFilter", "batch*.parquet")
+               .option("maxFilesPerTrigger", "1")
+               .parquet(zone))
+        out = (src.withWatermark("ts", "47 hours")
+               .dropDuplicatesWithinWatermark(["event_id"])
+               .select("event_id",
+                       F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+                       .alias("ts_str"),
+                       "user_id", "event_type", "value"))
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        _await_or_cleanup(spark, q, name)
+    return spark.table(name)

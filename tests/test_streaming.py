@@ -745,3 +745,37 @@ def test_sliding_late_zone_has_partial_drops(sf_dir):
     assert n > 0, (
         "no partially-dropped row in the staged late zone: the sliding "
         "parity no longer exercises per-(row, window) filtering")
+
+
+def test_dedup_expiry_zone_exercises_both_outcomes(sf_dir):
+    """Fixture guard for stream_dedup_expiry_parity: the staged
+    redeliveries must split into BOTH outcomes — some dropped (state
+    still live) and some re-emitted (state expired) — or the expiry
+    certification degrades to a plain dedup check."""
+    import duckdb
+
+    from coursera_etl_pipeline_spark.catalog import table_path
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet("
+                f"'{table_path(sf_dir, 'events')}')")
+    n_dups, n_re = con.execute("""
+    WITH orig AS (
+      SELECT event_id, epoch_us(ts) AS us,
+             least(3, greatest(0, (epoch_us(ts) - 1704067200000000)
+                   // 648000000000)) AS b
+      FROM events),
+    dups AS (SELECT event_id, us + 1296000000000 AS us, us AS orig_us,
+                    b + 2 AS b
+             FROM orig WHERE event_id % 17 = 0 AND b <= 1),
+    all_rows AS (SELECT us, b FROM orig UNION ALL SELECT us, b FROM dups),
+    batch_max AS (SELECT b, max(us) AS mx FROM all_rows GROUP BY 1)
+    SELECT count(*),
+           count(*) FILTER (WHERE
+             (SELECT max(m.mx) - 169200000000 FROM batch_max m
+              WHERE m.b <= d.b - 2) > d.orig_us + 169200000000)
+    FROM dups d
+    """).fetchone()
+    assert n_dups > 0 and 0 < n_re < n_dups, (
+        f"redeliveries {n_dups}, re-emitted {n_re}: both the live-drop "
+        "and the expiry-re-emit paths must fire")

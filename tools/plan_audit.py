@@ -105,6 +105,7 @@ EXECUTES_ON_BUILD = {"stream_batch_parity", "stream_dedup_parity",
                      "stream_ann_index_delete_parity",
                      "stream_late_data_parity",
                      "stream_late_sliding_parity",
+                     "stream_dedup_expiry_parity",
                      "stream_index_multi_tick_parity",
                      "dedup_index_compact",
                      "dedup_components", "dedup_clusters",
