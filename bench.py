@@ -116,6 +116,8 @@ _exclude(
     "merge_upsert_snapshot", "scd2_versions",
     # one-pass multi-agg + anti-join: both shapes timed by q1/q21 family
     "dq_audit_orders", "dq_audit_documents",
+    # narrow split+explode+slice; text_pack_sequences times the family
+    "text_chunk_overlap",
 )
 _exclude(
     "recall metric re-running an ANN query the headline already times",

@@ -329,3 +329,67 @@ def decontaminate(d: DataFrame, n: int = DECONTAM_N,
                 F.round(n_overlap * 1.0 / F.col("nsh"), 6).alias("overlap_ratio"),
                 (n_overlap >= 1).alias("contaminated"))
     )
+
+
+CHUNK_TOKENS = 32   # fixed context-window budget per chunk
+CHUNK_STRIDE = 24   # 8-token overlap between consecutive chunks
+
+
+@query(
+    "text_chunk_overlap",
+    # k ranges over chunk starts (k*stride < n_tokens); DuckDB's
+    # list_slice and Spark's slice are both 1-based and both cap at
+    # the array end, so the tail chunk shortens identically. range()
+    # yields BIGINT and len() widens — cast to match Spark's int pos
+    # and size.
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(k AS INTEGER) AS chunk_idx,
+           array_to_string(
+             list_slice(toks, k * {CHUNK_STRIDE} + 1,
+                        k * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(toks, k * {CHUNK_STRIDE} + 1,
+                               k * {CHUNK_STRIDE} + {CHUNK_TOKENS}))
+                AS INTEGER) AS n_tokens
+    FROM t, unnest(range(0, (len(toks) - 1) // {CHUNK_STRIDE} + 1)) AS u(k)
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking with overlap — the dual of
+    `text_pack_sequences` (that op packs short docs UP to a token
+    budget; this one splits long docs DOWN to it): fixed 32-token
+    chunks every 24 tokens, so consecutive chunks share 8 tokens of
+    context — the standard pretraining / retrieval-indexing
+    preprocessing step. Chunk k starts at token k*stride while
+    k*stride < n_tokens; the tail chunk shortens rather than pad.
+
+    Scale shape: pure narrow ops — split, a per-row sequence explode
+    (bounded by n_tokens/stride, ~4 here), and slices; no shuffle at
+    all until a consumer aggregates. The explode multiplies bytes by
+    the overlap factor (32/24), exactly the storage cost a chunked
+    training corpus pays."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size(toks) - 1) / CHUNK_STRIDE).cast("int"))
+            ).alias("chunk_idx", "_k"),
+            toks.alias("_toks"))
+        .select(
+            "doc_id", "chunk_idx",
+            F.array_join(
+                F.slice(F.col("_toks"),
+                        F.col("_k") * CHUNK_STRIDE + 1, CHUNK_TOKENS), " ")
+            .alias("chunk_text"),
+            F.size(F.slice(F.col("_toks"),
+                           F.col("_k") * CHUNK_STRIDE + 1, CHUNK_TOKENS))
+            .alias("n_tokens"))
+    )

@@ -1168,3 +1168,42 @@ def test_media_header_parsers_total_on_garbage():
             pass
 
     check()
+
+
+def test_chunk_overlap_properties(spark, sf_dir):
+    """Chunking invariants at smoke scale: chunks tile each document
+    with the configured overlap — chunk k starts at token k*stride,
+    consecutive full chunks share exactly (chunk - stride) tokens,
+    concatenating chunk 0 with the non-overlapped tails of chunks
+    1..K reconstructs the document, and every token count is in
+    (0, CHUNK_TOKENS]."""
+    from coursera_etl_pipeline_spark.llm_ops.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        text_chunk_overlap,
+    )
+
+    rows = text_chunk_overlap(spark, sf_dir).collect()
+    docs = {r.doc_id: r.text.split(" ")
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()}
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        assert 0 < r.n_tokens <= CHUNK_TOKENS
+        assert r.n_tokens == len(r.chunk_text.split(" "))
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        toks = docs[doc_id]
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        for prev, cur in zip(chunks, chunks[1:]):
+            p, c = prev.chunk_text.split(" "), cur.chunk_text.split(" ")
+            if len(p) == CHUNK_TOKENS:  # full chunk: exact overlap
+                assert p[CHUNK_STRIDE:] == c[:CHUNK_TOKENS - CHUNK_STRIDE]
+        # reconstruction via start offsets: chunks tile the document
+        rebuilt = []
+        for c in chunks:
+            start = c.chunk_idx * CHUNK_STRIDE
+            ctoks = c.chunk_text.split(" ")
+            rebuilt[start:start + len(ctoks)] = ctoks
+        assert rebuilt == toks
