@@ -124,6 +124,11 @@ _exclude(
     "similarity_ann_recall", "similarity_ivf_recall",
 )
 _exclude(
+    "fusion re-runs both headline ANN branches; the join it adds is "
+    "O(queries x k)",
+    "similarity_rrf_fusion",
+)
+_exclude(
     "per-row-pure signature append; similarity_index_update is the "
     "family's timed lifecycle row",
     "similarity_lsh_index_update",

@@ -702,3 +702,117 @@ def similarity_lsh_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_BANDS_ANN)])).alias("bb"),
     ).select("vec_id", F.col("bb.band").alias("band"),
              F.col("bb.bucket").cast("bigint").alias("bucket"))
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+@query(
+    "similarity_rrf_fusion",
+    # Both branch CTEs are byte-level reuses of the two GREEN ANN
+    # oracles (LSH band-bucket + IVF cell-probe top-k); fusion is a
+    # full outer join on (query, neighbor) and score = sum of
+    # 1/(60+rank) over the branches that retrieved the pair. The 1.0
+    # literal is CAST DOUBLE: DuckDB's bare 1.0 is DECIMAL and its
+    # division would round differently from Spark's double.
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cell_id, embedding AS cv
+      FROM embeddings ORDER BY vec_id LIMIT {N_CELLS}
+    ), assigned AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_duck_cosine('e.embedding', 'c.cv')} DESC,
+                          c.cell_id) AS rk
+        FROM embeddings e, cent c
+      ) WHERE rk = 1
+    ), probes AS (
+      SELECT query_id, cell_id FROM (
+        SELECT q.vec_id AS query_id, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_duck_cosine('q.embedding', 'c.cv')} DESC,
+                          c.cell_id) AS rk
+        FROM embeddings q, cent c WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rk <= {N_PROBE}
+    ), ivf AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY {_duck_cosine('q.embedding', 'n.embedding')} DESC,
+                          a.vec_id) AS rank
+        FROM probes p JOIN assigned a ON a.cell_id = p.cell_id
+             JOIN embeddings q ON q.vec_id = p.query_id
+             JOIN embeddings n ON n.vec_id = a.vec_id
+        WHERE a.vec_id <> p.query_id
+      ) WHERE rank <= {TOP_K}
+    ), sig AS ({_duck_lsh_sig()}
+    ), cand AS (
+      SELECT DISTINCT qs.vec_id AS query_id, ns.vec_id AS neighbor_id
+      FROM sig qs JOIN sig ns ON qs.band = ns.band AND qs.bucket = ns.bucket
+      WHERE qs.vec_id < {N_QUERIES} AND qs.vec_id <> ns.vec_id
+    ), lsh AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT c.query_id, c.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY {_duck_cosine('q.embedding', 'n.embedding')} DESC,
+                          c.neighbor_id) AS rank
+        FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+                    JOIN embeddings n ON n.vec_id = c.neighbor_id
+      ) WHERE rank <= {TOP_K}
+    ), fused AS (
+      SELECT COALESCE(l.query_id, i.query_id) AS query_id,
+             COALESCE(l.neighbor_id, i.neighbor_id) AS neighbor_id,
+             l.rank AS r_lsh, i.rank AS r_ivf,
+             COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + l.rank), 0)
+               + COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + i.rank), 0) AS rrf
+      FROM lsh l FULL OUTER JOIN ivf i
+        ON l.query_id = i.query_id AND l.neighbor_id = i.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rrf_rank,
+           round(rrf, 6) AS rrf_score, r_lsh, r_ivf
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY rrf DESC, neighbor_id) AS rrf_rank
+      FROM fused
+    ) WHERE rrf_rank <= {TOP_K}
+    """,
+)
+def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the two bucketed retrieval paths —
+    the standard way a retrieval stack combines heterogeneous ANN
+    indexes (Cormack et al., SIGIR'09): score(q, n) = sum over
+    retrievers of 1/(60 + rank), full-outer joined so a pair found by
+    either branch participates, re-ranked per query. Both branches
+    are the already-certified LSH and IVF top-k plans; at 100 TB the
+    fusion join touches only O(queries x k) rows per branch — the
+    candidate generation stays bucketed, and fusing never widens it.
+
+    The r_lsh/r_ivf evidence columns make single-branch-only pairs
+    visible (NULL on the missing side) — the fusion's entire value is
+    non-identical branch rankings, pinned non-vacuous by
+    test_rrf_fusion_branches_disagree."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lsh = ann_topk_lsh(emb).select(
+        "query_id", "neighbor_id", F.col("rank").alias("r_lsh"))
+    ivf = ann_topk_ivf(emb).select(
+        "query_id", "neighbor_id", F.col("rank").alias("r_ivf"))
+    score = (
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_lsh")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_ivf")), F.lit(0.0)))
+    w = W.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("neighbor_id"))
+    return (
+        lsh.join(ivf, ["query_id", "neighbor_id"], "full_outer")
+        .withColumn("rrf", score)
+        .withColumn("rrf_rank", F.row_number().over(w))
+        .filter(F.col("rrf_rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rrf_rank",
+                F.round("rrf", 6).alias("rrf_score"), "r_lsh", "r_ivf")
+    )

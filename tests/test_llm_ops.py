@@ -1207,3 +1207,20 @@ def test_chunk_overlap_properties(spark, sf_dir):
             ctoks = c.chunk_text.split(" ")
             rebuilt[start:start + len(ctoks)] = ctoks
         assert rebuilt == toks
+
+
+def test_rrf_fusion_branches_disagree(spark, sf_dir):
+    """Fusion is only meaningful if the branches differ: at smoke
+    scale some fused pairs must come from exactly one branch (NULL on
+    the other side), and the fused ranking must not simply equal
+    either branch's ranking."""
+    fused = similarity.similarity_rrf_fusion(spark, sf_dir).collect()
+    assert fused
+    only_lsh = [r for r in fused if r.r_ivf is None]
+    only_ivf = [r for r in fused if r.r_lsh is None]
+    assert only_lsh or only_ivf, "branches returned identical pair sets"
+    fused_order = {(r.query_id, r.rrf_rank): r.neighbor_id for r in fused}
+    lsh_order = {(r.query_id, r.rank): r.neighbor_id
+                 for r in similarity.ann_topk_lsh(
+                     load_table(spark, sf_dir, "embeddings")).collect()}
+    assert fused_order != lsh_order, "fusion degenerated to the LSH ranking"

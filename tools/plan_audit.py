@@ -58,6 +58,8 @@ ALLOWED = {
     # 100 TB centroids are trained offline and stay broadcast-sized
     # (similarity.py IVF docstring)
     ("similarity_ann_ivf", "BroadcastNestedLoopJoin"),
+    # RRF fusion reuses the IVF branch's broadcast centroid assignment
+    ("similarity_rrf_fusion", "BroadcastNestedLoopJoin"),
     # Python-with-Arrow where no native expression exists (SURVEY §2.2
     # UDF posture): multimodal feature extraction over binary payloads
     ("multimodal_blob_metadata", "ArrowEvalPython"),
