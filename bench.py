@@ -60,6 +60,7 @@ HEADLINE = [
     "similarity_index_update",   # ANN index append vs frozen centroids
     "similarity_index_delete",   # ANN index takedown (anti-join rewrite)
     "multimodal_frame_sample",   # stride-slice explode over documents
+    "text_repetition_score",     # per-row sort + run-length fold
 ]
 
 
@@ -118,6 +119,9 @@ _exclude(
     "dq_audit_orders", "dq_audit_documents",
     # narrow split+explode+slice; text_pack_sequences times the family
     "text_chunk_overlap",
+    # md5-bucket filter family timed by sample_stratified_hash; the
+    # mix adds only |sources|-row aggregates around the same filter
+    "sample_corpus_mix",
 )
 _exclude(
     "recall metric re-running an ANN query the headline already times",

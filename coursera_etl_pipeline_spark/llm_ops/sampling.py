@@ -94,3 +94,103 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor((F.col("cum_tok") - F.col("n_tok")) / PACK_BUDGET)
                 .cast("bigint").alias("pack_id"))
     )
+
+
+# Corpus-mixing target weights: heavier-weighted sources should make up
+# proportionally more of the mixed corpus. Derived from the source name
+# (even-numbered sources weigh 3, odd 1) so the weight map needs no
+# literal table and works at every fixture scale.
+MIX_W_EVEN = 3
+MIX_W_ODD = 1
+
+
+@query(
+    "sample_corpus_mix",
+    # SUM over BIGINT is HUGEINT in DuckDB (the similarity_lsh r9
+    # lesson) -> every summed column is CAST back to BIGINT. The
+    # rate arithmetic 100.0 * c_max * w / total_toks is written with
+    # the same left-associative operator order on both engines:
+    # identical exact integer inputs -> identical IEEE doubles ->
+    # identical floor, so the integer keep-rate can't diverge.
+    oracle=f"""
+    WITH d AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ), totals AS (
+      SELECT source, CAST(SUM(n_tok) AS BIGINT) AS total_toks,
+             CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                  THEN {MIX_W_EVEN} ELSE {MIX_W_ODD} END AS w
+      FROM d GROUP BY source
+    ), c AS (
+      SELECT MIN(total_toks / w) AS c_max FROM totals
+    ), rates AS (
+      SELECT source, total_toks, w,
+             LEAST(CAST(100 AS BIGINT),
+                   CAST(floor(100.0 * c_max * w / total_toks) AS BIGINT))
+               AS rate_pct
+      FROM totals, c
+    ), kept AS (
+      SELECT d.source, COUNT(*) AS kept_docs,
+             CAST(SUM(d.n_tok) AS BIGINT) AS kept_toks
+      FROM d JOIN rates r ON d.source = r.source
+      WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 100 < r.rate_pct
+      GROUP BY d.source
+    )
+    SELECT r.source, r.total_toks, r.rate_pct,
+           COALESCE(k.kept_docs, CAST(0 AS BIGINT)) AS kept_docs,
+           COALESCE(k.kept_toks, CAST(0 AS BIGINT)) AS kept_toks
+    FROM rates r LEFT JOIN kept k ON r.source = k.source
+    """,
+)
+def sample_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing to target proportions — the data-mixing step a
+    training pipeline runs before packing: given per-source weights,
+    find the largest feasible mixed corpus (c_max = min over sources
+    of total_tokens/weight, so no source is oversampled past 100%),
+    derive each source's integer keep-rate, and apply it as the same
+    deterministic md5-bucket filter `sample_stratified_hash` uses.
+    Unlike that op's FIXED rates, the rates here are DERIVED from
+    corpus statistics, which is what real mixing (rebalancing a
+    heavy-crawl corpus against curated sources) requires.
+
+    Scale shape: one per-source aggregate (partial map-side combine,
+    ~|sources| rows out), a 2-row scalar reduction, a broadcast join
+    of the tiny rate table back onto the corpus, and a map-side
+    filter — no corpus-wide shuffle beyond the one aggregation. The
+    output is the per-source audit summary (rates + realized counts),
+    so the certified result covers the whole computation."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"))
+    w = (F.when(F.substring("source", 4, 10).cast("int") % 2 == 0,
+                F.lit(MIX_W_EVEN)).otherwise(F.lit(MIX_W_ODD)))
+    totals = (d.groupBy("source")
+              .agg(F.sum("n_tok").alias("total_toks"))
+              .withColumn("w", w))
+    c_row = totals.agg(
+        F.min(F.col("total_toks") / F.col("w")).alias("c_max"))
+    rates = (
+        totals.crossJoin(F.broadcast(c_row))
+        .select(
+            "source", "total_toks",
+            F.least(
+                F.lit(100).cast("bigint"),
+                F.floor(F.lit(100.0) * F.col("c_max") * F.col("w")
+                        / F.col("total_toks")).cast("bigint"))
+            .alias("rate_pct")))
+    kept = (
+        d.join(F.broadcast(rates), "source")
+        .filter(hash_bucket(F.col("doc_id")) < F.col("rate_pct"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("kept_docs"),
+             F.sum("n_tok").alias("kept_toks")))
+    return (
+        rates.join(kept, "source", "left")
+        .select("source", "total_toks", "rate_pct",
+                F.coalesce("kept_docs", F.lit(0).cast("bigint"))
+                .alias("kept_docs"),
+                F.coalesce("kept_toks", F.lit(0).cast("bigint"))
+                .alias("kept_toks"))
+    )

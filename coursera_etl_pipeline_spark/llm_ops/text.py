@@ -331,6 +331,115 @@ def decontaminate(d: DataFrame, n: int = DECONTAM_N,
     )
 
 
+# Gopher-style repetition gates (Rae et al. 2021 §A1.1, public):
+# documents dominated by a few tokens/bigrams are filtered before
+# training. Thresholds tuned to be non-vacuous on the synthetic
+# fixtures (distinct-ratio spans 0.28-1.0, top-token coverage
+# 0.05-0.30 at sf0.01), asserted by test_repetition_score_non_vacuous.
+REP_MIN_DISTINCT = 0.40   # unique tokens / tokens
+REP_MAX_TOP_TOKEN = 0.15  # fraction covered by the most frequent token
+REP_MAX_TOP_BIGRAM = 0.12  # fraction covered by the most frequent bigram
+
+
+def _max_run(arr):
+    """Highest multiplicity in a SORTED array, as the max length of a
+    run of equal adjacent elements — a linear JVM-side fold
+    (aggregate), so per-doc top-frequency needs NO token explode and
+    NO shuffle. Empty array -> 0."""
+    step = lambda acc, t: F.struct(  # noqa: E731
+        t.alias("prev"),
+        F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        .alias("run"),
+        F.greatest(
+            acc["best"],
+            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)))
+        .alias("best"))
+    return F.aggregate(
+        arr,
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        step,
+        lambda acc: acc["best"])
+
+
+@query(
+    "text_repetition_score",
+    # The oracle computes the same top frequencies the direct way —
+    # explode + per-(doc, gram) GROUP BY + max. Bigrams are built by
+    # positional list_transform (range(1, n) = [1 .. n-1], 1-based
+    # indexing), so a 1-token doc has no bigrams -> LEFT JOIN +
+    # COALESCE 0. keep is CAST to INTEGER on both engines (no boolean
+    # output precedent under the driver hash).
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), tok_top AS (
+      SELECT doc_id, max(c) AS top_tok FROM (
+        SELECT doc_id, t, count(*) AS c
+        FROM (SELECT doc_id, unnest(l) AS t FROM toks) GROUP BY doc_id, t
+      ) GROUP BY doc_id
+    ), bg_top AS (
+      SELECT doc_id, max(c) AS top_bg FROM (
+        SELECT doc_id, b, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(l)),
+                                           i -> l[i] || ' ' || l[i + 1])) AS b
+              FROM toks) GROUP BY doc_id, b
+      ) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.l) AS INTEGER) AS n_tokens,
+           round(len(list_distinct(t.l)) * 1.0 / len(t.l), 6) AS distinct_ratio,
+           round(k.top_tok * 1.0 / len(t.l), 6) AS top_token_cov,
+           round(COALESCE(b.top_bg, 0) * 2.0 / len(t.l), 6) AS top_bigram_cov,
+           CAST(CASE WHEN len(list_distinct(t.l)) * 1.0 / len(t.l)
+                          >= {REP_MIN_DISTINCT}
+                      AND k.top_tok * 1.0 / len(t.l) <= {REP_MAX_TOP_TOKEN}
+                      AND COALESCE(b.top_bg, 0) * 2.0 / len(t.l)
+                          <= {REP_MAX_TOP_BIGRAM}
+                THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM toks t JOIN tok_top k USING (doc_id)
+                LEFT JOIN bg_top b USING (doc_id)
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: per-document distinct-token
+    ratio, top-token coverage, and top-bigram coverage (2x the top
+    bigram's count over n_tokens), gated into a keep flag — the
+    standard "remove boilerplate / degenerate repetition" pass an LLM
+    corpus runs before training.
+
+    Scale shape: the top frequencies come from a run-length max over
+    the SORTED token (and bigram) array — a per-row linear fold, so
+    the whole operator is narrow map-side work with ZERO shuffle; the
+    explode + groupBy(doc, token) alternative the oracle uses would
+    shuffle every token of a 100 TB corpus for what is a per-document
+    statistic. Comparisons gate on the unrounded doubles on both
+    engines (identical IEEE inputs -> identical flags); displayed
+    ratios are rounded to 6."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, F.lit(1), n_tok - 1),
+        F.slice(toks, F.lit(2), n_tok - 1),
+        lambda a, b: F.concat_ws(" ", a, b))
+    distinct_ratio = F.size(F.array_distinct(toks)) * 1.0 / n_tok
+    top_token_cov = _max_run(F.array_sort(toks)) * 1.0 / n_tok
+    top_bigram_cov = _max_run(F.array_sort(bigrams)) * 2.0 / n_tok
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(top_token_cov, 6).alias("top_token_cov"),
+        F.round(top_bigram_cov, 6).alias("top_bigram_cov"),
+        ((distinct_ratio >= REP_MIN_DISTINCT)
+         & (top_token_cov <= REP_MAX_TOP_TOKEN)
+         & (top_bigram_cov <= REP_MAX_TOP_BIGRAM))
+        .cast("int").alias("keep"),
+    )
+
+
 CHUNK_TOKENS = 32   # fixed context-window budget per chunk
 CHUNK_STRIDE = 24   # 8-token overlap between consecutive chunks
 

@@ -1224,3 +1224,55 @@ def test_rrf_fusion_branches_disagree(spark, sf_dir):
                  for r in similarity.ann_topk_lsh(
                      load_table(spark, sf_dir, "embeddings")).collect()}
     assert fused_order != lsh_order, "fusion degenerated to the LSH ranking"
+
+
+def test_repetition_score_matches_bruteforce(spark, sf_dir):
+    """Pin the shuffle-free run-length-fold top frequencies against an
+    independent Python Counter recount, and require the keep flag to
+    be non-vacuous (both classes present) at smoke scale."""
+    from collections import Counter
+
+    from coursera_etl_pipeline_spark.llm_ops.text import (
+        text_repetition_score)
+
+    scored = {r.doc_id: r
+              for r in text_repetition_score(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").collect()
+    assert len(scored) == len(docs)
+    for d in docs:
+        toks = d.text.split(" ")
+        n = len(toks)
+        top_tok = max(Counter(toks).values())
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        top_bg = max(Counter(bgs).values()) if bgs else 0
+        r = scored[d.doc_id]
+        assert r.n_tokens == n
+        assert r.distinct_ratio == round(len(set(toks)) / n, 6)
+        assert r.top_token_cov == round(top_tok / n, 6)
+        assert r.top_bigram_cov == round(top_bg * 2 / n, 6)
+    keeps = {r.keep for r in scored.values()}
+    assert keeps == {0, 1}, f"keep flag vacuous at smoke scale: {keeps}"
+
+
+def test_corpus_mix_rates_feasible(spark, sf_dir):
+    """The mix must be FEASIBLE (no source oversampled past 100%) and
+    BINDING (at least one source pinned at rate 100 — the c_max
+    minimizer — and at least one below, else the weights did nothing);
+    each rate must equal the closed-form floor(100*c_max*w/total)."""
+    from coursera_etl_pipeline_spark.llm_ops.sampling import (
+        MIX_W_EVEN, MIX_W_ODD, sample_corpus_mix)
+
+    rows = sample_corpus_mix(spark, sf_dir).collect()
+    assert rows
+    w = {r.source: MIX_W_EVEN if int(r.source[3:]) % 2 == 0 else MIX_W_ODD
+         for r in rows}
+    c_max = min(r.total_toks / w[r.source] for r in rows)
+    rates = sorted(r.rate_pct for r in rows)
+    # the c_max minimizer's rate is 100 in real arithmetic; IEEE
+    # rounding may floor it to 99 (identically on both engines)
+    assert rates[-1] >= 99 and rates[0] < rates[-1]
+    for r in rows:
+        assert 0 <= r.rate_pct <= 100
+        assert r.rate_pct == min(
+            100, int(100.0 * c_max * w[r.source] // r.total_toks))
+        assert 0 <= r.kept_docs and 0 <= r.kept_toks <= r.total_toks

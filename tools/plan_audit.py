@@ -84,6 +84,9 @@ ALLOWED = {
     # the index(t+1) it deletes from is built by the same broadcast
     # centroid assignment as the append row above
     ("similarity_index_delete", "BroadcastNestedLoopJoin"),
+    # corpus mix: the 1-row c_max feasibility scalar broadcast onto
+    # the |sources|-row rate table (sampling.sample_corpus_mix)
+    ("sample_corpus_mix", "BroadcastNestedLoopJoin"),
 }
 
 NODES = (
