@@ -69,6 +69,10 @@ BENCH_QUERIES = [
     # stay EXCLUDED: replicated text makes every replica overlap the
     # benchmark slice, benchmarking the replication artifact.
     "events_resample_gapfill",
+    # round 10: per-doc repetition gates (sorted-array run-length
+    # fold) — replication-safe: no self-join, score depends only on
+    # each doc's own text
+    "text_repetition_score",
 ]
 
 

@@ -74,6 +74,7 @@ PROBE_QUERIES = [
     "q8_market_share",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
+    "text_repetition_score",
 ]
 
 SHIFT = 100_000_000  # far above any fixture key range
