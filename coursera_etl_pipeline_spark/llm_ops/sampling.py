@@ -155,12 +155,15 @@ def sample_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus statistics, which is what real mixing (rebalancing a
     heavy-crawl corpus against curated sources) requires.
 
-    Scale shape: one per-source aggregate (partial map-side combine,
-    ~|sources| rows out), a 2-row scalar reduction, a broadcast join
-    of the tiny rate table back onto the corpus, and a map-side
-    filter — no corpus-wide shuffle beyond the one aggregation. The
-    output is the per-source audit summary (rates + realized counts),
-    so the certified result covers the whole computation."""
+    Scale shape: two corpus passes (the totals aggregate, then the
+    filtered kept aggregate), each a partial map-side combine
+    shuffling only ~|sources| keys; a 1-row scalar reduction; a
+    broadcast join of the tiny rate table back onto the corpus; and a
+    map-side filter — no corpus-wide shuffle of row data anywhere.
+    Every post-corpus join (rates x c_max, rates x kept) is between
+    |sources|-row frames and broadcast-hinted. The output is the
+    per-source audit summary (rates + realized counts), so the
+    certified result covers the whole computation."""
     d = load_table(spark, sf_dir, "documents").select(
         "source", "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tok"))
@@ -187,7 +190,7 @@ def sample_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("kept_docs"),
              F.sum("n_tok").alias("kept_toks")))
     return (
-        rates.join(kept, "source", "left")
+        rates.join(F.broadcast(kept), "source", "left")
         .select("source", "total_toks", "rate_pct",
                 F.coalesce("kept_docs", F.lit(0).cast("bigint"))
                 .alias("kept_docs"),
