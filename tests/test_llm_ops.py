@@ -1276,3 +1276,35 @@ def test_corpus_mix_rates_feasible(spark, sf_dir):
         assert r.rate_pct == min(
             100, int(100.0 * c_max * w[r.source] // r.total_toks))
         assert 0 <= r.kept_docs and 0 <= r.kept_toks <= r.total_toks
+
+
+def test_max_run_fold_property(spark):
+    """Property: the sorted-array run-length fold used by
+    text_repetition_score equals the Counter max multiplicity for
+    RANDOM token lists (incl. empty strings and single elements).
+    Deterministic, derandomized hypothesis; one Spark round-trip
+    evaluates all drawn examples in a single DataFrame."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from coursera_etl_pipeline_spark.llm_ops.text import _max_run
+
+    token = st.sampled_from(["a", "b", "ab", "", "zz"])
+
+    @settings(max_examples=3, deadline=None, derandomize=True,
+              suppress_health_check=list(HealthCheck))
+    @given(arrays=st.lists(st.lists(token, max_size=12),
+                           min_size=20, max_size=20))
+    def check(arrays):
+        df = spark.createDataFrame(
+            [(i, a) for i, a in enumerate(arrays)],
+            "id long, toks array<string>")
+        got = {r.id: r.m for r in df.select(
+            "id", _max_run(F.array_sort("toks")).alias("m")).collect()}
+        for i, a in enumerate(arrays):
+            expect = max(Counter(a).values()) if a else 0
+            assert got[i] == expect, (a, got[i], expect)
+
+    check()
