@@ -89,6 +89,18 @@ _EDITED_THIS_ROUND = [
     #    alters the FAILURE path) — oracle-rechecked at sf0.01
     #    post-change alongside dedup_index_delete and
     #    stream_index_update_parity.
+    #  - late-r10 pure additions: similarity.py gained
+    #    similarity_rrf_fusion, text.py gained text_repetition_score,
+    #    sampling.py gained sample_corpus_mix — appended functions
+    #    only, no shared helper or existing plan touched (the three
+    #    new queries lead as never-certified). The pre-existing
+    #    queries of all three files that are NOT already in the r10
+    #    window by rotation (text_lang_id, text_decontaminate,
+    #    similarity_topk_bruteforce, similarity_neardup_pairs,
+    #    similarity lifecycle rows — all r9-green) keep their rows:
+    #    plans provably unchanged, and the end-of-round full
+    #    oracle-check triple re-verifies every query at all three
+    #    scales regardless.
 ]
 
 
