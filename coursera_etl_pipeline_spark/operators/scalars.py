@@ -150,7 +150,12 @@ def scalar_json_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.53 s — the residual vs DuckDB (~0.05 s) is the per-row Jackson
     allocation constant all three share, so the remaining gap is the
     JSON kernel itself, not the plan (ratio grows linearly,
-    data-proportional; no scale defect).
+    data-proportional; no scale defect). Round-10 addendum: Spark 4's
+    VARIANT path (parse_json + variant_get) was interleave-A/B'd at
+    K=100 — clean-tail samples 8.01/8.27 s vs from_json's 7.75/7.81 s,
+    values identical — measured parity-to-slightly-slower for a
+    single shallow key (VARIANT amortizes only across repeated
+    multi-path access of one parse), so the Jackson form stands.
 
     The field is extracted as STRING then cast, not declared INT in
     the schema: Jackson does no string->int coercion, so a fixture
