@@ -51,7 +51,9 @@ _EDITED_THIS_ROUND = [
     # without an entry — the watermark late-drop/append-emission
     # semantics under the hash gate (streaming/parity.py tail note).
     # streaming/parity.py changed again late in r10 (tmpfs scratch
-    # roots + micro-batch replay idempotence markers): the epoch
+    # roots + micro-batch replay idempotence markers; then an
+    # end-of-round review pass made the markers checkpoint-scoped via
+    # run_token and staged them alongside the data): the epoch
     # markers are underscore-prefixed files Spark readers ignore, so
     # results are unchanged BY DESIGN — but the execution path of the
     # streamed parities did change, so the certified ones re-certify

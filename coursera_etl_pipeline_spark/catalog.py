@@ -52,16 +52,24 @@ def scratch_root() -> str:
     that for multi-executor visibility)."""
     env = os.environ.get("SPARK_GRAFT_SCRATCH")
     if env:
-        os.makedirs(env, exist_ok=True)
-        return env
-    shm = "/dev/shm"
-    if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        d = os.path.join(shm, "spark_graft_scratch")
-        os.makedirs(d, exist_ok=True)
-        return d
-    import tempfile
+        base = env
+    else:
+        shm = "/dev/shm"
+        if os.path.isdir(shm) and os.access(shm, os.W_OK):
+            base = shm
+        else:
+            import tempfile
 
-    return tempfile.gettempdir()
+            base = tempfile.gettempdir()
+    # ALWAYS namespace under the base — never return the base itself.
+    # The stale-scratch sweep rmtree's old subdirectories of this root,
+    # so an un-namespaced root (the old tempdir fallback, or a
+    # user-supplied shared path) would let the sweep delete data that
+    # was never ours. Namespacing confines every destructive lifecycle
+    # action to dirs this project created.
+    d = os.path.join(base, "spark_graft_scratch")
+    os.makedirs(d, exist_ok=True)
+    return d
 
 
 _SCRATCH_CREATED: list[str] = []

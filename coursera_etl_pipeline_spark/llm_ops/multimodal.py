@@ -488,7 +488,6 @@ def _image_fixture_dir() -> str:
     — a pure function of the index, so the resize output's metadata is
     a closed-form DuckDB expression (same golden-fixture pattern as
     pipeline_courses_parity)."""
-    import tempfile
 
     import numpy as np
 
@@ -632,7 +631,6 @@ def _dhash_fixture_dir() -> str:
     8, median 31, so the planted 16 pairs are EXACTLY the pairs
     under the threshold). Pure function of the index, so the whole
     pipeline has a closed-form DuckDB oracle."""
-    import tempfile
 
     import numpy as np
 

@@ -11,7 +11,6 @@ pytest coverage, since the oracle views can't see generated JSON files.
 from __future__ import annotations
 
 import functools
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -336,11 +336,32 @@ def stream_stateful_profile_parity(spark: SparkSession, sf_dir: str,
 # partial append/overwrite that plain parquet cannot roll back — the
 # table-format note in apply_index_increment's commit-order comment
 # covers that residual honestly.
+#
+# CHECKPOINT-SCOPE CONTRACT: foreachBatch epoch ids are relative to a
+# CHECKPOINT, not to the store — a reset/relocated checkpoint restarts
+# at epoch 0 against a store whose `_applied_inc_0` may still exist,
+# and a bare (verb, epoch) marker would then silently swallow a REAL
+# first batch (the inverse of the replay bug). Callers that own a
+# checkpoint therefore pass ``run_token`` (any string scoped to the
+# checkpoint's lifetime; the runners here hash the checkpoint path),
+# which is baked into the marker name — same checkpoint replays still
+# no-op, a fresh checkpoint never collides. Batch-side callers with
+# no checkpoint pass neither epoch nor token and get no marker.
 
 
-def _epoch_marker(anchor_dir: str, verb: str, epoch_id) -> str | None:
-    return (None if epoch_id is None
-            else os.path.join(anchor_dir, f"_applied_{verb}_{epoch_id}"))
+def _epoch_marker(anchor_dir: str, verb: str, epoch_id,
+                  run_token: str | None = None) -> str | None:
+    if epoch_id is None:
+        return None
+    tok = f"{run_token}_" if run_token else ""
+    return os.path.join(anchor_dir, f"_applied_{verb}_{tok}{epoch_id}")
+
+
+def _ckpt_token(ckpt_path: str) -> str:
+    """Marker scope for one checkpoint's lifetime (see contract above)."""
+    import hashlib
+
+    return hashlib.md5(ckpt_path.encode()).hexdigest()[:8]
 
 
 def _epoch_already_applied(marker: str | None) -> bool:
@@ -352,11 +373,23 @@ def _seal_epoch(marker: str | None) -> None:
         open(marker, "w").close()
 
 
-def _preserve_markers(dir_: str):
+def _preserve_markers(dir_: str, stage: str | None = None):
     """Snapshot a dir's epoch markers before an overwrite-commit (which
-    clears the dir); returns a callback that re-seals them after."""
+    clears the dir); returns a callback that re-seals them after. When
+    ``stage`` is given, the marker NAMES are also written under
+    `{stage}/_markers/` so the documented crash recovery (restore the
+    dir from the preserved stage) recovers replay idempotence too —
+    without this, a crash between a partial overwrite and restore()
+    would lose the markers and let a replayed epoch double-append onto
+    the recovered store."""
     names = [f for f in os.listdir(dir_) if f.startswith("_applied_")] \
         if os.path.isdir(dir_) else []
+    if stage is not None and names:
+        mdir = os.path.join(stage, "_markers",
+                            os.path.basename(dir_.rstrip("/")))
+        os.makedirs(mdir, exist_ok=True)
+        for n in names:
+            open(os.path.join(mdir, n), "w").close()
 
     def restore() -> None:
         for n in names:
@@ -381,7 +414,6 @@ def _run_stream_index_update(spark: SparkSession, sf_dir: str) -> "DataFrame":
     therefore pins the one-tick semantics; multi-tick sequencing is
     pinned separately by
     test_stream_index_update_multi_batch_append_equals_rebuild."""
-    import tempfile
 
     from coursera_etl_pipeline_spark.catalog import load_table
     from coursera_etl_pipeline_spark.llm_ops.dedup import (
@@ -412,20 +444,23 @@ def _run_stream_index_update(spark: SparkSession, sf_dir: str) -> "DataFrame":
     src = (spark.readStream.schema(schema)
            .option("pathGlobFilter", "documents.parquet")
            .parquet(sf_dir))
+    tok = _ckpt_token(f"{root}/ckpt")
     q = (src.filter(is_batch).writeStream
          .foreachBatch(lambda bdf, epoch:
                        apply_index_increment(bdf, post_dir, band_dir,
-                                             epoch_id=epoch))
+                                             epoch_id=epoch,
+                                             run_token=tok))
          .option("checkpointLocation", f"{root}/ckpt")
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    # REPLAY the tick the engine just ran (same epoch 0 — fresh
-    # checkpoint, first batch): exactly what a restart after
-    # checkpoint lag re-delivers. The epoch marker must make it a
-    # no-op, and the full-rebuild oracle certifies it did — a
-    # double-append would double the band rows and fail the hash.
+    # REPLAY the tick the engine just ran (same epoch 0, SAME
+    # checkpoint token — fresh checkpoint, first batch): exactly what
+    # a restart after checkpoint lag re-delivers. The epoch marker
+    # must make it a no-op, and the full-rebuild oracle certifies it
+    # did — a double-append would double the band rows and fail the
+    # hash.
     apply_index_increment(docs.filter(is_batch), post_dir, band_dir,
-                          epoch_id=0)
+                          epoch_id=0, run_token=tok)
     return spark.read.parquet(band_dir)
 
 
@@ -434,6 +469,7 @@ def apply_index_increment(bdf: "DataFrame", post_dir: str,
                           staging_root: str | None = None,
                           aux_dirs: tuple[str, str, str] | None = None,
                           epoch_id: int | None = None,
+                          run_token: str | None = None,
                           ) -> None:
     """One dedup-index increment against parquet-backed storage: verify
     the batch against the index AS STORED, append the survivors' band
@@ -459,7 +495,7 @@ def apply_index_increment(bdf: "DataFrame", post_dir: str,
         minhash_index_update,
     )
 
-    marker = _epoch_marker(band_dir, "inc", epoch_id)
+    marker = _epoch_marker(band_dir, "inc", epoch_id, run_token)
     if _epoch_already_applied(marker):
         return  # replayed micro-batch: the store already has this delta
 
@@ -567,7 +603,8 @@ def apply_index_delete(spark: SparkSession, removed_ids: "DataFrame",
                        ledger_dir: str, tomb_post_dir: str,
                        tomb_band_dir: str,
                        staging_root: str | None = None,
-                       epoch_id: int | None = None) -> None:
+                       epoch_id: int | None = None,
+                       run_token: str | None = None) -> None:
     """The DELETE verb against parquet-backed index storage: remove the
     given corpus docs' rows and RESURRECT previously-dropped docs whose
     every ledger justification was removed (llm_ops.dedup
@@ -594,7 +631,7 @@ def apply_index_delete(spark: SparkSession, removed_ids: "DataFrame",
         minhash_index_delete,
     )
 
-    marker = _epoch_marker(band_dir, "del", epoch_id)
+    marker = _epoch_marker(band_dir, "del", epoch_id, run_token)
     if _epoch_already_applied(marker):
         return  # replayed takedown micro-batch: already applied
 
@@ -642,7 +679,7 @@ def apply_index_delete(spark: SparkSession, removed_ids: "DataFrame",
                (new_tband, "tband", tomb_band_dir)]
     # the band-dir overwrite below clears prior epoch markers with the
     # data files; snapshot them so replay idempotence survives a delete
-    restore_markers = _preserve_markers(band_dir)
+    restore_markers = _preserve_markers(band_dir, stage=stage)
     try:
         for frame, name, _dir in targets:
             frame.write.parquet(f"{stage}/{name}")
@@ -715,7 +752,8 @@ def stream_index_update_parity(spark: SparkSession, sf_dir: str,
 
 def apply_ann_index_increment(bdf: "DataFrame", centroid_dir: str,
                               index_dir: str,
-                              epoch_id: int | None = None) -> None:
+                              epoch_id: int | None = None,
+                              run_token: str | None = None) -> None:
     """One ANN-index append against parquet-backed storage: assign the
     arriving embeddings to the FROZEN centroid table and append their
     (vec_id, cell_id) rows. The foreachBatch unit of the streamed
@@ -727,7 +765,7 @@ def apply_ann_index_increment(bdf: "DataFrame", centroid_dir: str,
         assign_to_centroids,
     )
 
-    marker = _epoch_marker(index_dir, "inc", epoch_id)
+    marker = _epoch_marker(index_dir, "inc", epoch_id, run_token)
     if _epoch_already_applied(marker):
         return  # replayed micro-batch: the append already landed
     centroids = bdf.sparkSession.read.parquet(centroid_dir)
@@ -742,7 +780,6 @@ def _run_stream_ann_index_update(spark: SparkSession,
     """Seed the IVF index from the frozen corpus slice, then let the
     real micro-batch engine append the arriving vectors; returns the
     final stored assignment."""
-    import tempfile
 
     from coursera_etl_pipeline_spark.catalog import load_table
     from coursera_etl_pipeline_spark.llm_ops.similarity import (
@@ -762,17 +799,20 @@ def _run_stream_ann_index_update(spark: SparkSession,
     src = (spark.readStream.schema(schema)
            .option("pathGlobFilter", "embeddings.parquet")
            .parquet(sf_dir))
+    tok = _ckpt_token(f"{root}/ckpt")
     q = (src.filter(is_batch).writeStream
          .foreachBatch(lambda bdf, epoch:
                        apply_ann_index_increment(bdf, cent_dir, index_dir,
-                                                 epoch_id=epoch))
+                                                 epoch_id=epoch,
+                                                 run_token=tok))
          .option("checkpointLocation", f"{root}/ckpt")
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    # replay epoch 0 (restart-after-checkpoint-lag shape); the marker
-    # must no-op it or the rebuild oracle fails on doubled rows
+    # replay epoch 0 (restart-after-checkpoint-lag shape, same token);
+    # the marker must no-op it or the rebuild oracle fails on doubled
+    # rows
     apply_ann_index_increment(emb.filter(is_batch), cent_dir, index_dir,
-                              epoch_id=0)
+                              epoch_id=0, run_token=tok)
     return spark.read.parquet(index_dir)
 
 
@@ -836,7 +876,7 @@ def compact_index(spark: SparkSession, dirs: list[str],
     # the overwrite-commits clear each dir's epoch markers with the
     # data files; snapshot and re-seal so a replayed increment after a
     # maintenance compact still no-ops
-    restores = [_preserve_markers(d) for d in dirs]
+    restores = [_preserve_markers(d, stage=stage) for d in dirs]
     try:
         for i, d in enumerate(dirs):
             (spark.read.parquet(d).repartition(target_files)
@@ -859,7 +899,8 @@ def compact_index(spark: SparkSession, dirs: list[str],
 def apply_ann_index_delete(spark: SparkSession, removed_ids: "DataFrame",
                            index_dir: str,
                            staging_root: str | None = None,
-                           epoch_id: int | None = None) -> None:
+                           epoch_id: int | None = None,
+                           run_token: str | None = None) -> None:
     """The ANN index's DELETE verb against parquet-backed storage: one
     anti-join rewrite (llm_ops.similarity.ivf_index_delete — vectors
     are independent, nothing resurrects). Same contract enforcement
@@ -872,7 +913,7 @@ def apply_ann_index_delete(spark: SparkSession, removed_ids: "DataFrame",
         ivf_index_delete,
     )
 
-    marker = _epoch_marker(index_dir, "del", epoch_id)
+    marker = _epoch_marker(index_dir, "del", epoch_id, run_token)
     if _epoch_already_applied(marker):
         return  # replayed takedown micro-batch: already applied
 
@@ -889,7 +930,7 @@ def apply_ann_index_delete(spark: SparkSession, removed_ids: "DataFrame",
     new_index = ivf_index_delete(removed, s.read.parquet(index_dir))
     stage = tempfile.mkdtemp(prefix="ann_idx_del_",
                             dir=staging_root or scratch_root())
-    restore_markers = _preserve_markers(index_dir)
+    restore_markers = _preserve_markers(index_dir, stage=stage)
     try:
         new_index.write.parquet(f"{stage}/index")
         (s.read.parquet(f"{stage}/index")
@@ -912,7 +953,6 @@ def _run_stream_ann_index_delete(spark: SparkSession,
     small-file debt the blind appends build up at one tick per cron
     run. Returns the final stored assignment. Same single-micro-batch-
     per-tick assumption as ``_run_stream_index_update``."""
-    import tempfile
 
     from coursera_etl_pipeline_spark.catalog import load_table
     from coursera_etl_pipeline_spark.llm_ops.similarity import (
@@ -935,10 +975,13 @@ def _run_stream_ann_index_delete(spark: SparkSession,
            .option("pathGlobFilter", "embeddings.parquet")
            .parquet(sf_dir))
     # tick 1: the arriving batch, appended against frozen centroids
+    tok_inc = _ckpt_token(f"{root}/ckpt_inc")
+    tok_del = _ckpt_token(f"{root}/ckpt_del")
     q = (src.filter(is_batch).writeStream
          .foreachBatch(lambda bdf, epoch:
                        apply_ann_index_increment(bdf, cent_dir, index_dir,
-                                                 epoch_id=epoch))
+                                                 epoch_id=epoch,
+                                                 run_token=tok_inc))
          .option("checkpointLocation", f"{root}/ckpt_inc")
          .trigger(availableNow=True).start())
     q.awaitTermination()
@@ -946,7 +989,7 @@ def _run_stream_ann_index_delete(spark: SparkSession,
     q = (src.filter(is_removed).select("vec_id").writeStream
          .foreachBatch(lambda bdf, epoch: apply_ann_index_delete(
              bdf.sparkSession, bdf.select("vec_id"), index_dir,
-             epoch_id=epoch))
+             epoch_id=epoch, run_token=tok_del))
          .option("checkpointLocation", f"{root}/ckpt_del")
          .trigger(availableNow=True).start())
     q.awaitTermination()
@@ -999,7 +1042,6 @@ def _run_dedup_index_compact(spark: SparkSession, sf_dir: str) -> "DataFrame":
     the frozen corpus artifacts, apply one increment (appending one
     delta file-set per dir — the state a tick of ingest leaves), then
     COMPACT both dirs and return the stored band index."""
-    import tempfile
 
     from coursera_etl_pipeline_spark.catalog import load_table
     from coursera_etl_pipeline_spark.llm_ops.dedup import (
@@ -1064,7 +1106,6 @@ def _run_stream_index_delete(spark: SparkSession, sf_dir: str) -> "DataFrame":
     stream the takedown ids through the DELETE verb; returns the final
     stored band index. Same single-micro-batch-per-tick assumption as
     ``_run_stream_index_update`` (which see), one tick per verb."""
-    import tempfile
 
     from coursera_etl_pipeline_spark.catalog import load_table
     from coursera_etl_pipeline_spark.llm_ops.dedup import (
@@ -1100,10 +1141,12 @@ def _run_stream_index_delete(spark: SparkSession, sf_dir: str) -> "DataFrame":
            .option("pathGlobFilter", "documents.parquet")
            .parquet(sf_dir))
     # tick 1: the arriving batch, increment with ledger + tombstones
+    tok_inc = _ckpt_token(f"{root}/ckpt_inc")
+    tok_del = _ckpt_token(f"{root}/ckpt_del")
     q = (src.filter(is_batch).writeStream
          .foreachBatch(lambda bdf, epoch: apply_index_increment(
              bdf, dirs["post"], dirs["band"], aux_dirs=aux,
-             epoch_id=epoch))
+             epoch_id=epoch, run_token=tok_inc))
          .option("checkpointLocation", f"{root}/ckpt_inc")
          .trigger(availableNow=True).start())
     q.awaitTermination()
@@ -1111,7 +1154,8 @@ def _run_stream_index_delete(spark: SparkSession, sf_dir: str) -> "DataFrame":
     q = (src.filter(is_removed).select("doc_id").writeStream
          .foreachBatch(lambda bdf, epoch: apply_index_delete(
              bdf.sparkSession, bdf.select("doc_id"),
-             dirs["post"], dirs["band"], *aux, epoch_id=epoch))
+             dirs["post"], dirs["band"], *aux, epoch_id=epoch,
+             run_token=tok_del))
          .option("checkpointLocation", f"{root}/ckpt_del")
          .trigger(availableNow=True).start())
     q.awaitTermination()
@@ -1216,7 +1260,6 @@ def _stage_late_zone(spark: SparkSession, sf_dir: str) -> str:
     import hashlib
     import os
     import shutil
-    import tempfile
     import time as _time
 
     from coursera_etl_pipeline_spark.catalog import (
@@ -1388,7 +1431,6 @@ def _stage_doc_tick_zone(spark: SparkSession, sf_dir: str) -> str:
     concurrent-stager tolerance as the late-data zone."""
     import hashlib
     import shutil
-    import tempfile
     import time as _time
 
     from coursera_etl_pipeline_spark.catalog import (
@@ -1413,9 +1455,10 @@ def _stage_doc_tick_zone(spark: SparkSession, sf_dir: str) -> str:
         (docs.filter(F.col("doc_id") % 20 == residue)
          .coalesce(1).write.mode("overwrite").parquet(tmp))
         parts = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
-        dst = os.path.join(build, f"tick{k}.parquet")
-        shutil.copy(os.path.join(tmp, parts[0]), dst)
-        os.utime(dst, (t0 + 10 * k,) * 2)
+        if parts:  # an empty slice = an empty micro-batch = no file
+            dst = os.path.join(build, f"tick{k}.parquet")
+            shutil.copy(os.path.join(tmp, parts[0]), dst)
+            os.utime(dst, (t0 + 10 * k,) * 2)
         shutil.rmtree(tmp)
     open(os.path.join(build, "_STAGED"), "w").close()
     shutil.rmtree(zone, ignore_errors=True)
@@ -1463,9 +1506,10 @@ def _run_stream_multi_tick_index(spark: SparkSession,
            .option("pathGlobFilter", "tick*.parquet")
            .option("maxFilesPerTrigger", "1")
            .parquet(zone))
+    tok = _ckpt_token(f"{root}/ckpt")
     q = (src.writeStream
          .foreachBatch(lambda bdf, epoch: apply_index_increment(
-             bdf, post_dir, band_dir, epoch_id=epoch))
+             bdf, post_dir, band_dir, epoch_id=epoch, run_token=tok))
          .option("checkpointLocation", f"{root}/ckpt")
          .trigger(availableNow=True).start())
     q.awaitTermination()

@@ -132,7 +132,14 @@ def q10_new(spark, sf_dir):
 
 NEW = {
     "q3_shipping_priority": q3_new,
-    "q5_local_supplier_volume": q5_new,
+    # q5 EXCLUDED from the default A/B: the round-10 conversion made
+    # the registry plan the NEW arm (q5_new mirrors it line-for-line),
+    # so `entrymod.queries()` no longer provides the OLD one-stage
+    # plan and a re-run would time new-vs-new — noise-level parity
+    # that could be misread as the recorded 2.14-vs-2.53 s win failing
+    # to reproduce. The recorded q5 result (BASELINE.md round-10 A/B
+    # note) was measured BEFORE the conversion landed; q5_new stays
+    # above as the reference body.
     "q6_forecast_revenue": q6_new,
     "q10_returned_items": q10_new,
 }
@@ -155,7 +162,8 @@ def main() -> None:
         a = [tuple(r) for r in old[name](spark, sf001).collect()]
         b = [tuple(r) for r in new_fn(spark, sf001).collect()]
         assert a == b, f"{name}: split-dsum variant diverges at sf0.01"
-    print("identity: all 4 variants bit-identical at sf0.01", file=sys.stderr)
+    print(f"identity: all {len(NEW)} variants bit-identical at sf0.01",
+          file=sys.stderr)
 
     # 2) interleaved timing at Kx
     dest = build_scaled(spark, k, dest=f"/tmp/spark_graft_bench_{k}x",

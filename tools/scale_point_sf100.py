@@ -48,8 +48,16 @@ DEST = "/tmp/spark_graft_bench_1000x"
 
 
 def build_1000x(spark) -> str:
-    if os.path.exists(DEST):
+    # completion marker, not bare existence: a crashed build (likely
+    # at ~600M rows — OOM/disk-full) must not be silently reused as
+    # the ~sf100 dataset and record wrong scale evidence
+    done = os.path.join(DEST, "_BUILD_COMPLETE")
+    if os.path.exists(done):
         return DEST
+    if os.path.exists(DEST):
+        import shutil
+
+        shutil.rmtree(DEST)
     base = build_scaled(spark, 100, dest="/tmp/spark_graft_bench_100x",
                         reuse=True)
     os.makedirs(DEST)
@@ -75,6 +83,7 @@ def build_1000x(spark) -> str:
         for r in replicas[1:]:
             out = out.union(r)
         out.write.mode("overwrite").parquet(out_path)
+    open(done, "w").close()
     return DEST
 
 
