@@ -100,6 +100,14 @@ def _sweep_stale_scratch(root: str, ttl_s: int = 24 * 3600) -> None:
     except OSError:
         return
     for name in entries:
+        if name == "spark_local":
+            # session.py points spark.local.dir here; its mtime is the
+            # JVM start time, so a >24h session would look stale while
+            # its shuffle/blockmgr files are very much live — sweeping
+            # it would kill that session's in-flight queries. Shuffle
+            # dirs die with their JVM (Spark's own ShutdownHook), so
+            # the TTL isn't needed for them.
+            continue
         p = os.path.join(root, name)
         try:
             if os.path.isdir(p) and os.path.getmtime(p) < cutoff:

@@ -1242,14 +1242,98 @@ LATE_DELAY_US = 47 * 3600 * 1_000_000  # odd on purpose: off the grid
 LATE_N_BATCHES = 4
 
 
+def _stage_zone(tagged: "DataFrame", zone: str, n_files: int,
+                file_prefix: str) -> str:
+    """Shared landing-zone stager (one copy — review r10 collapsed
+    three near-identical stagers onto it): write each `_b` slice of
+    ``tagged`` as ONE parquet file with mtimes ascending 10s apart, so
+    FileStreamSource's (modTime, path) order IS the batch order; seal
+    with a `_STAGED` marker via stage-then-rename (a crashed build
+    leaves only the ._build dir, never a half-staged zone).
+
+    An EMPTY slice fails loudly: every staged-zone oracle keys its
+    per-batch rule on `_b` VALUES matching the engine's delivery
+    POSITIONS, which holds only when every slice lands a file — a
+    fixture regeneration that empties a middle slice must fail here,
+    not silently certify a rule the engine doesn't run.
+
+    Concurrency: zones are fingerprint-keyed, so two stagers build
+    IDENTICAL content. If another stager won while we built, we
+    discard OUR build rather than rmtree a completed zone a live
+    availableNow stream may be mid-read on; the marker re-check
+    narrows (not eliminates — plain dirs have no atomic replace) the
+    delete-while-reading window, and reuse refreshes the zone's mtime
+    so the 24h scratch TTL never sweeps a zone that is actively
+    consumed."""
+    import shutil
+    import time as _time
+
+    marker = os.path.join(zone, "_STAGED")
+    build = zone + "._build"
+    shutil.rmtree(build, ignore_errors=True)
+    os.makedirs(build)
+    t0 = _time.time() - 10 * n_files
+    for k in range(n_files):
+        tmp = os.path.join(build, f"_tmp{k}")
+        (tagged.filter(F.col("_b") == k).drop("_b")
+         .coalesce(1).write.mode("overwrite").parquet(tmp))
+        parts = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        if not parts:
+            raise ValueError(
+                f"_stage_zone({os.path.basename(zone)}): slice {k} of "
+                f"{n_files} staged EMPTY — batch_seq values would no "
+                "longer match delivery positions and the zone oracles "
+                "would certify a rule the engine doesn't run; fix the "
+                "slicing constants for this fixture instead")
+        dst = os.path.join(build, f"{file_prefix}{k}.parquet")
+        shutil.copy(os.path.join(tmp, parts[0]), dst)
+        os.utime(dst, (t0 + 10 * k,) * 2)
+        shutil.rmtree(tmp)
+    open(os.path.join(build, "_STAGED"), "w").close()
+    if os.path.exists(marker):
+        # a concurrent stager committed while we built: identical
+        # content — keep theirs, never delete under a live reader
+        shutil.rmtree(build, ignore_errors=True)
+        return zone
+    shutil.rmtree(zone, ignore_errors=True)
+    try:
+        os.rename(build, zone)
+    except OSError:
+        # lost the final rename race: the winner's zone is complete
+        # (its marker exists by rename atomicity) — use it
+        shutil.rmtree(build, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
+    return zone
+
+
+def _zone_path(sf_dir: str, table: str, prefix: str,
+               salt: str = "") -> tuple[str, str]:
+    """(zone, marker) for a fingerprint-keyed landing zone; reuse
+    refreshes the zone mtime so the scratch TTL spares live zones."""
+    import hashlib
+
+    from coursera_etl_pipeline_spark.catalog import _path_fingerprint
+
+    fp = _path_fingerprint(table_path(sf_dir, table))
+    key = hashlib.md5(f"{salt}{sf_dir}|{fp}".encode()).hexdigest()[:12]
+    zone = os.path.join(scratch_root(), f"{prefix}_{key}")
+    marker = os.path.join(zone, "_STAGED")
+    if os.path.exists(marker):
+        try:
+            os.utime(zone, None)
+        except OSError:
+            pass
+    return zone, marker
+
+
 def _stage_late_zone(spark: SparkSession, sf_dir: str) -> str:
     """Stage the events fixture as a 4-file landing zone with
     deterministic late arrivals: each row's file = its 7.5-day time
     slice, except event_id % 5 rows shift one file later (late by up
     to 7.5 days — some beyond the 47h delay, some within it) and
     event_id % 11 rows land in the last file regardless (late by up
-    to three slices — always beyond). File mtimes ascend 10s apart so
-    FileStreamSource's (modTime, path) order IS the batch order.
+    to three slices — always beyond).
 
     Staged once per (fixture fingerprint); a driver-regenerated
     fixture misses the marker and re-stages (same invalidation policy
@@ -1257,20 +1341,9 @@ def _stage_late_zone(spark: SparkSession, sf_dir: str) -> str:
     shared filesystem; the per-slice single file is the fixture's
     analogue of "one landing-zone drop per tick", not a scale claim —
     each micro-batch's aggregation still shuffles per (window, key)."""
-    import hashlib
-    import os
-    import shutil
-    import time as _time
+    from coursera_etl_pipeline_spark.catalog import load_table
 
-    from coursera_etl_pipeline_spark.catalog import (
-        _path_fingerprint,
-        load_table,
-    )
-
-    fp = _path_fingerprint(table_path(sf_dir, "events"))
-    key = hashlib.md5(f"{sf_dir}|{fp}".encode()).hexdigest()[:12]
-    zone = os.path.join(scratch_root(), f"late_zone_{key}")
-    marker = os.path.join(zone, "_STAGED")
+    zone, marker = _zone_path(sf_dir, "events", "late_zone")
     if os.path.exists(marker):
         return zone
 
@@ -1288,35 +1361,8 @@ def _stage_late_zone(spark: SparkSession, sf_dir: str) -> str:
         .when(F.col("event_id") % 5 == 0,
               F.least(F.lit(LATE_N_BATCHES - 1), sl + 1))
         .otherwise(sl))
-    tagged = ev.withColumn("_b", batch_seq)
-
-    build = zone + "._build"
-    shutil.rmtree(build, ignore_errors=True)
-    os.makedirs(build)
-    t0 = _time.time() - 10 * LATE_N_BATCHES
-    for k in range(LATE_N_BATCHES):
-        tmp = os.path.join(build, f"_tmp{k}")
-        (tagged.filter(F.col("_b") == k).drop("_b")
-         .coalesce(1).write.mode("overwrite").parquet(tmp))
-        parts = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
-        if parts:  # an empty slice = an empty micro-batch = no file
-            dst = os.path.join(build, f"batch{k}.parquet")
-            shutil.copy(os.path.join(tmp, parts[0]), dst)
-            os.utime(dst, (t0 + 10 * k,) * 2)
-        shutil.rmtree(tmp)
-    open(os.path.join(build, "_STAGED"), "w").close()
-    # stage-then-commit like every other storage verb here: a crashed
-    # build leaves only the ._build dir, never a half-staged zone
-    shutil.rmtree(zone, ignore_errors=True)
-    try:
-        os.rename(build, zone)
-    except OSError:
-        # lost a concurrent-stager race: the winner's zone is complete
-        # (its marker exists by rename atomicity) — use it
-        shutil.rmtree(build, ignore_errors=True)
-        if not os.path.exists(marker):
-            raise
-    return zone
+    return _stage_zone(ev.withColumn("_b", batch_seq), zone,
+                       LATE_N_BATCHES, "batch")
 
 
 def _duck_late_data_oracle() -> str:
@@ -1429,46 +1475,18 @@ def _stage_doc_tick_zone(spark: SparkSession, sf_dir: str) -> str:
     as two mtime-ordered tick files: tick0 = doc_id % 20 == 0,
     tick1 = doc_id % 20 == 10. Same fingerprint-keyed staging and
     concurrent-stager tolerance as the late-data zone."""
-    import hashlib
-    import shutil
-    import time as _time
+    from coursera_etl_pipeline_spark.catalog import load_table
 
-    from coursera_etl_pipeline_spark.catalog import (
-        _path_fingerprint,
-        load_table,
-    )
-
-    fp = _path_fingerprint(table_path(sf_dir, "documents"))
-    key = hashlib.md5(f"{sf_dir}|{fp}".encode()).hexdigest()[:12]
-    zone = os.path.join(scratch_root(), f"doc_tick_zone_{key}")
-    marker = os.path.join(zone, "_STAGED")
+    zone, marker = _zone_path(sf_dir, "documents", "doc_tick_zone")
     if os.path.exists(marker):
         return zone
 
     docs = load_table(spark, sf_dir, "documents")
-    build = zone + "._build"
-    shutil.rmtree(build, ignore_errors=True)
-    os.makedirs(build)
-    t0 = _time.time() - 40
-    for k, residue in enumerate((0, 10)):
-        tmp = os.path.join(build, f"_tmp{k}")
-        (docs.filter(F.col("doc_id") % 20 == residue)
-         .coalesce(1).write.mode("overwrite").parquet(tmp))
-        parts = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
-        if parts:  # an empty slice = an empty micro-batch = no file
-            dst = os.path.join(build, f"tick{k}.parquet")
-            shutil.copy(os.path.join(tmp, parts[0]), dst)
-            os.utime(dst, (t0 + 10 * k,) * 2)
-        shutil.rmtree(tmp)
-    open(os.path.join(build, "_STAGED"), "w").close()
-    shutil.rmtree(zone, ignore_errors=True)
-    try:
-        os.rename(build, zone)
-    except OSError:
-        shutil.rmtree(build, ignore_errors=True)
-        if not os.path.exists(marker):
-            raise
-    return zone
+    tick = (F.when(F.col("doc_id") % 20 == 0, 0)
+            .when(F.col("doc_id") % 20 == 10, 1))
+    return _stage_zone(
+        docs.withColumn("_b", tick).filter(F.col("_b").isNotNull()),
+        zone, 2, "tick")
 
 
 def _run_stream_multi_tick_index(spark: SparkSession,
@@ -1728,19 +1746,10 @@ def _stage_dedup_zone(spark: SparkSession, sf_dir: str) -> str:
     batch's native range, so it is never watermark-late, and never
     shares a micro-batch with its original — same-batch pairs would
     make the surviving row nondeterministic)."""
-    import hashlib
-    import shutil
-    import time as _time
+    from coursera_etl_pipeline_spark.catalog import load_table
 
-    from coursera_etl_pipeline_spark.catalog import (
-        _path_fingerprint,
-        load_table,
-    )
-
-    fp = _path_fingerprint(table_path(sf_dir, "events"))
-    key = hashlib.md5(f"dedupzone|{sf_dir}|{fp}".encode()).hexdigest()[:12]
-    zone = os.path.join(scratch_root(), f"dedup_zone_{key}")
-    marker = os.path.join(zone, "_STAGED")
+    zone, marker = _zone_path(sf_dir, "events", "dedup_zone",
+                              salt="dedupzone|")
     if os.path.exists(marker):
         return zone
 
@@ -1757,31 +1766,8 @@ def _stage_dedup_zone(spark: SparkSession, sf_dir: str) -> str:
             .withColumn("ts", F.timestamp_micros(
                 F.unix_micros("ts") + F.lit(2 * LATE_SLICE_US)))
             .withColumn("_b", F.col("_b") + 2))
-    tagged = orig.unionByName(dups)
-
-    build = zone + "._build"
-    shutil.rmtree(build, ignore_errors=True)
-    os.makedirs(build)
-    t0 = _time.time() - 10 * LATE_N_BATCHES
-    for k in range(LATE_N_BATCHES):
-        tmp = os.path.join(build, f"_tmp{k}")
-        (tagged.filter(F.col("_b") == k).drop("_b")
-         .coalesce(1).write.mode("overwrite").parquet(tmp))
-        parts = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
-        if parts:
-            dst = os.path.join(build, f"batch{k}.parquet")
-            shutil.copy(os.path.join(tmp, parts[0]), dst)
-            os.utime(dst, (t0 + 10 * k,) * 2)
-        shutil.rmtree(tmp)
-    open(os.path.join(build, "_STAGED"), "w").close()
-    shutil.rmtree(zone, ignore_errors=True)
-    try:
-        os.rename(build, zone)
-    except OSError:
-        shutil.rmtree(build, ignore_errors=True)
-        if not os.path.exists(marker):
-            raise
-    return zone
+    return _stage_zone(orig.unionByName(dups), zone,
+                       LATE_N_BATCHES, "batch")
 
 
 @query(
