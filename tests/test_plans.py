@@ -265,3 +265,42 @@ def test_dq_audit_documents_catches_each_violation(spark):
         "n_chars_metadata_mismatch": (1, False),
         "exact_dup_texts": (1, False),     # the alpha-beta pair only
     }
+
+
+def test_type_parity_lattice_on_sum_heavy_queries(spark, sf_dir):
+    """Guard the r9 HUGEINT lesson in-suite: for the queries whose
+    oracles sum integers or decimals (the class where DuckDB silently
+    widens to HUGEINT/DECIMAL while Spark stays BIGINT/DOUBLE), the
+    Spark schema and the DuckDB relation's concrete logical types must
+    land on the same lattice class per column. The full 125-query
+    audit is tools/type_parity_audit.py (run it after editing ANY
+    oracle); this subset keeps the class regression-visible in every
+    pytest run without executing the streamed parities."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from coursera_etl_pipeline_spark.catalog import TABLES, table_path
+    from tools.type_parity_audit import duck_class, spark_class
+
+    RISKY = ["q1_pricing_summary", "agg_cube", "agg_stats_pack",
+             "sample_corpus_mix", "similarity_lsh_index_update",
+             "text_pack_sequences", "dedup_exact", "text_token_count"]
+    con = duckdb.connect()
+    import os
+    for t in TABLES:
+        p = table_path(sf_dir, t)
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    bad = []
+    for name in RISKY:
+        stypes = dict(queries[name](spark, sf_dir).dtypes)
+        rel = con.sql(oracles[name])
+        dtypes = dict(zip(rel.columns, [str(t) for t in rel.types]))
+        assert set(stypes) == set(dtypes), (name, stypes, dtypes)
+        for c in stypes:
+            sc, dc = spark_class(stypes[c]), duck_class(dtypes[c])
+            if sc != dc or "(" in sc or "(" in dc:
+                bad.append((name, c, stypes[c], dtypes[c]))
+    assert not bad, f"type-lattice divergence (driver hash risk): {bad}"
