@@ -664,6 +664,23 @@ def similarity_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "cell_id"))
 
 
+def flatten_band_index(idx: DataFrame) -> DataFrame:
+    """Flatten a signatures() frame (band0..bandN columns) into the
+    (vec_id, band, bucket BIGINT) rows the bucket-join probes and the
+    parquet band-index store persists. Extracted round 11 from
+    `similarity_lsh_index_update` (byte-identical plan) so the append,
+    delete, and storage verbs all flatten through one definition —
+    bucket CAST BIGINT here is the r9 type-parity lesson applied at
+    the single choke point."""
+    return idx.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+            for b in range(N_BANDS_ANN)])).alias("bb"),
+    ).select("vec_id", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").cast("bigint").alias("bucket"))
+
+
 @query(
     "similarity_lsh_index_update",
     # full-rebuild oracle: every vector's band signature from scratch
@@ -695,13 +712,7 @@ def similarity_lsh_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_batch = F.col("vec_id") % ANN_BATCH_MOD == 0
     idx = lsh_index_append(emb.filter(is_batch),
                            signatures(emb.filter(~is_batch)))
-    return idx.select(
-        "vec_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
-            for b in range(N_BANDS_ANN)])).alias("bb"),
-    ).select("vec_id", F.col("bb.band").alias("band"),
-             F.col("bb.bucket").cast("bigint").alias("bucket"))
+    return flatten_band_index(idx)
 
 
 RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
@@ -815,4 +826,129 @@ def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rrf_rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rrf_rank",
                 F.round("rrf", 6).alias("rrf_score"), "r_lsh", "r_ivf")
+    )
+
+
+@query(
+    "similarity_lsh_index_delete",
+    # remainder-rebuild oracle: every surviving vector's band signature
+    # from scratch (hyperplanes are compile-time constants), takedown
+    # slice excluded — a hash match certifies delete == rebuild over
+    # the remainder. Bucket CAST BIGINT outside the shared sig SQL,
+    # exactly as the green append row does (r9 type-parity lesson).
+    oracle=f"""
+    SELECT vec_id, band, CAST(bucket AS BIGINT) AS bucket
+    FROM ({_duck_lsh_sig()})
+    WHERE vec_id % {ANN_BATCH_MOD} <> {ANN_TAKEDOWN_RESIDUE}
+    """,
+)
+def similarity_lsh_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-then-takedown on the LSH band index: corpus signatures
+    built at t, this tick's batch (vec_id % 10 == 0) appended via
+    ``lsh_index_append``, then the vec_id % 10 == 1 corpus slice taken
+    down via ``lsh_index_delete`` — the band-index twin of
+    `similarity_index_delete` (VERDICT r10 item 3), closing the last
+    verb asymmetry between the two ANN index families: both now expose
+    append AND delete under driver certification. Band signatures are
+    per-row pure functions of frozen hyperplanes (nothing resurrects,
+    no cross-row state), so delete == rebuild-over-remainder is a
+    theorem; the certification pins that the implementation keeps that
+    shape.
+
+    Scale shape: the takedown is one anti-join against a
+    broadcast-size removed set — O(|removed| x n_bands) delete
+    records in a table format, zero corpus recompute."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_batch = F.col("vec_id") % ANN_BATCH_MOD == 0
+    is_removed = F.col("vec_id") % ANN_BATCH_MOD == ANN_TAKEDOWN_RESIDUE
+    idx_t1 = lsh_index_append(emb.filter(is_batch),
+                              signatures(emb.filter(~is_batch)))
+    idx_t2 = lsh_index_delete(emb.filter(is_removed).select("vec_id"), idx_t1)
+    return flatten_band_index(idx_t2)
+
+
+# --- semantic dedup (SemDeDup shape) ----------------------------------------
+
+SEMDEDUP_COSINE = 0.42  # same operating point as the exact neardup pairs
+
+
+@query(
+    "dedup_semantic",
+    # Closed-form oracle: frozen centroids (first N_CELLS by vec_id
+    # over the FULL table), deterministic nearest-centroid assignment,
+    # within-cluster pairs above the cosine threshold, drop = the
+    # larger id of each such pair. Deterministic centroids make the
+    # whole pipeline exact SQL, as similarity_ivf_recall proved.
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cell_id, embedding AS cv
+      FROM embeddings ORDER BY vec_id LIMIT {N_CELLS}
+    ), assigned AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_duck_cosine('e.embedding', 'c.cv')} DESC,
+                          c.cell_id) AS rk
+        FROM embeddings e, cent c
+      ) WHERE rk = 1
+    ), pairs AS (
+      SELECT b.vec_id AS vb
+      FROM assigned a JOIN assigned b
+        ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE {_duck_cosine('ea.embedding', 'eb.embedding')} >= {SEMDEDUP_COSINE}
+    )
+    SELECT a.vec_id, a.cell_id,
+           a.vec_id IN (SELECT vb FROM pairs) AS dropped
+    FROM assigned a
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space semantic dedup — the SemDeDup shape (Abbas et
+    al., 2023): cluster the corpus with the frozen deterministic IVF
+    centroids, then within each cluster drop the larger id of every
+    pair whose cosine exceeds the threshold (the greedy keep-one-
+    representative rule, made deterministic by the id order). Returns
+    every vector with its cluster and drop verdict so the keep set AND
+    the drop set are both certified.
+
+    Scale shape: pairs form ONLY within a cluster — the equi-join on
+    cell_id replaces the corpus cross join, so the comparison count is
+    sum over clusters of |c|^2 instead of n^2, and the cluster count
+    scales with corpus size (at 100 TB: offline-trained centroids,
+    thousands of cells, per-cell pair work bounded by cell size — the
+    exact reason SemDeDup clusters before comparing). The centroid
+    table broadcasts; the only shuffle keys on cell_id.
+
+    Composes the certified IVF machinery (`assign_to_centroids`) with
+    the neardup verify, per VERDICT r10 item 4; planted-duplicate
+    non-vacuity pinned by test_dedup_semantic_drops_planted_pair."""
+    return semantic_dedup_verdicts(load_table(spark, sf_dir, "embeddings"))
+
+
+def semantic_dedup_verdicts(emb: DataFrame,
+                            threshold: float = SEMDEDUP_COSINE) -> DataFrame:
+    """SemDeDup core over any (vec_id, embedding) frame: cluster with
+    ivf_assign's frozen first-N centroids, form within-cluster pairs,
+    drop the larger id of every above-threshold pair. Factored from
+    the registered query so tests can feed planted duplicates."""
+    assigned, _ = ivf_assign(emb)
+    left = assigned.select(F.col("vec_id").alias("va"),
+                           F.col("embedding").alias("ea"), "cell_id")
+    right = assigned.select(F.col("vec_id").alias("vb"),
+                            F.col("embedding").alias("eb"), "cell_id")
+    dropped = (
+        left.join(right, "cell_id")
+        .filter(F.col("va") < F.col("vb"))
+        .withColumn("sim", cosine("ea", "eb"))
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("vb").alias("vec_id")).distinct()
+        .withColumn("_d", F.lit(True)))
+    return (
+        assigned.select("vec_id", "cell_id")
+        .join(dropped, "vec_id", "left")
+        .select("vec_id", "cell_id",
+                F.coalesce(F.col("_d"), F.lit(False)).alias("dropped"))
     )

@@ -1308,3 +1308,51 @@ def test_max_run_fold_property(spark):
             assert got[i] == expect, (a, got[i], expect)
 
     check()
+
+
+def test_dedup_semantic_drops_planted_pair(spark, sf_dir):
+    """SemDeDup non-vacuity on a planted semantic duplicate: append an
+    exact copy of an existing vector under a larger vec_id — identical
+    vectors assign to the same cell (per-row pure assignment) and
+    cosine 1.0 clears any threshold, so the copy MUST be dropped and
+    the original (smaller id, no smaller-id partner of its own in this
+    construction) kept. Also pins the drop rule's direction: dropped
+    implies a smaller-id above-threshold partner in the same cell."""
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    donor = emb.filter(F.col("vec_id") == 37)
+    planted_id = 1_000_000
+    planted = donor.select(F.lit(planted_id).cast("long").alias("vec_id"),
+                           "embedding")
+    verdicts = similarity.semantic_dedup_verdicts(emb.unionByName(planted))
+    rows = {r.vec_id: r for r in verdicts.collect()}
+    assert rows[planted_id].dropped, "planted exact copy must be dropped"
+    assert rows[planted_id].cell_id == rows[37].cell_id, \
+        "identical vectors must land in the same cell"
+    n_dropped = sum(1 for r in rows.values() if r.dropped)
+    assert 0 < n_dropped < len(rows), "verdicts must be non-vacuous"
+
+
+def test_dedup_semantic_dropped_have_smaller_kept_or_dropped_partner(
+        spark, sf_dir):
+    """Drop-rule law on the fixture: every dropped vector has SOME
+    smaller-id above-threshold partner in its own cell (the pair that
+    justified the drop), and no vector pairs across cells — the
+    clustered compare must never consult other cells."""
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    verdicts = similarity.semantic_dedup_verdicts(emb)
+    assigned = verdicts.select("vec_id", "cell_id")
+    a = assigned.select(F.col("vec_id").alias("va"), "cell_id")
+    b = (verdicts.filter("dropped")
+         .select(F.col("vec_id").alias("vb"), "cell_id"))
+    pairs = (a.join(b, "cell_id").filter(F.col("va") < F.col("vb"))
+             .join(emb.select(F.col("vec_id").alias("va"),
+                              F.col("embedding").alias("ea")), "va")
+             .join(emb.select(F.col("vec_id").alias("vb"),
+                              F.col("embedding").alias("eb")), "vb")
+             .withColumn("sim", similarity.cosine("ea", "eb"))
+             .filter(F.col("sim") >= similarity.SEMDEDUP_COSINE))
+    justified = {r.vb for r in pairs.select("vb").distinct().collect()}
+    dropped = {r.vec_id for r in verdicts.filter("dropped").collect()}
+    assert dropped == justified
