@@ -779,3 +779,90 @@ def test_dedup_expiry_zone_exercises_both_outcomes(sf_dir):
     assert n_dups > 0 and 0 < n_re < n_dups, (
         f"redeliveries {n_dups}, re-emitted {n_re}: both the live-drop "
         "and the expiry-re-emit paths must fire")
+
+
+def test_dq_gate_quarantines_poisoned_batch_and_commits_rest(spark, sf_dir):
+    """The streamed DQ gate's contract (VERDICT r10 item 5): the
+    poisoned micro-batch (slice 1, planted n_chars drift) lands whole
+    in the quarantine zone, the healthy drops before AND after it
+    commit to the accept zone, and nothing is lost or duplicated —
+    the per-batch all-or-nothing routing, observed end to end through
+    the real engine run the registered query performs."""
+    from coursera_etl_pipeline_spark.streaming.parity import (
+        DQ_POISON_SLICE,
+        stream_dq_gate_parity,
+    )
+
+    out = stream_dq_gate_parity(spark, sf_dir, force=True)
+    rows = out.collect()
+    docs_n = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == docs_n, "every staged row lands in exactly one zone"
+    assert len({r.doc_id for r in rows}) == len(rows), "no duplicates"
+    by_zone = {}
+    for r in rows:
+        by_zone.setdefault(r.zone, set()).add(r.slice_id)
+    assert by_zone["quarantined"] == {DQ_POISON_SLICE}, \
+        "exactly the poisoned drop is quarantined"
+    assert by_zone["accepted"] == {0, 2}, \
+        "the drops before and after the bad one both commit"
+
+
+def test_dq_gate_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Re-delivering an already-routed micro-batch (same epoch, same
+    checkpoint token) must no-op via its marker — the accepted zone
+    must not double-count. Runs the gate verb directly against fresh
+    dirs so the assertion is on the verb, not the memoized view."""
+    from coursera_etl_pipeline_spark.streaming.parity import apply_dq_gate
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    accept, reject = str(tmp_path / "acc"), str(tmp_path / "rej")
+    import os as _os
+    _os.makedirs(accept)
+    _os.makedirs(reject)
+    apply_dq_gate(docs, accept, reject, epoch_id=0, run_token="t0")
+    n1 = spark.read.parquet(accept).count()
+    apply_dq_gate(docs, accept, reject, epoch_id=0, run_token="t0")
+    assert spark.read.parquet(accept).count() == n1 == 50
+    # a DIFFERENT epoch under the same token is a new tick, not a replay
+    apply_dq_gate(docs, accept, reject, epoch_id=1, run_token="t0")
+    assert spark.read.parquet(accept).count() == 100
+
+
+def test_lsh_store_append_delete_compact_equals_rebuild(spark, sf_dir,
+                                                       tmp_path):
+    """The LSH band index's storage verbs compose to the remainder
+    rebuild: seed + blind append + shared anti-join delete + compact
+    yields exactly the remainder's from-scratch band rows, with the
+    file count bounded by the compaction target (the strict-reduction
+    property is pinned by
+    test_storage_compact_preserves_content_and_reduces_files; here the
+    delete's own overwrite-commit may already have consolidated)."""
+    import os as _os
+
+    from coursera_etl_pipeline_spark.llm_ops import similarity
+    from coursera_etl_pipeline_spark.streaming.parity import (
+        apply_ann_index_delete,
+        apply_lsh_index_increment,
+        compact_index,
+    )
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    idx_dir = str(tmp_path / "band")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    similarity.flatten_band_index(similarity.signatures(corpus)) \
+        .write.parquet(idx_dir)
+    apply_lsh_index_increment(emb.filter(F.col("vec_id") % 10 == 0), idx_dir)
+    removed = emb.filter(F.col("vec_id") % 10 == 1).select("vec_id")
+    apply_ann_index_delete(spark, removed, idx_dir,
+                           staging_root=str(tmp_path))
+    compact_index(spark, [idx_dir], target_files=2,
+                  staging_root=str(tmp_path))
+    files_after = sum(1 for f in _os.listdir(idx_dir)
+                      if f.endswith(".parquet"))
+    assert files_after <= 2
+    got = sorted(tuple(r) for r in spark.read.parquet(idx_dir).collect())
+    want = sorted(tuple(r) for r in similarity.flatten_band_index(
+        similarity.signatures(emb.filter(F.col("vec_id") % 10 != 1)))
+        .collect())
+    assert got == want
