@@ -39,70 +39,33 @@ _EDITED_THIS_ROUND = [
     # Queries whose implementing FILE changed this round: their recorded
     # green rows predate the change, so they outrank everything the history
     # says is current.  Update per round alongside the round's edits.
-    # Round 10 continues the restraint discipline: the stalest cohort
-    # (the 11 r7-green rows) leads automatically via _latest_green;
-    # new queries (never certified) lead without entries here.
-    # similarity_lsh_index_update: the r9 red row — bucket CAST to
-    # BIGINT on both the Spark select and the oracle's outer select
-    # (HUGEINT/int32 value-type divergence, VERDICT r9 item 1).
-    # Never green, so it leads anyway; listed for the audit trail.
+    #
+    # Round 11. New queries (never certified, lead without entries):
+    # similarity_lsh_index_delete, dedup_semantic,
+    # stream_lsh_index_delete_parity, stream_dq_gate_parity.
+    #
+    # similarity_lsh_index_update: its band-flatten select was
+    # extracted into the shared `flatten_band_index` helper so the
+    # append/delete/storage verbs all flatten through one definition.
+    # The plan is byte-identical (same select, new callee), but the
+    # implementing code moved, so it re-certifies rather than ride a
+    # carve-out:
     "similarity_lsh_index_update",
-    # stream_late_data_parity (new r10): never certified, leads
-    # without an entry — the watermark late-drop/append-emission
-    # semantics under the hash gate (streaming/parity.py tail note).
-    # streaming/parity.py changed again late in r10 (tmpfs scratch
-    # roots + micro-batch replay idempotence markers; then an
-    # end-of-round review pass made the markers checkpoint-scoped via
-    # run_token and staged them alongside the data): the epoch
-    # markers are underscore-prefixed files Spark readers ignore, so
-    # results are unchanged BY DESIGN — but the execution path of the
-    # streamed parities did change, so the certified ones re-certify
-    # in this window rather than ride a carve-out:
-    "stream_index_update_parity",
-    "stream_index_delete_parity",
-    "stream_ann_index_parity",
-    # (stream_ann_index_delete_parity, dedup_index_compact,
-    # similarity_index_delete, multimodal_frame_sample,
-    # stream_late_data_parity, dq_audit_orders are new this round —
-    # never certified, they lead without entries.)
-    # Carve-outs (files edited, NO forcing, each provably output-
-    # invariant and oracle-rechecked at sf0.01 post-change):
-    # multimodal.py + plans/queries.py fixture dirs moved to tmpfs
-    # scratch (same bytes written, different parent dir); bench.py
-    # sampling changes touch no query code.
-    # q5_local_supplier_volume: rewritten onto the three-stage
-    # split-BIGINT dsum with the micros projection pushed below the
-    # join (registry round-10 resolution note) — values bit-identical
-    # (asserted in tools/ab_split_dsum_r10.py and oracle-rechecked),
-    # but the PLAN changed, so it re-certifies in the r10 window.
-    # q3/q6/q10 measured parity in the same A/B and are UNCHANGED.
-    "q5_local_supplier_volume",
-    # Round-10 carve-outs (files edited, NO forcing — each provably
-    # leaves every registered result unchanged):
-    #  - multimodal.py ID3v1 trailer length guard (ADVICE r9): no
-    #    registered query decodes MP3 (blob_metadata slices metadata
-    #    of the fixture formats, resize/dHash are netpbm-only);
-    #    pytest covers the decode path.
-    #  - streaming/parity.py apply_index_delete removed-ids
-    #    validation + staged-state preservation on failed commits
-    #    (ADVICE r9): stream_index_delete_parity's returned frame and
-    #    values are unchanged (validation is a side count that passes
-    #    for the registered takedown slice; the staging change only
-    #    alters the FAILURE path) — oracle-rechecked at sf0.01
-    #    post-change alongside dedup_index_delete and
-    #    stream_index_update_parity.
-    #  - late-r10 pure additions: similarity.py gained
-    #    similarity_rrf_fusion, text.py gained text_repetition_score,
-    #    sampling.py gained sample_corpus_mix — appended functions
-    #    only, no shared helper or existing plan touched (the three
-    #    new queries lead as never-certified). The pre-existing
-    #    queries of all three files that are NOT already in the r10
-    #    window by rotation (text_lang_id, text_decontaminate,
-    #    similarity_topk_bruteforce, similarity_neardup_pairs,
-    #    similarity lifecycle rows — all r9-green) keep their rows:
-    #    plans provably unchanged, and the end-of-round full
-    #    oracle-check triple re-verifies every query at all three
-    #    scales regardless.
+    # Round-11 carve-outs (files edited, NO forcing — each provably
+    # leaves every registered result unchanged, oracle-rechecked at
+    # all three fixture scales post-change):
+    #  - similarity.py pure additions (similarity_lsh_index_delete,
+    #    dedup_semantic + semantic_dedup_verdicts): appended
+    #    functions only; no pre-existing plan touched beyond the
+    #    flatten extraction forced above. The file's other r9/r10
+    #    rows (topk_bruteforce, neardup_pairs, ann_lsh/ivf/recalls,
+    #    index_update/delete, rrf_fusion) keep their rows — plans
+    #    unchanged, and the end-of-round full oracle-check triple
+    #    re-verifies every query at all three scales regardless.
+    #  - streaming/parity.py pure additions (the two new streamed
+    #    parities + apply_lsh_index_increment/apply_dq_gate/stagers):
+    #    appended code only; no existing parity's plan or helper
+    #    changed.
 ]
 
 

@@ -61,6 +61,7 @@ HEADLINE = [
     "similarity_index_delete",   # ANN index takedown (anti-join rewrite)
     "multimodal_frame_sample",   # stride-slice explode over documents
     "text_repetition_score",     # per-row sort + run-length fold
+    "dedup_semantic",            # SemDeDup: cell-bucketed cosine pairs
 ]
 
 
@@ -138,6 +139,11 @@ _exclude(
     "similarity_lsh_index_update",
 )
 _exclude(
+    "per-row-pure signature append + anti-join; similarity_index_delete "
+    "is the family's timed lifecycle row",
+    "similarity_lsh_index_delete",
+)
+_exclude(
     "real-stream parity memoizes its memory sink (tableExists) — warm "
     "bench runs would time a cached-table read, not the stream",
     "stream_batch_parity", "stream_dedup_parity",
@@ -148,6 +154,7 @@ _exclude(
     "stream_dedup_expiry_parity",
     "stream_index_multi_tick_parity",
     "dedup_index_compact",
+    "stream_lsh_index_delete_parity", "stream_dq_gate_parity",
 )
 
 

@@ -67,9 +67,46 @@ def scratch_root() -> str:
     # user-supplied shared path) would let the sweep delete data that
     # was never ours. Namespacing confines every destructive lifecycle
     # action to dirs this project created.
-    d = os.path.join(base, "spark_graft_scratch")
-    os.makedirs(d, exist_ok=True)
-    return d
+    return _secure_namespace(base)
+
+
+def _secure_namespace(base: str) -> str:
+    """Create/adopt the scratch namespace with 0700 perms and verified
+    ownership (ADVICE r10): the base (/dev/shm, /tmp) is world-
+    writable, so a fixed predictable name could be pre-created by
+    another user to read or tamper with staged index state, landing
+    zones, and replay markers. The dir is taken ONLY if it is a real
+    directory (no symlink) owned by us; otherwise fall back to a
+    per-uid name, and as a last resort a private mkdtemp (safe, at
+    the cost of cross-process zone reuse)."""
+    import stat
+
+    uid = os.getuid() if hasattr(os, "getuid") else None
+    for name in ("spark_graft_scratch",
+                 f"spark_graft_scratch_{uid}" if uid is not None else None):
+        if name is None:
+            continue
+        d = os.path.join(base, name)
+        try:
+            os.mkdir(d, 0o700)
+        except FileExistsError:
+            pass
+        except OSError:
+            continue
+        try:
+            st = os.lstat(d)
+            if not stat.S_ISDIR(st.st_mode):
+                continue  # symlink or file squatting on the name
+            if uid is not None and st.st_uid != uid:
+                continue  # someone else's dir — never adopt it
+            if st.st_mode & 0o077:
+                os.chmod(d, 0o700)  # tighten a pre-round-11 dir
+        except OSError:
+            continue
+        return d
+    import tempfile
+
+    return tempfile.mkdtemp(prefix="spark_graft_scratch_")
 
 
 _SCRATCH_CREATED: list[str] = []
@@ -100,15 +137,25 @@ def _sweep_stale_scratch(root: str, ttl_s: int = 24 * 3600) -> None:
     except OSError:
         return
     for name in entries:
-        if name == "spark_local":
-            # session.py points spark.local.dir here; its mtime is the
-            # JVM start time, so a >24h session would look stale while
-            # its shuffle/blockmgr files are very much live — sweeping
-            # it would kill that session's in-flight queries. Shuffle
-            # dirs die with their JVM (Spark's own ShutdownHook), so
-            # the TTL isn't needed for them.
-            continue
         p = os.path.join(root, name)
+        if name == "spark_local":
+            # session.py points spark.local.dir here; its own mtime is
+            # the first JVM's start time, so sweeping the whole dir
+            # would kill live sessions' shuffle files. But Spark's
+            # per-JVM spark-<uuid>/blockmgr-* children are removed
+            # only by its shutdown hook, which never runs on a
+            # crash/kill — on tmpfs those leak RAM indefinitely, the
+            # exact class this sweep exists to bound (ADVICE r10). So
+            # TTL-sweep the CHILDREN: a live session's dirs track JVM
+            # activity and stay fresh; >TTL-old ones are crash debris.
+            try:
+                for child in os.listdir(p):
+                    c = os.path.join(p, child)
+                    if os.path.isdir(c) and os.path.getmtime(c) < cutoff:
+                        shutil.rmtree(c, ignore_errors=True)
+            except OSError:
+                pass
+            continue
         try:
             if os.path.isdir(p) and os.path.getmtime(p) < cutoff:
                 shutil.rmtree(p, ignore_errors=True)

@@ -14,6 +14,31 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# Minimum free space (GiB) on a tmpfs scratch root before shuffle/spill
+# is allowed to default there: large scaled runs (the K=100 replica
+# benches) can spill tens of GiB, and on tmpfs that is host RAM.
+MIN_TMPFS_HEADROOM_GIB = 16
+
+
+def _default_local_dir() -> str:
+    """spark.local.dir default: tmpfs scratch when it has headroom,
+    else the system tempdir (disk). The env override in get_spark
+    bypasses this entirely."""
+    from coursera_etl_pipeline_spark.catalog import scratch_root
+
+    root = scratch_root()
+    try:
+        st = os.statvfs(root)
+        free_gib = st.f_bavail * st.f_frsize / 2**30
+    except (OSError, AttributeError):
+        free_gib = None
+    if free_gib is not None and free_gib < MIN_TMPFS_HEADROOM_GIB:
+        import tempfile
+
+        return os.path.join(tempfile.gettempdir(),
+                            f"spark_graft_local_{os.getpid()}")
+    return os.path.join(root, "spark_local")
+
 
 def get_spark(app_name: str = "coursera_etl_pipeline_spark",
               cpus: str | int | None = None) -> SparkSession:
@@ -37,11 +62,15 @@ def get_spark(app_name: str = "coursera_etl_pipeline_spark",
     # stall episodes on the heavy-shuffle rows (dedup_index_update
     # 1.4 s -> 4.8 s, identical plans back to back) to shuffle files
     # on the virtio /tmp disk; pure-compute rows never stalled.
-    # SPARK_GRAFT_LOCAL_DIR overrides for hosts without RAM headroom.
+    # SPARK_GRAFT_LOCAL_DIR overrides for hosts without RAM headroom;
+    # absent the override, the tmpfs default is GATED on free space
+    # (ADVICE r10): shuffle/spill competing with working memory can
+    # exhaust host RAM, and spilling to RAM defeats the point of
+    # spill — below the threshold, fall back to the system tempdir.
     # Takes effect at JVM start only — later getOrCreate calls reuse
     # the first context's dirs, exactly like a real cluster.
     local_dir = (os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-                 or os.path.join(scratch_root(), "spark_local"))
+                 or _default_local_dir())
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

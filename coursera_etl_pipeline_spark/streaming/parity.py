@@ -398,6 +398,27 @@ def _preserve_markers(dir_: str, stage: str | None = None):
     return restore
 
 
+def _stage_inflight_marker(stage: str, anchor_dir: str,
+                           marker: str | None) -> None:
+    """Add the IN-FLIGHT epoch's marker name to a stage's `_markers`
+    snapshot (ADVICE r10): `_preserve_markers` saves prior epochs'
+    markers, but a crash between the last overwrite-commit and
+    `_seal_epoch` would leave this epoch applied yet unmarked — the
+    documented restore-from-stage recovery would then re-deliver it
+    into a double-apply (increment) or a contract-check ValueError
+    (delete). Call ONLY after every staged state is fully written:
+    the stage then IS the post-epoch store, so restoring it must also
+    restore the epoch's sealed-ness. (A crash before commits start
+    leaves the real store untouched and the stage unused, so the
+    marker staged here never reaches the anchor dir in that case.)"""
+    if marker is None:
+        return
+    mdir = os.path.join(stage, "_markers",
+                        os.path.basename(anchor_dir.rstrip("/")))
+    os.makedirs(mdir, exist_ok=True)
+    open(os.path.join(mdir, os.path.basename(marker)), "w").close()
+
+
 def _run_stream_index_update(spark: SparkSession, sf_dir: str) -> "DataFrame":
     """One streamed increment of the dedup-index lifecycle against
     parquet-backed index storage; returns the final band index.
@@ -683,6 +704,10 @@ def apply_index_delete(spark: SparkSession, removed_ids: "DataFrame",
     try:
         for frame, name, _dir in targets:
             frame.write.parquet(f"{stage}/{name}")
+        # stage is now the complete post-epoch state: include THIS
+        # epoch's marker in the snapshot so a crash after any commit
+        # recovers to a sealed epoch (ADVICE r10)
+        _stage_inflight_marker(stage, band_dir, marker)
         for _frame, name, dest in targets:
             (s.read.parquet(f"{stage}/{name}")
              .write.mode("overwrite").parquet(dest))
@@ -933,6 +958,9 @@ def apply_ann_index_delete(spark: SparkSession, removed_ids: "DataFrame",
     restore_markers = _preserve_markers(index_dir, stage=stage)
     try:
         new_index.write.parquet(f"{stage}/index")
+        # stage complete -> snapshot THIS epoch's marker too (ADVICE
+        # r10): recovery from a mid-commit crash must reseal it
+        _stage_inflight_marker(stage, index_dir, marker)
         (s.read.parquet(f"{stage}/index")
          .write.mode("overwrite").parquet(index_dir))
         restore_markers()

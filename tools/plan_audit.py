@@ -60,6 +60,9 @@ ALLOWED = {
     ("similarity_ann_ivf", "BroadcastNestedLoopJoin"),
     # RRF fusion reuses the IVF branch's broadcast centroid assignment
     ("similarity_rrf_fusion", "BroadcastNestedLoopJoin"),
+    # SemDeDup clusters with the same broadcast centroid assignment;
+    # the pair compare itself is an equi-join on cell_id
+    ("dedup_semantic", "BroadcastNestedLoopJoin"),
     # Python-with-Arrow where no native expression exists (SURVEY §2.2
     # UDF posture): multimodal feature extraction over binary payloads
     ("multimodal_blob_metadata", "ArrowEvalPython"),
