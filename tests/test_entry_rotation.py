@@ -81,6 +81,19 @@ def test_edited_this_round_names_are_registered():
     assert not unknown, f"_EDITED_THIS_ROUND names not registered: {unknown}"
 
 
+def test_rotation_currency_bound_is_documented():
+    """COVERAGE.md documents a ceil(N/50)=3-round certification-currency
+    bound at the round-11 registry size (129). If the registry grows past
+    150 the bound becomes 4 rounds and the paragraph (plus this guard)
+    must be revisited — the bound is a published guarantee, not a wish."""
+    n = len(QUERIES)
+    assert 100 < n <= 150, (
+        f"registry size {n} crossed the documented ceil(N/50)<=3 currency "
+        "band — update COVERAGE.md's rotation-currency paragraph and this "
+        "guard together"
+    )
+
+
 def test_rotation_order_is_stalest_first_with_forced_leading():
     names = entry._ordered(list(QUERIES))
     assert set(names) == set(QUERIES) and len(names) == len(QUERIES)
