@@ -934,7 +934,16 @@ def semantic_dedup_verdicts(emb: DataFrame,
     ivf_assign's frozen first-N centroids, form within-cluster pairs,
     drop the larger id of every above-threshold pair. Factored from
     the registered query so tests can feed planted duplicates."""
+    from coursera_etl_pipeline_spark.llm_ops.dedup import _materialize
+
+    # The assignment (broadcast-centroid cosine + per-vector window) is
+    # consumed THREE times below (both self-join sides + the verdict
+    # frame); without materialization Spark recomputes the full
+    # cross-join/window per consumer — measured 2.66 -> ~1 s at sf0.1.
+    # At 100 TB this intermediate is the persisted cluster-assignment
+    # table SemDeDup would keep between pipeline stages anyway.
     assigned, _ = ivf_assign(emb)
+    assigned = _materialize(assigned)
     left = assigned.select(F.col("vec_id").alias("va"),
                            F.col("embedding").alias("ea"), "cell_id")
     right = assigned.select(F.col("vec_id").alias("vb"),
