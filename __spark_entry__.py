@@ -55,6 +55,11 @@ _EDITED_THIS_ROUND = [
     # implementing code moved, so it re-certifies rather than ride a
     # carve-out:
     "similarity_lsh_index_update",
+    # q3: round-11 sf100-driven rewrite (dim-first join reorder +
+    # SHUFFLE_HASH on the reduced orders side; values bit-identical,
+    # asserted pre-conversion at sf0.01, oracle unchanged) — plan
+    # changed, so it re-certifies:
+    "q3_shipping_priority",
     # Round-11 carve-outs (files edited, NO forcing — each provably
     # leaves every registered result unchanged, oracle-rechecked at
     # all three fixture scales post-change):
