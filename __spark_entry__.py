@@ -46,7 +46,8 @@ _EDITED_THIS_ROUND = [
     #
     # Round 11. New queries (never certified, lead without entries):
     # similarity_lsh_index_delete, dedup_semantic,
-    # stream_lsh_index_delete_parity, stream_dq_gate_parity.
+    # stream_lsh_index_delete_parity, stream_dq_gate_parity,
+    # dedup_boilerplate, text_pii_scrub.
     #
     # similarity_lsh_index_update: its band-flatten select was
     # extracted into the shared `flatten_band_index` helper so the
@@ -75,6 +76,10 @@ _EDITED_THIS_ROUND = [
     #    parities + apply_lsh_index_increment/apply_dq_gate/stagers):
     #    appended code only; no existing parity's plan or helper
     #    changed.
+    #  - dedup.py / text.py pure additions (dedup_boilerplate +
+    #    remove_boilerplate, text_pii_scrub + scrub_pii): appended
+    #    functions only; no pre-existing plan in either file touched,
+    #    and both new queries lead the window as never-certified.
 ]
 
 

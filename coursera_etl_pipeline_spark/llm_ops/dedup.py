@@ -964,3 +964,114 @@ def dedup_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  .join(dropped, "doc_id", "left_semi"),
         tombstone_index=b_band.join(dropped, "doc_id", "left_semi"))
     return new_index
+
+
+# --- boilerplate span removal (round 11) -------------------------------------
+#
+# C4/RefinedWeb-style repeated-span removal: a fixed-width token span
+# that occurs in two or more DISTINCT documents is boilerplate
+# (navigation chrome, license headers, templated footers) and is cut
+# from every document carrying it. This is the span-level complement
+# to document-level near-dup: near-dup drops whole documents,
+# boilerplate removal repairs the survivors. (C4 does it with
+# three-sentence spans; the fixture's texts are single-space word
+# soup, so the span unit here is a non-overlapping 10-token chunk.)
+
+BOILER_TOKENS = 10
+BOILER_MIN_DOCS = 2
+
+
+@query(
+    "dedup_boilerplate",
+    # Chunking mirrors text_chunk_overlap's oracle (list_slice and
+    # Spark's slice are both 1-based, both cap at the array end).
+    # count(*) FILTER keeps the dup counter BIGINT on both engines
+    # (SUM(CASE) would be HUGEINT in DuckDB — the type-parity lattice
+    # lesson from r9). string_agg ORDER BY chunk_id is the oracle's
+    # form of the array_sort-by-position reassembly.
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+             array_to_string(
+               list_slice(ws, k * {BOILER_TOKENS} + 1,
+                          k * {BOILER_TOKENS} + {BOILER_TOKENS}), ' ')
+               AS chunk
+      FROM w, unnest(range(0, (len(ws) - 1) // {BOILER_TOKENS} + 1)) AS u(k)
+    ),
+    dup AS (
+      SELECT md5(chunk) AS fp FROM chunks
+      GROUP BY 1 HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+    ),
+    m AS (
+      SELECT c.doc_id, c.chunk_id, c.chunk, d.fp IS NOT NULL AS is_dup
+      FROM chunks c LEFT JOIN dup d ON md5(c.chunk) = d.fp
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           count(*) FILTER (WHERE is_dup) AS n_dup_chunks,
+           coalesce(string_agg(CASE WHEN NOT is_dup THEN chunk END, ' '
+                               ORDER BY chunk_id), '') AS clean_text
+    FROM m GROUP BY doc_id
+    """,
+)
+def dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated-span (boilerplate) removal: tile every
+    document into non-overlapping BOILER_TOKENS-token chunks, md5 each,
+    and cut every chunk whose fingerprint occurs in >= BOILER_MIN_DOCS
+    distinct documents; emit per-document chunk counts and the cleaned
+    text reassembled in position order.
+
+    Scale shape: the chunk explode is narrow (bytes x ~1); the dup-set
+    discovery is one hash-aggregate on the fingerprint with map-side
+    partial count-distinct; marking is an equi-join back on the
+    fingerprint — shuffle-on-fp twice, never all-pairs, and AQE
+    broadcasts the dup set when it is small (the common case: true
+    boilerplate is a tiny distinct set repeated widely — which is also
+    why the dup side is skew-prone, the case AQE's skew split handles).
+    Reassembly is a per-doc groupBy: collect_list of (position, chunk)
+    structs, array_sort (position is the leading struct field), join —
+    deterministic without a window or a global sort."""
+    return remove_boilerplate(load_table(spark, sf_dir, "documents"))
+
+
+def remove_boilerplate(docs: DataFrame,
+                       chunk_tokens: int = BOILER_TOKENS,
+                       min_docs: int = BOILER_MIN_DOCS) -> DataFrame:
+    """DataFrame core of `dedup_boilerplate` (see its docstring for the
+    plan shape); parameterized for property tests."""
+    toks = F.split(F.col("text"), " ")
+    chunks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size(toks) - 1) / chunk_tokens).cast("int"))
+            ).alias("chunk_id", "_k"),
+            toks.alias("_toks"))
+        .select(
+            "doc_id", "chunk_id",
+            F.array_join(
+                F.slice(F.col("_toks"),
+                        F.col("_k") * chunk_tokens + 1, chunk_tokens), " ")
+            .alias("chunk"))
+        .withColumn("fp", F.md5(F.col("chunk"))))
+    dup = (
+        chunks.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("fp", F.lit(1).alias("_dup")))
+    marked = chunks.join(dup, "fp", "left")
+    return (
+        marked.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count("_dup").alias("n_dup_chunks"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("_dup").isNull(),
+                               F.struct("chunk_id", "chunk")))),
+                    lambda x: x["chunk"]), " ").alias("clean_text")))

@@ -502,3 +502,88 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("_k") * CHUNK_STRIDE + 1, CHUNK_TOKENS))
             .alias("n_tokens"))
     )
+
+
+# --- PII scrubbing (round 11) ------------------------------------------------
+#
+# Email/phone redaction — the standard pre-training scrub pass (C4,
+# Dolma, and RefinedWeb all ship regex-level PII masking). The fixture
+# corpus carries no PII by construction, so a scrub over the raw text
+# would certify nothing: like the streamed-DQ zone poisons n_chars,
+# the operator first injects deterministic PII derived from doc_id —
+# IDENTICALLY on both engines, inside the registered plan and inside
+# the oracle SQL — and then the value hash certifies the redaction
+# semantics for real (match boundaries, global replacement, counts).
+#
+# Regex notes: patterns restricted to the syntax Java regex and RE2
+# share (classes, bounded repeats; no lookaround/backrefs). DuckDB
+# regexp_replace is first-match-only without the 'g' flag; Spark's is
+# always global — the oracle must say 'g' or the hash catches it.
+
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{3,4}"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 3 = 0
+                          THEN ' reach admin.' || CAST(doc_id AS VARCHAR)
+                               || '@mail.example.org'
+                          ELSE '' END
+                  || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-202-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS pii_text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(pii_text, '{PII_EMAIL_RE}'))
+                AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(pii_text, '{PII_PHONE_RE}'))
+                AS INTEGER) AS n_phones,
+           regexp_replace(
+             regexp_replace(pii_text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+    FROM aug
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: inject deterministic doc_id-derived emails (1 or 2
+    per doc — every third doc gets a second address, so the count
+    column is non-constant) and a NANP-style phone, then mask both
+    with <EMAIL>/<PHONE> sentinels and count the redactions.
+
+    Scale shape: pure narrow per-row work — concat, two regexp_count,
+    two regexp_replace — zero shuffle, fully inside whole-stage
+    codegen; at 100 TB this runs at scan speed as a map-only stage,
+    which is exactly how the production scrub pass behaves (the
+    injection preamble is fixture-only and costs one concat)."""
+    d = load_table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" reach admin."),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@mail.example.org")))
+         .otherwise(F.lit("")),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-202-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    aug = d.select("doc_id", pii_text.alias("pii_text"))
+    return scrub_pii(aug, "pii_text")
+
+
+def scrub_pii(df: DataFrame, text_col: str) -> DataFrame:
+    """The scrub proper (regex mask + counts) over an arbitrary text
+    column — the production entry point; the registered query feeds it
+    the PII-injected fixture column."""
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        F.regexp_count(text_col, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(text_col, F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(text_col, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE, "<PHONE>").alias("scrubbed"))

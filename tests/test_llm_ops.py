@@ -1356,3 +1356,94 @@ def test_dedup_semantic_dropped_have_smaller_kept_or_dropped_partner(
     justified = {r.vb for r in pairs.select("vb").distinct().collect()}
     dropped = {r.vec_id for r in verdicts.filter("dropped").collect()}
     assert dropped == justified
+
+
+# --- boilerplate span removal & PII scrub (round 11) -------------------------
+
+
+def test_boilerplate_removal_planted(spark):
+    """A 10-token span planted verbatim into three otherwise-distinct
+    docs is cut from all three; doc-unique spans survive; a doc made
+    ENTIRELY of the shared span collapses to empty text; within-doc
+    repetition alone (same span twice in ONE doc) is not boilerplate."""
+    from coursera_etl_pipeline_spark.llm_ops.dedup import remove_boilerplate
+
+    shared = " ".join(f"s{j}" for j in range(10))
+    selfrep = " ".join(f"r{j}" for j in range(10))
+    rows = [
+        (0, shared + " " + " ".join(f"a{j}" for j in range(10))),
+        (1, " ".join(f"b{j}" for j in range(10)) + " " + shared),
+        (2, shared),                       # nothing but boilerplate
+        (3, selfrep + " " + selfrep),      # repeats only within itself
+        (4, " ".join(f"c{j}" for j in range(10))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_boilerplate(docs).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert out[0].clean_text == " ".join(f"a{j}" for j in range(10))
+    assert out[1].clean_text == " ".join(f"b{j}" for j in range(10))
+    assert (out[0].n_chunks, out[0].n_dup_chunks) == (2, 1)
+    assert out[2].clean_text == "" and out[2].n_dup_chunks == 1
+    assert out[3].clean_text == rows[3][1]       # self-repeat kept
+    assert out[3].n_dup_chunks == 0
+    assert out[4].clean_text == rows[4][1]
+
+
+def test_boilerplate_reassembly_preserves_order(spark):
+    """Kept chunks reassemble in original position order even when the
+    cut chunk sits in the middle (array_sort on (chunk_id, chunk)
+    structs, not arrival order)."""
+    from coursera_etl_pipeline_spark.llm_ops.dedup import remove_boilerplate
+
+    shared = " ".join(f"s{j}" for j in range(10))
+    head = " ".join(f"h{j}" for j in range(10))
+    tail = " ".join(f"t{j}" for j in range(10))
+    docs = spark.createDataFrame(
+        [(0, f"{head} {shared} {tail}"), (1, shared)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_boilerplate(docs).collect()}
+    assert out[0].clean_text == f"{head} {tail}"
+    assert (out[0].n_chunks, out[0].n_dup_chunks) == (3, 1)
+
+
+def test_pii_scrub_semantics(spark):
+    """Masking is global (all occurrences), counts match occurrences,
+    and PII-free text passes through byte-identical."""
+    from coursera_etl_pipeline_spark.llm_ops.text import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@ex-1.example.org and d@e.io today"),
+            (1, "call +1-202-555-0142 or +44-700-900-123 now"),
+            (2, "plain text with no contact details at all"),
+            (3, "x@y.example.com then +1-303-555-0100 then x@y.example.com"),
+        ],
+        "doc_id long, body string")
+    out = {r.doc_id: r for r in scrub_pii(docs, "body").collect()}
+    assert out[0].n_emails == 2 and out[0].n_phones == 0
+    assert out[0].scrubbed == "mail <EMAIL> and <EMAIL> today"
+    assert out[1].n_emails == 0 and out[1].n_phones == 2
+    assert out[1].scrubbed == "call <PHONE> or <PHONE> now"
+    assert out[2].scrubbed == docs.collect()[2].body
+    assert out[3].n_emails == 2 and out[3].n_phones == 1
+    assert out[3].scrubbed == "<EMAIL> then <PHONE> then <EMAIL>"
+
+
+def test_pii_scrub_registered_query_nonvacuous(spark, sf_dir):
+    """The registered fixture query injects 1 email (2 on every third
+    doc) + 1 phone per doc, and the scrubbed output carries no
+    residual match of either pattern."""
+    from coursera_etl_pipeline_spark.llm_ops.text import (
+        PII_EMAIL_RE,
+        PII_PHONE_RE,
+        text_pii_scrub,
+    )
+
+    out = text_pii_scrub(spark, sf_dir)
+    rows = out.collect()
+    assert all(r.n_emails == (2 if r.doc_id % 3 == 0 else 1) for r in rows)
+    assert all(r.n_phones == 1 for r in rows)
+    residue = out.filter(
+        F.col("scrubbed").rlike(PII_EMAIL_RE)
+        | F.col("scrubbed").rlike(PII_PHONE_RE)).count()
+    assert residue == 0
