@@ -80,6 +80,16 @@ _EDITED_THIS_ROUND = [
     #    remove_boilerplate, text_pii_scrub + scrub_pii): appended
     #    functions only; no pre-existing plan in either file touched,
     #    and both new queries lead the window as never-certified.
+    #  - session.py AQE SMJ->SHJ conversion default
+    #    (maxShuffledHashJoinLocalMapThreshold=128MB): changes only
+    #    the physical JOIN STRATEGY AQE may pick at runtime, never a
+    #    logical plan or a value — every aggregate is exact (decimal
+    #    accumulators, registry.dsum/davg), every registered output is
+    #    certified order-insensitively, and no query reads
+    #    strategy-dependent row order (position-dependent results all
+    #    array_sort/ORDER BY explicitly). Backed empirically, not just
+    #    argued: the full 131-query oracle gate was re-run at all
+    #    three fixture scales with the flag on (green) before commit.
 ]
 
 

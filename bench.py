@@ -62,6 +62,7 @@ HEADLINE = [
     "multimodal_frame_sample",   # stride-slice explode over documents
     "text_repetition_score",     # per-row sort + run-length fold
     "dedup_semantic",            # SemDeDup: cell-bucketed cosine pairs
+    "dedup_boilerplate",         # repeated-span cut: fp agg + join-back
 ]
 
 
@@ -120,6 +121,9 @@ _exclude(
     "dq_audit_orders", "dq_audit_documents",
     # narrow split+explode+slice; text_pack_sequences times the family
     "text_chunk_overlap",
+    # narrow per-row regex map (concat + 2 counts + 2 replaces);
+    # text_quality_score times the zero-shuffle text-featurization family
+    "text_pii_scrub",
     # md5-bucket filter family timed by sample_stratified_hash; the
     # mix adds only |sources|-row aggregates around the same filter
     "sample_corpus_mix",

@@ -80,6 +80,23 @@ def get_spark(app_name: str = "coursera_etl_pipeline_spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime SMJ->SHJ conversion: when every MEASURED build-side
+        # post-shuffle partition fits the local-map bound, AQE replaces
+        # the sort-merge join with a shuffled hash join — the adaptive
+        # generalization of q3's manual SHUFFLE_HASH rewrite (sorting
+        # the large probe side per partition is the decay trigger the
+        # sf100 dissection found). Interleaved A/B at sf10 (r11,
+        # tools/ab_aqe_shj_r11.py): q7 2.14x, q9 3.69x, q3/q5/q10
+        # parity, q18 0.93x (noise band). At sf100 on local[32] the
+        # bound correctly refuses conversion (build partitions outgrow
+        # 128MB at 32 partitions) and plans are unchanged — on a real
+        # cluster, shuffle partitioning is sized to ~64-128MB so the
+        # conversion fires exactly where it is safe. Decision is made
+        # per-join from runtime sizes, so an oversized build side can
+        # never be hashed (the OOM risk static preferSortMergeJoin=
+        # false would carry).
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                "128MB")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -304,3 +304,39 @@ def test_type_parity_lattice_on_sum_heavy_queries(spark, sf_dir):
             if sc != dc or "(" in sc or "(" in dc:
                 bad.append((name, c, stypes[c], dtypes[c]))
     assert not bad, f"type-lattice divergence (driver hash risk): {bad}"
+
+
+def test_aqe_converts_smj_to_shuffled_hash(spark):
+    """The session default maxShuffledHashJoinLocalMapThreshold=128MB
+    makes AQE replace a sort-merge join with a shuffled hash join at
+    RUNTIME when the measured build-side partitions fit the bound —
+    the adaptive generalization of q3's manual SHUFFLE_HASH hint (r11
+    A/B: q7 2.14x, q9 3.69x at sf10). Broadcast is disabled for the
+    test so the static plan is genuinely sort-merge; the executed
+    adaptive plan must hash instead of sort."""
+    assert (spark.conf.get(
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold")
+        == "128MB")
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        a = spark.range(0, 200_000).withColumnRenamed("id", "k")
+        b = spark.range(0, 100_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        joined = a.join(b, "k").groupBy().count()
+        assert joined.collect()[0][0] == 100_000
+        executed = joined._jdf.queryExecution().executedPlan().toString()
+        # the adaptive plan prints "== Final Plan ==" then
+        # "== Initial Plan ==" (which legitimately says SortMergeJoin)
+        final = executed.split("== Initial Plan ==")[0]
+        assert "ShuffledHashJoin" in final, executed
+        assert "SortMergeJoin" not in final, executed
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
