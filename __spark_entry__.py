@@ -47,7 +47,8 @@ _EDITED_THIS_ROUND = [
     # Round 11. New queries (never certified, lead without entries):
     # similarity_lsh_index_delete, dedup_semantic,
     # stream_lsh_index_delete_parity, stream_dq_gate_parity,
-    # dedup_boilerplate, text_pii_scrub.
+    # dedup_boilerplate, text_pii_scrub, similarity_quantize_int8,
+    # similarity_quantize_recall.
     #
     # similarity_lsh_index_update: its band-flatten select was
     # extracted into the shared `flatten_band_index` helper so the
@@ -76,10 +77,12 @@ _EDITED_THIS_ROUND = [
     #    parities + apply_lsh_index_increment/apply_dq_gate/stagers):
     #    appended code only; no existing parity's plan or helper
     #    changed.
-    #  - dedup.py / text.py pure additions (dedup_boilerplate +
-    #    remove_boilerplate, text_pii_scrub + scrub_pii): appended
-    #    functions only; no pre-existing plan in either file touched,
-    #    and both new queries lead the window as never-certified.
+    #  - dedup.py / text.py / similarity.py pure additions
+    #    (dedup_boilerplate + remove_boilerplate, text_pii_scrub +
+    #    scrub_pii, similarity_quantize_int8/_recall + quantize_int8):
+    #    appended functions only; no pre-existing plan in any of the
+    #    three files touched, and all new queries lead the window as
+    #    never-certified.
     #  - session.py AQE SMJ->SHJ conversion default
     #    (maxShuffledHashJoinLocalMapThreshold=128MB): changes only
     #    the physical JOIN STRATEGY AQE may pick at runtime, never a

@@ -133,6 +133,16 @@ _exclude(
     "similarity_ann_recall", "similarity_ivf_recall",
 )
 _exclude(
+    "narrow per-row quantization map (zero shuffle); no new timing "
+    "signal beyond the scan-speed text/map family",
+    "similarity_quantize_int8",
+)
+_exclude(
+    "recall metric re-running the brute-force shape "
+    "similarity_topk_bruteforce already times, on 4x narrower codes",
+    "similarity_quantize_recall",
+)
+_exclude(
     "fusion re-runs both headline ANN branches; the join it adds is "
     "O(queries x k)",
     "similarity_rrf_fusion",

@@ -961,3 +961,190 @@ def semantic_dedup_verdicts(emb: DataFrame,
         .select("vec_id", "cell_id",
                 F.coalesce(F.col("_d"), F.lit(False)).alias("dropped"))
     )
+
+
+# --- int8 scalar quantization (round 11) -------------------------------------
+#
+# Vector-store compression: symmetric per-vector int8 quantization
+# (scale = max|x| / 127, q_i = round(x_i / scale)) cuts embedding
+# memory/IO 4x — the standard first step before an ANN index at
+# 100 TB scale. Certification strategy: everything the hash checks is
+# either exact-integer (the quantized codes, their L1 mass, the
+# saturation count — integer arithmetic is associative, so no
+# engine-order divergence is possible) or a single IEEE operation
+# chain both engines execute identically (scale = exact max of exact
+# float->double widenings, one division). Rounding is spelled
+# floor(x/scale + 0.5) on BOTH engines rather than round() — Spark's
+# round is HALF_UP, DuckDB's is not guaranteed to match, and the hash
+# would catch the first tie.
+
+Q_MAX = 127
+
+
+def quantize_int8(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Append per-vector symmetric-quantization columns: `scale`
+    (double) and `q` (array<int> in [-127, 127]). Pure narrow per-row
+    work — zero shuffle, scan-speed at any scale."""
+    scaled = emb.withColumn(
+        "scale",
+        F.expr(f"aggregate({vec_col}, 0D, "
+               f"(acc, v) -> greatest(acc, abs(CAST(v AS DOUBLE))))"
+               f" / CAST({Q_MAX} AS DOUBLE)"))
+    return scaled.withColumn(
+        "q",
+        F.expr(f"CASE WHEN scale = 0D THEN transform({vec_col}, v -> 0) "
+               f"ELSE transform({vec_col}, v -> "
+               f"CAST(floor(CAST(v AS DOUBLE) / scale + 0.5D) AS INT)) END"))
+
+
+def _duck_quantized() -> str:
+    """The oracle's quantization CTE body (mirrors quantize_int8)."""
+    return f"""
+    SELECT vec_id,
+           list_max(list_transform(embedding,
+                                   v -> abs(CAST(v AS DOUBLE))))
+             / CAST({Q_MAX} AS DOUBLE) AS scale,
+           CASE WHEN list_max(list_transform(embedding,
+                                             v -> abs(CAST(v AS DOUBLE)))) = 0
+                THEN list_transform(embedding, v -> 0)
+                ELSE list_transform(embedding,
+                       v -> CAST(floor(CAST(v AS DOUBLE) /
+                              (list_max(list_transform(embedding,
+                                 w -> abs(CAST(w AS DOUBLE))))
+                               / CAST({Q_MAX} AS DOUBLE)) + 0.5)
+                            AS INTEGER))
+           END AS q
+    FROM embeddings
+    """
+
+
+@query(
+    "similarity_quantize_int8",
+    oracle=f"""
+    WITH qz AS ({_duck_quantized()})
+    SELECT vec_id, scale,
+           CAST(len(list_filter(q, v -> abs(v) = {Q_MAX})) AS INTEGER)
+             AS n_saturated,
+           CAST(list_sum(list_transform(q, v -> abs(v))) AS BIGINT) AS l1_q,
+           array_to_string(q, ',') AS q_csv
+    FROM qz
+    """,
+)
+def similarity_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embeddings table: per-vector
+    scale, saturation count (elements hitting ±127 — >= 1 whenever the
+    max element is unique, 0 only for the zero vector), exact L1 mass
+    of the codes, and the full code vector as CSV — so the hash
+    certifies every quantized value, not a summary.
+
+    Scale shape: pure narrow per-row transform — at 100 TB this is a
+    map-only pass writing a table 4x smaller than its input, which is
+    the point."""
+    qz = quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    return qz.select(
+        "vec_id", "scale",
+        F.size(F.expr(f"filter(q, v -> abs(v) = {Q_MAX})"))
+        .alias("n_saturated"),
+        F.expr("aggregate(q, 0L, (acc, v) -> acc + abs(CAST(v AS BIGINT)))")
+        .alias("l1_q"),
+        F.expr("array_join(transform(q, v -> CAST(v AS STRING)), ',')")
+        .alias("q_csv"))
+
+
+@query(
+    "similarity_quantize_recall",
+    # Quantized cosine = int dot / (sqrt(int self-dot) * sqrt(int
+    # self-dot)): the dots are EXACT integers on both engines
+    # (associative — no float-sum ordering risk), and the final
+    # double ratio is one identical IEEE expression, so the ranking
+    # (desc, vec_id tiebreak) cannot diverge between engines.
+    oracle=f"""
+    WITH qz AS ({_duck_quantized()}),
+    qd AS (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS qq
+      FROM qz
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_duck_cosine('q.embedding', 'n.embedding')} DESC,
+                          n.vec_id) AS rank
+        FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rank <= {TOP_K}
+    ),
+    quant AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY
+                   CASE WHEN a.qq = 0 OR b.qq = 0 THEN 0
+                        ELSE CAST(list_sum(list_transform(
+                               range(1, len(a.q) + 1),
+                               i -> CAST(a.q[i] AS BIGINT) * b.q[i]))
+                             AS DOUBLE)
+                             / (sqrt(CAST(a.qq AS DOUBLE))
+                                * sqrt(CAST(b.qq AS DOUBLE)))
+                   END DESC,
+                   b.vec_id) AS rank
+        FROM qd a JOIN qd b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < {N_QUERIES}
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT e.query_id,
+           round(count(qt.neighbor_id) * 1.0 / {TOP_K}, 6) AS recall
+    FROM exact e LEFT JOIN quant qt USING (query_id, neighbor_id)
+    GROUP BY e.query_id
+    """,
+)
+def similarity_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of int8-quantized cosine search against the exact
+    float brute force, per query vector — pins the fidelity cost of
+    the 4x compression under the value-hash gate (the deterministic
+    counterpart of a paper's 'recall after quantization' table).
+
+    Scale shape: the quantized search is the brute-force baseline's
+    shape (broadcast queries x corpus) on 4x narrower data; the
+    production path would run it per-IVF-cell like similarity_ann_ivf.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qd = (quantize_int8(emb)
+          .select("vec_id", "q",
+                  F.expr("aggregate(q, 0L, (acc, v) -> "
+                         "acc + CAST(v AS BIGINT) * v)").alias("qq")))
+    queries_side = (qd.filter(F.col("vec_id") < N_QUERIES)
+                    .select(F.col("vec_id").alias("query_id"),
+                            F.col("q").alias("q_a"),
+                            F.col("qq").alias("qq_a")))
+    corpus_side = qd.select(F.col("vec_id").alias("neighbor_id"),
+                            F.col("q").alias("q_b"),
+                            F.col("qq").alias("qq_b"))
+    dotq = F.expr("aggregate(zip_with(q_a, q_b, "
+                  "(x, y) -> CAST(x AS BIGINT) * y), 0L, "
+                  "(acc, v) -> acc + v)")
+    qcos = (F.when((F.col("qq_a") == 0) | (F.col("qq_b") == 0),
+                   F.lit(0.0))
+            .otherwise(dotq.cast("double")
+                       / (F.sqrt(F.col("qq_a").cast("double"))
+                          * F.sqrt(F.col("qq_b").cast("double")))))
+    from pyspark.sql import Window as W
+    ranked = (F.broadcast(queries_side)
+              .join(corpus_side,
+                    F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("qcos", qcos)
+              .withColumn("rank", F.row_number().over(
+                  W.partitionBy("query_id")
+                  .orderBy(F.col("qcos").desc(), F.col("neighbor_id"))))
+              .filter(F.col("rank") <= TOP_K)
+              .select("query_id", "neighbor_id")
+              .withColumn("_hit", F.lit(1)))
+    exact = similarity_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id")
+    return (
+        exact.join(ranked, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.round(F.count("_hit") * 1.0 / TOP_K, 6).alias("recall")))

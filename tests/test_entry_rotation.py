@@ -83,7 +83,7 @@ def test_edited_this_round_names_are_registered():
 
 def test_rotation_currency_bound_is_documented():
     """COVERAGE.md documents a ceil(N/50)=3-round certification-currency
-    bound at the round-11 registry size (131). If the registry grows past
+    bound at the round-11 registry size (133). If the registry grows past
     150 the bound becomes 4 rounds and the paragraph (plus this guard)
     must be revisited — the bound is a published guarantee, not a wish."""
     n = len(QUERIES)
