@@ -75,7 +75,8 @@ def get_spark(app_name: str = "coursera_etl_pipeline_spark",
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.local.dir", local_dir)
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
         .config("spark.default.parallelism", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -102,6 +103,14 @@ def get_spark(app_name: str = "coursera_etl_pipeline_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Extra driver-JVM flags for scale probes (JVM opts are fixed
+        # at launch, so this only matters for the process that starts
+        # the JVM — e.g. SPARK_GRAFT_DRIVER_JAVA_OPTS=
+        # "-XX:GCLockerRetryAllocationCount=64" when chasing the
+        # GCLocker humongous-allocation retry crashes the K=1000
+        # probes hit; empty default is a no-op).
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", ""))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.shuffle.spill.compress", "true")

@@ -34,6 +34,10 @@ ALLOWED = {
     ("similarity_topk_bruteforce", "BroadcastNestedLoopJoin"),
     ("similarity_ann_recall", "BroadcastNestedLoopJoin"),
     ("similarity_ivf_recall", "BroadcastNestedLoopJoin"),
+    # quantized brute-force recall: broadcast(N_QUERIES quantized
+    # vectors) x corpus on <> — same deliberate baseline shape as
+    # similarity_topk_bruteforce, on 4x narrower codes
+    ("similarity_quantize_recall", "BroadcastNestedLoopJoin"),
     ("join_cross", "BroadcastNestedLoopJoin"),  # the cross-join surface itself
     ("q22_dormant_customers", "BroadcastNestedLoopJoin"),  # scalar-threshold broadcast
     ("q11_important_parts", "BroadcastNestedLoopJoin"),    # scalar-threshold broadcast
