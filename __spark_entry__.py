@@ -62,6 +62,16 @@ _EDITED_THIS_ROUND = [
     # asserted pre-conversion at sf0.01, oracle unchanged) — plan
     # changed, so it re-certifies:
     "q3_shipping_priority",
+    # q7: same rewrite class, late round 11 (dim-first nation cuts on
+    # BOTH fact sides before the fact-fact shuffle + SHUFFLE_HASH;
+    # ~7x at sf10 AND sf100, identity asserted row-for-row at sf0.01,
+    # oracle unchanged) — plan changed, so it re-certifies:
+    "q7_nation_volume",
+    # q5: the audit-rule sweep's last hit (ASIA customer cut moved
+    # before the fact-fact shuffle + SHUFFLE_HASH; sf10 3/4 cycle
+    # wins, sf100 3/3, identity bit-equal at sf0.01, oracle
+    # unchanged) — plan changed, so it re-certifies:
+    "q5_local_supplier_volume",
     # Round-11 carve-outs (files edited, NO forcing — each provably
     # leaves every registered result unchanged, oracle-rechecked at
     # all three fixture scales post-change):

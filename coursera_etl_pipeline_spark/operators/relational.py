@@ -246,7 +246,23 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay on the one-stage dsum — their cost is the join/scan kernel,
     as the registry's round-9 note predicted). Values bit-identical
     (SUM(m) = 1e6*SUM(hi) + SUM(lo) exactly); the oracle's plain-dsum
-    SQL is unchanged."""
+    SQL is unchanged.
+
+    Round-11 dim-first rewrite (the q3/q7 audit-rule sweep's last hit,
+    BASELINE round-11 notes): the ASIA region restriction implies a
+    ~20% (5-of-25-nations) customer cut that reaches orders via
+    broadcast BEFORE the fact-fact shuffle; the old plan applied it
+    after lineitem x orders. Lineitem has no reachable pre-cut (its
+    supplier constraint needs the customer's nation, known only
+    post-join), so the win is bounded — the lineitem exchange is
+    unchanged, the orders exchange shrinks ~5x and SHUFFLE_HASH on it
+    removes the lineitem-side sort. Interleaved A/B
+    (tools/ab_q5_dimfirst_r11.py, identity bit-equal at sf0.01):
+    sf10 3/4 cycle wins (medians 3.06 -> 2.62), sf100 3/3 wins
+    (27.8 -> 20.1, and the new arm holds steady while the old decays
+    20.6 -> 37.5 under session pressure — the SMJ-sort memory-pressure
+    pattern q3/q7 documented). Values bit-identical; oracle
+    unchanged."""
     hi, lo = dsum_split("_m")
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
@@ -259,13 +275,18 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_asia = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    c_cut = (c.join(F.broadcast(n_asia.select("n_nationkey", "n_name")),
+                    c.c_nationkey == F.col("n_nationkey"))
+             .select("c_custkey", F.col("c_nationkey").alias("_c_nk"),
+                     "n_name"))
+    o_cut = (o.join(F.broadcast(c_cut), o.o_custkey == c_cut.c_custkey)
+             .select("o_orderkey", "_c_nk", "n_name")
+             .hint("SHUFFLE_HASH"))
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o_cut, li.l_orderkey == o_cut.o_orderkey)
         .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
-              & (c.c_nationkey == s.s_nationkey))
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+              & (F.col("_c_nk") == s.s_nationkey))
         .groupBy("n_name")
         .agg(F.expr(hi).alias("_hi"), F.expr(lo).alias("_lo"))
         .select("n_name", F.expr(dsum_join("_hi", "_lo")).alias("revenue"))
@@ -916,10 +937,31 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape: shipping volume between two nations by year —
-    TWO independent broadcast dimension chains hang off the one
-    fact-fact shuffle (supplier->nation on one side, customer->nation
-    via orders on the other)."""
+    """TPC-H Q7 shape: shipping volume between two nations by year.
+
+    Round-11 dim-first rewrite (same defect class as q3's, amplified —
+    BASELINE round-11 notes): the old plan shuffled the UNFILTERED
+    lineitem against the full orders table first and applied the
+    broadcast supplier/customer/nation chain afterwards, but the
+    nation-pair predicate implies s_nationkey IN (pair) and
+    c_nationkey IN (pair) — each an ~8% (2-of-25-nations) cut that
+    attaches to its fact side BEFORE the fact-fact shuffle:
+
+      li x broadcast(supplier restricted to the two nations)   ~8% of li
+      o  x broadcast(customer restricted to the two nations)   ~8% of o
+      li_cut x o_cut (SHUFFLE_HASH on the reduced orders side),
+      then the residual pair filter drops the (3,3)/(7,7) combos.
+
+    Shuffle volume falls ~12.5x (600M+150M -> 48M+12M rows at sf100);
+    measured interleaved: sf10 old 8.25-9.62 s vs new 1.05-1.70 s,
+    sf100 old 32.7-42.5 s vs new 4.77-4.94 s (~7x both decades) — the
+    new plan beats DuckDB's 8.4 s oracle outright at sf100 (~0.57x),
+    closing the worst standing sf100 join row. Values bit-identical
+    (inner-join reassociation + an implied IN-list pushed through the
+    join; identity asserted row-for-row at sf0.01 pre-conversion);
+    oracle unchanged. At 100 TB this is the difference between
+    shuffling two full fact tables and shuffling their dim-selected
+    8% slices."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders")
@@ -928,15 +970,22 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
     n2 = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    nations = ("NATION_3", "NATION_7")
+    s_cut = (s.join(F.broadcast(n1.filter(F.col("supp_nation").isin(*nations))),
+                    F.col("s_nationkey") == F.col("n1_key"))
+             .select("s_suppkey", "supp_nation"))
+    c_cut = (c.join(F.broadcast(n2.filter(F.col("cust_nation").isin(*nations))),
+                    F.col("c_nationkey") == F.col("n2_key"))
+             .select("c_custkey", "cust_nation"))
+    li_cut = li.join(F.broadcast(s_cut), li.l_suppkey == F.col("s_suppkey"))
+    o_cut = (o.join(F.broadcast(c_cut), o.o_custkey == F.col("c_custkey"))
+             .select("o_orderkey", "cust_nation")
+             .hint("SHUFFLE_HASH"))
     pair = (
-        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
-        | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")))
+        ((F.col("supp_nation") == nations[0]) & (F.col("cust_nation") == nations[1]))
+        | ((F.col("supp_nation") == nations[1]) & (F.col("cust_nation") == nations[0])))
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        li_cut.join(o_cut, li_cut.l_orderkey == o_cut.o_orderkey)
         .filter(pair)
         .withColumn("l_year", F.year("l_shipdate").cast("int"))
         .groupBy("supp_nation", "cust_nation", "l_year")
