@@ -34,11 +34,13 @@ from coursera_etl_pipeline_spark.registry import ORACLE, QUERIES  # noqa: E402
 # CORRECTNESS_r*.json files and put least-recently-certified queries first
 # (never-certified and last-round failures sort earliest), so every query
 # is re-certified at least every ceil(N/50) rounds no matter what — the
-# rotation can't stall again because it is computed, not promised. At the
-# round-11 registry size (129) the currency bound is ceil(129/50)=3
-# rounds: no green row is ever more than 3 driver runs old, minus
-# whatever _EDITED_THIS_ROUND forcing consumes (tests/test_entry_rotation
-# pins the bound; COVERAGE.md documents it per round).
+# rotation can't stall again because it is computed, not promised. At
+# any registry size inside the 100-150 band the currency bound is
+# ceil(N/50)=3 rounds: no green row is ever more than 3 driver runs old,
+# minus whatever _EDITED_THIS_ROUND forcing consumes
+# (tests/test_entry_rotation pins the band AND the COVERAGE.md paragraph
+# that publishes the bound; don't re-pin an exact count here — it went
+# stale twice).
 _EDITED_THIS_ROUND = [
     # Queries whose implementing FILE changed this round: their recorded
     # green rows predate the change, so they outrank everything the history

@@ -998,20 +998,24 @@ def quantize_int8(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 
 def _duck_quantized() -> str:
-    """The oracle's quantization CTE body (mirrors quantize_int8)."""
+    """The oracle's quantization CTE body (mirrors quantize_int8).
+
+    The list_max is coalesce-guarded (ADVICE r11): over an EMPTY
+    embedding DuckDB's list_max yields NULL while Spark's
+    aggregate(..., 0D, greatest) yields 0.0 — the guard makes both
+    engines agree the degenerate row has scale 0 and q = [], so the
+    hash cannot diverge if a zero-length vector ever enters the
+    fixture (today's loader emits fixed-width embeddings only)."""
+    amax = ("coalesce(list_max(list_transform(embedding, "
+            "v -> abs(CAST(v AS DOUBLE)))), 0)")
     return f"""
     SELECT vec_id,
-           list_max(list_transform(embedding,
-                                   v -> abs(CAST(v AS DOUBLE))))
-             / CAST({Q_MAX} AS DOUBLE) AS scale,
-           CASE WHEN list_max(list_transform(embedding,
-                                             v -> abs(CAST(v AS DOUBLE)))) = 0
+           {amax} / CAST({Q_MAX} AS DOUBLE) AS scale,
+           CASE WHEN {amax} = 0
                 THEN list_transform(embedding, v -> 0)
                 ELSE list_transform(embedding,
                        v -> CAST(floor(CAST(v AS DOUBLE) /
-                              (list_max(list_transform(embedding,
-                                 w -> abs(CAST(w AS DOUBLE))))
-                               / CAST({Q_MAX} AS DOUBLE)) + 0.5)
+                              ({amax} / CAST({Q_MAX} AS DOUBLE)) + 0.5)
                             AS INTEGER))
            END AS q
     FROM embeddings

@@ -256,7 +256,16 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier constraint needs the customer's nation, known only
     post-join), so the win is bounded — the lineitem exchange is
     unchanged, the orders exchange shrinks ~5x and SHUFFLE_HASH on it
-    removes the lineitem-side sort. Interleaved A/B
+    removes the lineitem-side sort.
+
+    SIZE ASSUMPTION (ADVICE r11): the explicit F.broadcast on the 20%
+    customer slice bypasses the 64MB autoBroadcast guard — sized for
+    the benchmarked envelope (sf100 on SPARK_GRAFT_DRIVER_MEM=48g,
+    ~3M-row slice). Well past that envelope, or on small-memory
+    drivers, drop the hint and let AQE's runtime-size broadcast decide
+    once stats make the cut visible; the dim-first plan shape (cut
+    BEFORE the fact-fact shuffle) is what matters, not the forced
+    broadcast. Interleaved A/B
     (tools/ab_q5_dimfirst_r11.py, identity bit-equal at sf0.01):
     sf10 3/4 cycle wins (medians 3.06 -> 2.62), sf100 3/3 wins
     (27.8 -> 20.1, and the new arm holds steady while the old decays
@@ -961,7 +970,14 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     join; identity asserted row-for-row at sf0.01 pre-conversion);
     oracle unchanged. At 100 TB this is the difference between
     shuffling two full fact tables and shuffling their dim-selected
-    8% slices."""
+    8% slices.
+
+    SIZE ASSUMPTION (ADVICE r11): as in q5, the explicit F.broadcast
+    on the 8% supplier/customer slices bypasses the 64MB autoBroadcast
+    guard and is sized for the benchmarked envelope (sf100 on a 48g
+    driver). Beyond it, drop the hints and let AQE's runtime-size
+    broadcast decide — the dim-first cut placement is the load-bearing
+    part of the rewrite, not the forced hint."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders")

