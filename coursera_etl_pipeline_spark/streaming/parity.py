@@ -419,6 +419,102 @@ def _stage_inflight_marker(stage: str, anchor_dir: str,
     open(os.path.join(mdir, os.path.basename(marker)), "w").close()
 
 
+# --- exactly-once APPEND commits (round 12) ---------------------------------
+#
+# The overwrite verbs (delete/compact) close their crash windows with
+# the staged-state + _markers snapshot above plus recover_index_stage.
+# The APPEND verbs need a different mechanism: their stage holds only
+# the DELTA, so restoring it cannot tell whether the destination
+# already absorbed the appends — a crash between the last append and
+# _seal_epoch used to leave the epoch applied-but-unmarked, and the
+# foreachBatch re-delivery then DOUBLE-APPENDED (VERDICT r11 item 1).
+# Fix: commit appends by MOVING the staged part-files into the
+# destination under a DETERMINISTIC per-epoch filename prefix, and on
+# entry (marker absent) first PURGE any files carrying this epoch's
+# prefix — the debris of a crashed earlier attempt. Every crash point
+# then converges under replay:
+#   - before any move: purge finds nothing, fresh commit;
+#   - mid-move:        purge drops the partial files, fresh commit;
+#   - after all moves, before seal: purge drops the complete (but
+#     unmarked) files, fresh commit, seal — never a double-append.
+# The sealed marker remains the fast path (replay no-ops without a
+# purge pass). Epoch-less batch callers get a per-call unique prefix
+# (the stage dir's basename) and skip the purge — no replay exists
+# for them, so nothing can collide.
+
+
+def _epoch_prefix(verb: str, epoch_id, run_token: str | None) -> str:
+    tok = f"{run_token}_" if run_token else ""
+    return f"{verb}_{tok}{epoch_id}_"
+
+
+def _purge_epoch_files(dest_dir: str, prefix: str) -> None:
+    """Drop files a crashed earlier attempt of THIS epoch committed
+    (final `{prefix}*` names and in-flight `._tmp_{prefix}*` copies)."""
+    if not os.path.isdir(dest_dir):
+        return
+    for nm in os.listdir(dest_dir):
+        if nm.startswith(prefix) or nm.startswith(f"._tmp_{prefix}"):
+            try:
+                os.remove(os.path.join(dest_dir, nm))
+            except OSError:
+                pass
+
+
+def _move_commit(stage_subdir: str, dest_dir: str, prefix: str) -> None:
+    """Publish a staged parquet delta into dest_dir by per-file atomic
+    rename under `{prefix}{part-file-name}`. Same-filesystem moves are
+    single atomic os.replace calls; cross-device falls back to a copy
+    into a dot-hidden temp name inside dest_dir (invisible to Spark's
+    file index and to `*.parquet` globs) followed by the atomic
+    rename — a reader never observes a torn file either way."""
+    import shutil
+
+    os.makedirs(dest_dir, exist_ok=True)
+    for nm in sorted(os.listdir(stage_subdir)):
+        if not nm.endswith(".parquet") or nm.startswith(("_", ".")):
+            continue
+        src = os.path.join(stage_subdir, nm)
+        dst = os.path.join(dest_dir, prefix + nm)
+        try:
+            os.replace(src, dst)
+        except OSError:
+            tmp = os.path.join(dest_dir, f"._tmp_{prefix}{nm}")
+            shutil.copy2(src, tmp)
+            os.replace(tmp, dst)
+
+
+def recover_index_stage(spark: SparkSession, stage: str,
+                        dests: dict[str, str]) -> None:
+    """Roll a crashed OVERWRITE-commit forward from its preserved
+    staging dir — the executable form of the recovery the delete/
+    compact failure paths document ("staged index states preserved at
+    <stage>"). Re-commits every staged state `{stage}/{name}` to
+    `dests[name]`, then re-seals every marker recorded under
+    `{stage}/_markers/<dest-basename>/` into the matching destination
+    — including the crashed epoch's own in-flight marker
+    (_stage_inflight_marker), so a foreachBatch re-delivery of that
+    epoch no-ops instead of double-applying (increment) or failing the
+    indexed-ids contract check (delete). Idempotent: the stage is the
+    complete post-epoch store, so running recovery again — even after
+    a crash inside recovery — converges to the same state. Marker
+    re-seal runs strictly AFTER every data commit: a sealed epoch must
+    imply its data is present."""
+    for name, dest in dests.items():
+        (spark.read.parquet(os.path.join(stage, name))
+         .write.mode("overwrite").parquet(dest))
+    mroot = os.path.join(stage, "_markers")
+    if not os.path.isdir(mroot):
+        return
+    by_base = {os.path.basename(d.rstrip("/")): d for d in dests.values()}
+    for sub in os.listdir(mroot):
+        dest = by_base.get(sub)
+        if dest is None:
+            continue
+        for nm in os.listdir(os.path.join(mroot, sub)):
+            open(os.path.join(dest, nm), "w").close()
+
+
 def _run_stream_index_update(spark: SparkSession, sf_dir: str) -> "DataFrame":
     """One streamed increment of the dedup-index lifecycle against
     parquet-backed index storage; returns the final band index.
@@ -519,6 +615,16 @@ def apply_index_increment(bdf: "DataFrame", post_dir: str,
     marker = _epoch_marker(band_dir, "inc", epoch_id, run_token)
     if _epoch_already_applied(marker):
         return  # replayed micro-batch: the store already has this delta
+    if epoch_id is not None:
+        # Purge a crashed earlier attempt's debris BEFORE anything
+        # reads the index dirs (module note above `_epoch_prefix`) —
+        # the verify plan below probes the store AS IT STANDS, and
+        # leftover band/posting rows of this very batch would pair
+        # every batch doc with itself (jaccard 1.0) and silently drop
+        # the whole batch on replay.
+        prefix = _epoch_prefix("inc", epoch_id, run_token)
+        for dest in (post_dir, band_dir, *(aux_dirs or ())):
+            _purge_epoch_files(dest, prefix)
 
     s = bdf.sparkSession
     b_post, b_band = minhash_index_artifacts(bdf)
@@ -577,36 +683,37 @@ def apply_index_increment(bdf: "DataFrame", post_dir: str,
                  .write.parquet(f"{stage}/tpost"))
                 (b_band.join(dropped, "doc_id", "left_semi")
                  .write.parquet(f"{stage}/tband"))
-            # COMMIT ORDER: postings FIRST (ADVICE r8). The two appends
-            # are separate jobs, so a crash between them is possible;
-            # the failure modes are asymmetric. Orphan POSTINGS (no
-            # band rows) are inert — nothing probes a doc the band
-            # index never surfaces as a candidate. Orphan BAND rows
-            # (no postings) are not: later increments would collide
-            # with them, find no shingles on the verify side, and
+            # COMMIT ORDER: postings FIRST (ADVICE r8). The moves are
+            # separate steps, so a crash between them is possible; the
+            # failure modes are asymmetric. Orphan POSTINGS (no band
+            # rows) are inert — nothing probes a doc the band index
+            # never surfaces as a candidate. Orphan BAND rows (no
+            # postings) are not: later increments would collide with
+            # them, find no shingles on the verify side, and
             # undercount jaccard — silently admitting near-dups. So
             # the order below leaves only the inert orphan on a crash.
-            # (Micro-batch REPLAY exactly-once is handled by the
-            # epoch marker sealed after these commits — module note
-            # above; a crash MID-commit still needs a transactional
-            # table format, and the ordering alone removes that
-            # crash's silent-admission failure mode.)
-            (s.read.parquet(f"{stage}/post")
-             .write.mode("append").parquet(post_dir))
-            (s.read.parquet(f"{stage}/band")
-             .write.mode("append").parquet(band_dir))
+            # The ordering matters for EPOCH-LESS batch callers; for
+            # epoch-tracked calls the purge+deterministic-prefix
+            # commit (module note above) makes every crash point
+            # converge under replay, closing the r11 applied-but-
+            # unsealed double-append window the old spark-append
+            # commit carried.
+            # aux moves sit after the primary pair: a crash that loses
+            # ledger/tombstone rows for committed survivors costs only
+            # future resurrection completeness for this batch's
+            # DROPPED docs, never dedup correctness
+            targets = [(f"{stage}/post", post_dir),
+                       (f"{stage}/band", band_dir)]
             if aux_dirs is not None:
-                # aux commits after the primary pair: a crash that
-                # loses ledger/tombstone rows for committed survivors
-                # costs only future resurrection completeness for this
-                # batch's DROPPED docs, never dedup correctness
                 ledger_dir, tpost_dir, tband_dir = aux_dirs
-                (s.read.parquet(f"{stage}/ledger")
-                 .write.mode("append").parquet(ledger_dir))
-                (s.read.parquet(f"{stage}/tpost")
-                 .write.mode("append").parquet(tpost_dir))
-                (s.read.parquet(f"{stage}/tband")
-                 .write.mode("append").parquet(tband_dir))
+                targets += [(f"{stage}/ledger", ledger_dir),
+                            (f"{stage}/tpost", tpost_dir),
+                            (f"{stage}/tband", tband_dir)]
+            prefix = (_epoch_prefix("inc", epoch_id, run_token)
+                      if epoch_id is not None
+                      else os.path.basename(stage) + "_")
+            for src, dest in targets:
+                _move_commit(src, dest, prefix)
             _seal_epoch(marker)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
@@ -782,10 +889,16 @@ def apply_ann_index_increment(bdf: "DataFrame", centroid_dir: str,
     """One ANN-index append against parquet-backed storage: assign the
     arriving embeddings to the FROZEN centroid table and append their
     (vec_id, cell_id) rows. The foreachBatch unit of the streamed
-    lifecycle — and deliberately the simplest one in the family: the
-    append never READS index_dir (assignment depends only on the batch
-    and the frozen centroids), so it is a blind directory append with
-    none of the dedup increment's stage-then-commit obligations."""
+    lifecycle — and the simplest one in the family: the append never
+    READS index_dir (assignment depends only on the batch and the
+    frozen centroids), so there is no read-side staging obligation.
+    The WRITE still commits via the purge+epoch-prefix move (round 12,
+    module note above `_epoch_prefix`): a direct spark append would
+    re-open the r11 crash window where an applied-but-unsealed epoch
+    double-appends on re-delivery."""
+    import shutil
+    import tempfile
+
     from coursera_etl_pipeline_spark.llm_ops.similarity import (
         assign_to_centroids,
     )
@@ -794,10 +907,20 @@ def apply_ann_index_increment(bdf: "DataFrame", centroid_dir: str,
     if _epoch_already_applied(marker):
         return  # replayed micro-batch: the append already landed
     centroids = bdf.sparkSession.read.parquet(centroid_dir)
-    (assign_to_centroids(bdf, centroids)
-     .select("vec_id", "cell_id")
-     .write.mode("append").parquet(index_dir))
-    _seal_epoch(marker)
+    stage = tempfile.mkdtemp(prefix="ann_inc_", dir=scratch_root())
+    try:
+        (assign_to_centroids(bdf, centroids)
+         .select("vec_id", "cell_id")
+         .write.parquet(f"{stage}/index"))
+        if epoch_id is not None:
+            prefix = _epoch_prefix("inc", epoch_id, run_token)
+            _purge_epoch_files(index_dir, prefix)
+        else:
+            prefix = os.path.basename(stage) + "_"
+        _move_commit(f"{stage}/index", index_dir, prefix)
+        _seal_epoch(marker)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def _run_stream_ann_index_update(spark: SparkSession,
@@ -1896,7 +2019,13 @@ def apply_lsh_index_increment(bdf: "DataFrame", index_dir: str,
     """One LSH band-index append against parquet-backed storage: band
     the arriving embeddings with the frozen hyperplanes and append
     their (vec_id, band, bucket) rows. Blind append (never reads
-    index_dir), same replay-idempotence markers as the IVF increment."""
+    index_dir); commits via the purge+epoch-prefix move and the same
+    replay-idempotence markers as the IVF increment, so a crash
+    between commit and seal converges under re-delivery instead of
+    double-appending (round 12, module note above `_epoch_prefix`)."""
+    import shutil
+    import tempfile
+
     from coursera_etl_pipeline_spark.llm_ops.similarity import (
         flatten_band_index,
         signatures,
@@ -1905,9 +2034,19 @@ def apply_lsh_index_increment(bdf: "DataFrame", index_dir: str,
     marker = _epoch_marker(index_dir, "inc", epoch_id, run_token)
     if _epoch_already_applied(marker):
         return  # replayed micro-batch: the append already landed
-    (flatten_band_index(signatures(bdf))
-     .write.mode("append").parquet(index_dir))
-    _seal_epoch(marker)
+    stage = tempfile.mkdtemp(prefix="lsh_inc_", dir=scratch_root())
+    try:
+        (flatten_band_index(signatures(bdf))
+         .write.parquet(f"{stage}/index"))
+        if epoch_id is not None:
+            prefix = _epoch_prefix("inc", epoch_id, run_token)
+            _purge_epoch_files(index_dir, prefix)
+        else:
+            prefix = os.path.basename(stage) + "_"
+        _move_commit(f"{stage}/index", index_dir, prefix)
+        _seal_epoch(marker)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def _run_stream_lsh_index_delete(spark: SparkSession,
@@ -2070,7 +2209,15 @@ def apply_dq_gate(bdf: "DataFrame", accept_dir: str, reject_dir: str,
     crash-on-bad-payload generalized to keep the stream alive (the
     bad drop is preserved for repair instead of wedging the query).
     Same replay-idempotence markers as the index increments (anchored
-    in accept_dir — one anchor per store pair)."""
+    in accept_dir — one anchor per store pair), and the same
+    purge+epoch-prefix move commit (round 12): on entry a crashed
+    earlier attempt's files are purged from BOTH destinations — the
+    routing verdict is recomputed deterministically from the batch,
+    but purging both sides means even a (hypothetical) flipped
+    verdict could not leave the batch delivered twice."""
+    import shutil
+    import tempfile
+
     from coursera_etl_pipeline_spark.operators.quality import (
         dq_audit_documents,
     )
@@ -2079,15 +2226,25 @@ def apply_dq_gate(bdf: "DataFrame", accept_dir: str, reject_dir: str,
     if _epoch_already_applied(marker):
         return  # replayed micro-batch: already routed
     bdf = bdf.persist()
+    stage = tempfile.mkdtemp(prefix="dq_gate_", dir=scratch_root())
     try:
         n_failed = (dq_audit_documents(bdf)
                     .filter(~F.col("passed")
                             & ~F.col("check_name").isin(*DQ_GATE_EXCLUDED))
                     .count())
         target = reject_dir if n_failed else accept_dir
-        bdf.write.mode("append").parquet(target)
+        bdf.write.parquet(f"{stage}/batch")
+        if epoch_id is not None:
+            prefix = _epoch_prefix("dq", epoch_id, run_token)
+            _purge_epoch_files(accept_dir, prefix)
+            _purge_epoch_files(reject_dir, prefix)
+        else:
+            prefix = os.path.basename(stage) + "_"
+        os.makedirs(target, exist_ok=True)
+        _move_commit(f"{stage}/batch", target, prefix)
         _seal_epoch(marker)
     finally:
+        shutil.rmtree(stage, ignore_errors=True)
         bdf.unpersist()
 
 
