@@ -63,6 +63,7 @@ HEADLINE = [
     "text_repetition_score",     # per-row sort + run-length fold
     "dedup_semantic",            # SemDeDup: cell-bucketed cosine pairs
     "dedup_boilerplate",         # repeated-span cut: fp agg + join-back
+    "dedup_substring",           # stride-1 suffix-array-shape dedup
 ]
 
 

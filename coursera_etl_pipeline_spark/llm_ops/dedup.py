@@ -1075,3 +1075,140 @@ def remove_boilerplate(docs: DataFrame,
                         F.when(F.col("_dup").isNull(),
                                F.struct("chunk_id", "chunk")))),
                     lambda x: x["chunk"]), " ").alias("clean_text")))
+
+
+# --- exact-substring dedup, suffix-array shape (round 12) --------------------
+#
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") deduplicate at SUBSTRING granularity: any >= k-token run
+# that appears more than once corpus-wide is removed wherever it
+# occurs, at ARBITRARY offsets — their implementation walks a suffix
+# array. `dedup_boilerplate` above approximates this with
+# non-overlapping fixed chunks, which misses any repeated run that
+# straddles a chunk boundary. This operator closes that gap with the
+# distributed equivalent of the suffix-array scan: stride-1 rolling
+# k-token windows. A window fingerprint seen in >= min_docs distinct
+# documents marks its k token positions as duplicated; a doc's
+# duplicated REGION is the union of its marked windows (overlapping
+# windows merge for free — coverage is per-position), and the clean
+# text is the uncovered tokens reassembled in order. Matching runs
+# longer than k are fully covered by their k-windows, exactly as in
+# the suffix-array formulation.
+
+SUBSTR_TOKENS = 15
+SUBSTR_MIN_DOCS = 2
+
+
+def remove_repeated_substrings(docs: DataFrame,
+                               k: int = SUBSTR_TOKENS,
+                               min_docs: int = SUBSTR_MIN_DOCS) -> DataFrame:
+    """DataFrame core of `dedup_substring` (see its docstring for the
+    plan shape); parameterized for the planted-offset property tests."""
+    toks = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", toks.alias("_toks"))
+    wins = (
+        base.select(
+            "doc_id", "_toks",
+            F.explode(
+                F.sequence(F.lit(0),
+                           F.greatest(F.size("_toks") - k, F.lit(0)))
+            ).alias("start"))
+        # docs shorter than k tokens have no window (the greatest()
+        # keeps sequence() ascending; this filter drops its stub row)
+        .filter(F.col("start") + k <= F.size("_toks"))
+        .select(
+            "doc_id", "start",
+            F.md5(F.array_join(
+                F.slice(F.col("_toks"), F.col("start") + 1, k), " "))
+            .alias("fp")))
+    dup = (
+        wins.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("fp"))
+    dup_starts = (
+        wins.join(dup, "fp")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("start")).alias("_ds")))
+    ds = F.coalesce(F.col("_ds"), F.expr("CAST(array() AS ARRAY<INT>)"))
+    covered = lambda p: F.exists(  # noqa: E731  (inline predicate)
+        ds, lambda s: (p >= s) & (p < s + F.lit(k)))
+    clean = F.filter(F.col("_toks"), lambda t, p: ~covered(p))
+    return (
+        base.join(dup_starts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("_toks").cast("long").alias("n_tokens"),
+            (F.size("_toks") - F.size(clean)).cast("long")
+            .alias("n_dup_tokens"),
+            F.array_join(clean, " ").alias("clean_text")))
+
+
+@query(
+    "dedup_substring",
+    # Same oracle family as dedup_boilerplate, at stride 1: windows by
+    # unnest(range), dup set by fingerprint HAVING, per-position
+    # coverage by a correlated EXISTS over the doc's dup starts (the
+    # SQL form of the engine's per-token exists() over the start
+    # array), reassembly by string_agg ORDER BY position. count(*)
+    # FILTER keeps counters BIGINT on both engines.
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, CAST(k AS INTEGER) AS start,
+             md5(array_to_string(
+               list_slice(ws, k + 1, k + {SUBSTR_TOKENS}), ' ')) AS fp
+      FROM w, unnest(range(0, greatest(len(ws) - {SUBSTR_TOKENS} + 1, 0)))
+             AS u(k)
+    ),
+    dup AS (
+      SELECT fp FROM wins
+      GROUP BY fp HAVING count(DISTINCT doc_id) >= {SUBSTR_MIN_DOCS}
+    ),
+    ds AS (SELECT doc_id, start FROM wins JOIN dup USING (fp)),
+    tok AS (
+      SELECT doc_id, CAST(p AS INTEGER) AS p,
+             ws[CAST(p AS INTEGER) + 1] AS token
+      FROM w, unnest(range(0, len(ws))) AS u(p)
+    ),
+    cov AS (
+      SELECT t.doc_id, t.p, t.token,
+             EXISTS (SELECT 1 FROM ds d
+                     WHERE d.doc_id = t.doc_id
+                       AND d.start <= t.p
+                       AND t.p < d.start + {SUBSTR_TOKENS}) AS is_dup
+      FROM tok t
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           count(*) FILTER (WHERE is_dup) AS n_dup_tokens,
+           coalesce(string_agg(CASE WHEN NOT is_dup THEN token END, ' '
+                               ORDER BY p), '') AS clean_text
+    FROM cov GROUP BY doc_id
+    """,
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring (suffix-array-shape) dedup: remove every token
+    covered by a >= SUBSTR_TOKENS-token run that occurs in >=
+    SUBSTR_MIN_DOCS distinct documents, at any offset — the corpus-
+    wide repeated-substring pass `dedup_boilerplate`'s fixed chunks
+    only approximate (a straddling run defeats chunk boundaries; the
+    planted-offset pytest pins exactly that case).
+
+    Scale shape: the stride-1 window explode is k-times the
+    boilerplate explode's rows but still linear in corpus tokens and
+    narrow (doc_id, start, 32-byte fp); dup discovery is one
+    fingerprint hash-aggregate with map-side partial count-distinct;
+    marking is an equi-join back on fp (AQE broadcasts the dup set
+    when small, splits it when boilerplate-skewed). Coverage never
+    materializes per-token rows: each doc folds its (bounded by
+    doc-length) dup-start array over its token array with a
+    higher-order exists — per-doc work, zero extra shuffle beyond the
+    one groupBy(doc_id). At 100 TB the fp aggregate is the only wide
+    stage, on a key space capped by total corpus tokens; the
+    suffix-array literature's O(n log n) single-node scan becomes two
+    shuffles on (fp) + (doc_id), which is the distributed-right shape.
+    """
+    return remove_repeated_substrings(load_table(spark, sf_dir, "documents"))

@@ -1406,6 +1406,95 @@ def test_boilerplate_reassembly_preserves_order(spark):
     assert (out[0].n_chunks, out[0].n_dup_chunks) == (3, 1)
 
 
+def test_substring_dedup_catches_chunk_straddling_run(spark):
+    """The case fixed-chunk boilerplate removal MISSES by construction
+    (VERDICT r11 item 3): a k-token run shared by two docs at offsets
+    that straddle every chunk boundary. With k=5 windows the run is
+    cut from both docs wherever it sits; remove_boilerplate with
+    5-token chunks provably keeps it (the planted offsets never align
+    a full chunk inside the run on both sides)."""
+    from coursera_etl_pipeline_spark.llm_ops.dedup import (
+        remove_boilerplate,
+        remove_repeated_substrings,
+    )
+
+    run = " ".join(f"s{j}" for j in range(5))
+    a_head = " ".join(f"a{j}" for j in range(7))    # run at offset 7
+    a_tail = " ".join(f"a{j}" for j in range(7, 10))
+    b_head = " ".join(f"b{j}" for j in range(3))    # run at offset 3
+    b_tail = " ".join(f"b{j}" for j in range(3, 11))
+    docs = spark.createDataFrame(
+        [(0, f"{a_head} {run} {a_tail}"),
+         (1, f"{b_head} {run} {b_tail}"),
+         (2, " ".join(f"c{j}" for j in range(12)))],
+        "doc_id long, text string")
+
+    out = {r.doc_id: r
+           for r in remove_repeated_substrings(docs, k=5, min_docs=2)
+           .collect()}
+    assert out[0].clean_text == f"{a_head} {a_tail}"
+    assert out[1].clean_text == f"{b_head} {b_tail}"
+    assert (out[0].n_tokens, out[0].n_dup_tokens) == (15, 5)
+    assert (out[1].n_tokens, out[1].n_dup_tokens) == (16, 5)
+    unrelated = " ".join(f"c{j}" for j in range(12))
+    assert out[2].clean_text == unrelated and out[2].n_dup_tokens == 0
+
+    # the contrast that motivates the operator: fixed 5-token chunks
+    # never align with the run in BOTH docs, so boilerplate removal
+    # keeps it everywhere
+    boiler = {r.doc_id: r
+              for r in remove_boilerplate(docs, chunk_tokens=5,
+                                          min_docs=2).collect()}
+    assert boiler[0].n_dup_chunks == 0 and boiler[1].n_dup_chunks == 0
+
+
+def test_substring_dedup_covers_runs_longer_than_k(spark):
+    """A shared run LONGER than k is fully covered by its overlapping
+    k-windows (the union-of-windows coverage), and within-doc-only
+    repetition is untouched at min_docs=2 — both properties of the
+    suffix-array formulation this operator mirrors."""
+    from coursera_etl_pipeline_spark.llm_ops.dedup import (
+        remove_repeated_substrings,
+    )
+
+    long_run = " ".join(f"s{j}" for j in range(9))   # 9 tokens, k=4
+    selfrep = " ".join(f"r{j}" for j in range(4))
+    docs = spark.createDataFrame(
+        [(0, f"x0 x1 {long_run} x2"),
+         (1, f"y0 {long_run} y1 y2 y3"),
+         (2, f"{selfrep} z0 {selfrep}")],
+        "doc_id long, text string")
+    out = {r.doc_id: r
+           for r in remove_repeated_substrings(docs, k=4, min_docs=2)
+           .collect()}
+    assert out[0].clean_text == "x0 x1 x2"
+    assert out[0].n_dup_tokens == 9
+    assert out[1].clean_text == "y0 y1 y2 y3"
+    assert out[2].clean_text == f"{selfrep} z0 {selfrep}"
+    assert out[2].n_dup_tokens == 0
+
+
+def test_substring_dedup_short_and_empty_docs(spark):
+    """Docs shorter than k have no window and pass through unchanged;
+    the window explode's greatest() guard must not manufacture a
+    phantom window for them."""
+    from coursera_etl_pipeline_spark.llm_ops.dedup import (
+        remove_repeated_substrings,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r
+           for r in remove_repeated_substrings(docs, k=5, min_docs=2)
+           .collect()}
+    # identical 3-token docs: too short for a 5-token run — kept
+    assert out[0].clean_text == "a b c" and out[0].n_dup_tokens == 0
+    assert out[1].clean_text == "a b c"
+    # split('') yields one empty token on both engines; no window
+    assert out[2].n_tokens == 1 and out[2].n_dup_tokens == 0
+
+
 def test_pii_scrub_semantics(spark):
     """Masking is global (all occurrences), counts match occurrences,
     and PII-free text passes through byte-identical."""
