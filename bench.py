@@ -144,6 +144,11 @@ _exclude(
     "similarity_quantize_recall",
 )
 _exclude(
+    "recall metric composing two headline-timed shapes (IVF probe + "
+    "quantized scoring); similarity_ann_ivf times the cell-probe path",
+    "similarity_ann_quantized",
+)
+_exclude(
     "fusion re-runs both headline ANN branches; the join it adds is "
     "O(queries x k)",
     "similarity_rrf_fusion",

@@ -1152,3 +1152,146 @@ def similarity_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.join(ranked, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(F.round(F.count("_hit") * 1.0 / TOP_K, 6).alias("recall")))
+
+
+# --- quantized-IVF composition (round 12) ------------------------------------
+#
+# The memory play the quantization docstring promises, composed end to
+# end: fp32 centroids route queries to n_probe cells (IVF), the
+# vectors INSIDE the cells are int8 codes (4x smaller residency /
+# scan), and in-cell scoring runs on exact integer dot products — the
+# IVF-SQ8 layout every production vector store ships. Certified the
+# same way as its two parents: the full assign -> probe -> quantized
+# rank pipeline is deterministic (fixed first-N centroids, exact
+# integer dots, vec_id tiebreaks), so recall@k against the exact
+# float brute force carries a closed-form SQL oracle.
+
+
+def ann_topk_ivf_quantized(emb: DataFrame, k: int = TOP_K,
+                           n_queries: int = N_QUERIES,
+                           n_probe: int = N_PROBE) -> DataFrame:
+    """IVF search over int8-quantized cells: routing is float-vs-float
+    against the frozen centroid table (fp32 centroids — the standard
+    IVF-SQ shape), in-cell ranking is symmetric int8 cosine (exact
+    integer dot / sqrt of exact integer self-dots, one IEEE division
+    at the end — the engine-order-proof arithmetic
+    similarity_quantize_recall certified)."""
+    from pyspark.sql import Window as W
+
+    assigned, centroids = ivf_assign(emb)
+    qd = (quantize_int8(emb)
+          .select("vec_id", "q",
+                  F.expr("aggregate(q, 0L, (acc, v) -> "
+                         "acc + CAST(v AS BIGINT) * v)").alias("qq")))
+    cells = (assigned.select("vec_id", "cell_id")
+             .join(qd, "vec_id")
+             .select(F.col("vec_id").alias("neighbor_id"), "cell_id",
+                     F.col("q").alias("q_b"), F.col("qq").alias("qq_b")))
+    queries = (emb.filter(F.col("vec_id") < n_queries)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qv"))
+               .join(qd.select(F.col("vec_id").alias("query_id"),
+                               F.col("q").alias("q_a"),
+                               F.col("qq").alias("qq_a")), "query_id"))
+    wprobe = W.partitionBy("query_id").orderBy(F.desc("csim"),
+                                               F.asc("cell_id"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("csim", cosine("qv", "cv"))
+        .withColumn("rk", F.row_number().over(wprobe))
+        .filter(F.col("rk") <= n_probe)
+        .select("query_id", "q_a", "qq_a", "cell_id"))
+    dotq = F.expr("aggregate(zip_with(q_a, q_b, "
+                  "(x, y) -> CAST(x AS BIGINT) * y), 0L, "
+                  "(acc, v) -> acc + v)")
+    qcos = (F.when((F.col("qq_a") == 0) | (F.col("qq_b") == 0),
+                   F.lit(0.0))
+            .otherwise(dotq.cast("double")
+                       / (F.sqrt(F.col("qq_a").cast("double"))
+                          * F.sqrt(F.col("qq_b").cast("double")))))
+    w = W.partitionBy("query_id").orderBy(F.desc("qsim"),
+                                          F.asc("neighbor_id"))
+    return (
+        probes.join(cells, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("qsim", qcos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank"))
+
+
+@query(
+    "similarity_ann_quantized",
+    # exact float brute-force top-k vs the quantized-IVF top-k:
+    # cent/assigned/probes replicate ivf_assign's deterministic
+    # routing; qd replicates quantize_int8; the in-cell rank is the
+    # same exact-integer arithmetic as similarity_quantize_recall's
+    oracle=f"""
+    {_DUCK_IVF_ANN},
+    qz AS ({_duck_quantized()}),
+    qd AS (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS qq
+      FROM qz
+    ),
+    annq AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY
+                   CASE WHEN qa.qq = 0 OR qb.qq = 0 THEN 0
+                        ELSE CAST(list_sum(list_transform(
+                               range(1, len(qa.q) + 1),
+                               i -> CAST(qa.q[i] AS BIGINT) * qb.q[i]))
+                             AS DOUBLE)
+                             / (sqrt(CAST(qa.qq AS DOUBLE))
+                                * sqrt(CAST(qb.qq AS DOUBLE)))
+                   END DESC,
+                   a.vec_id) AS rank
+        FROM probes p
+             JOIN assigned a ON a.cell_id = p.cell_id
+             JOIN qd qa ON qa.vec_id = p.query_id
+             JOIN qd qb ON qb.vec_id = a.vec_id
+        WHERE a.vec_id <> p.query_id
+      ) WHERE rank <= {TOP_K}
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_duck_cosine('q.embedding', 'n.embedding')} DESC,
+                          n.vec_id) AS rank
+        FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT e.query_id,
+           round(count(a.neighbor_id) * 1.0 / {TOP_K}, 6) AS recall
+    FROM exact e LEFT JOIN annq a USING (query_id, neighbor_id)
+    GROUP BY e.query_id
+    """,
+)
+def similarity_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the IVF-SQ8 composition (fp32-centroid routing +
+    int8 in-cell scoring) against the exact float brute force — pins
+    the COMBINED fidelity cost of cell pruning and 8-bit codes under
+    the value-hash gate, completing VERDICT r11 item 7: the quantized
+    vectors now live inside the index, not beside it.
+
+    Scale shape: per query the corpus contact is ~n_probe/n_cells of
+    brute force, on codes 4x narrower than the floats — the int dot is
+    cheaper per element too (no FP normalize until the final ratio).
+    At 100 TB the cells are the bucketed unit: codes sit clustered by
+    cell_id so a probe scans contiguous int8 pages, and the fp32
+    originals stay cold on object storage for reranking tiers only."""
+    exact = (similarity_topk_bruteforce(spark, sf_dir)
+             .select("query_id", "neighbor_id"))
+    annq = (ann_topk_ivf_quantized(load_table(spark, sf_dir, "embeddings"))
+            .select("query_id", "neighbor_id")
+            .withColumn("_hit", F.lit(1)))
+    return (
+        exact.join(annq, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.round(F.count("_hit") * 1.0 / TOP_K, 6).alias("recall")))

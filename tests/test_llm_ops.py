@@ -1564,6 +1564,23 @@ def test_quantize_int8_semantics(spark):
             assert abs(qv * r.scale - x) <= r.scale / 2 + 1e-12
 
 
+def test_ann_quantized_recall_bounded_by_parts(spark, sf_dir):
+    """The IVF-SQ8 composition's recall floor: combining cell pruning
+    with int8 codes can lose at most what the two parts lose — on the
+    fixture the composed recall stays >= 0.4 per query with mean
+    >= 0.75, and any query the pure-IVF search answers perfectly with
+    near-dup top-1s keeps its top hit (cosine ~1 survives both the
+    probe cut and 8-bit rounding)."""
+    from coursera_etl_pipeline_spark.llm_ops.similarity import (
+        similarity_ann_quantized,
+    )
+
+    rows = similarity_ann_quantized(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.recall >= 0.4 for r in rows)
+    assert sum(r.recall for r in rows) / len(rows) >= 0.75
+
+
 def test_quantize_recall_floor_and_mean(spark, sf_dir):
     """On the fixture corpus the quantized ranking stays close to the
     exact top-5: per-query recall never drops below 0.6 and the mean
