@@ -46,65 +46,51 @@ _EDITED_THIS_ROUND = [
     # green rows predate the change, so they outrank everything the history
     # says is current.  Update per round alongside the round's edits.
     #
-    # Round 11. New queries (never certified, lead without entries):
-    # similarity_lsh_index_delete, dedup_semantic,
-    # stream_lsh_index_delete_parity, stream_dq_gate_parity,
-    # dedup_boilerplate, text_pii_scrub, similarity_quantize_int8,
-    # similarity_quantize_recall.
-    #
-    # similarity_lsh_index_update: its band-flatten select was
-    # extracted into the shared `flatten_band_index` helper so the
-    # append/delete/storage verbs all flatten through one definition.
-    # The plan is byte-identical (same select, new callee), but the
-    # implementing code moved, so it re-certifies rather than ride a
-    # carve-out:
-    "similarity_lsh_index_update",
-    # q3: round-11 sf100-driven rewrite (dim-first join reorder +
-    # SHUFFLE_HASH on the reduced orders side; values bit-identical,
-    # asserted pre-conversion at sf0.01, oracle unchanged) — plan
-    # changed, so it re-certifies:
-    "q3_shipping_priority",
-    # q7: same rewrite class, late round 11 (dim-first nation cuts on
-    # BOTH fact sides before the fact-fact shuffle + SHUFFLE_HASH;
-    # ~7x at sf10 AND sf100, identity asserted row-for-row at sf0.01,
-    # oracle unchanged) — plan changed, so it re-certifies:
-    "q7_nation_volume",
-    # q5: the audit-rule sweep's last hit (ASIA customer cut moved
-    # before the fact-fact shuffle + SHUFFLE_HASH; sf10 3/4 cycle
-    # wins, sf100 3/3, identity bit-equal at sf0.01, oracle
-    # unchanged) — plan changed, so it re-certifies:
-    "q5_local_supplier_volume",
-    # Round-11 carve-outs (files edited, NO forcing — each provably
+    # Round 12. New queries (never certified, lead without entries, listed
+    # for the test_edited_this_round guard): dedup_substring (exact-
+    # substring suffix-array-shape dedup), similarity_ann_quantized
+    # (IVF-SQ8 composition).
+    "dedup_substring",
+    "similarity_ann_quantized",
+    # events_interval_join: round-12 plan conversion (click side
+    # broadcast -> SHUFFLE_HASH; the serial fact-sized broadcast build
+    # was the 6.5x constant — BASELINE §4 round-12 dissection).
+    # Identity bit-equal at sf0.01, oracle unchanged — plan changed,
+    # so it re-certifies:
+    "events_interval_join",
+    # similarity_quantize_int8 / _recall: the shared oracle CTE gained
+    # the coalesce(list_max, 0) empty-vector guard (ADVICE r11). Values
+    # provably identical on the fixed-width fixture, but the ORACLE
+    # TEXT the driver hashes against changed, so both re-certify:
+    "similarity_quantize_int8",
+    "similarity_quantize_recall",
+    # The eight storage-lifecycle parities: round 12 replaced the
+    # append verbs' spark-append commit with the purge+epoch-prefix
+    # move (crash-window fix, tests/test_crash_recovery.py). Result
+    # ROWS are provably unchanged (same staged deltas, different file
+    # naming at rest), but the implementing verbs changed, so every
+    # parity that commits through them re-certifies:
+    "stream_index_update_parity",
+    "stream_index_delete_parity",
+    "stream_index_multi_tick_parity",
+    "stream_ann_index_parity",
+    "stream_ann_index_delete_parity",
+    "stream_lsh_index_delete_parity",
+    "stream_dq_gate_parity",
+    "dedup_index_compact",
+    # Round-12 carve-outs (files edited, NO forcing — each provably
     # leaves every registered result unchanged, oracle-rechecked at
     # all three fixture scales post-change):
-    #  - similarity.py pure additions (similarity_lsh_index_delete,
-    #    dedup_semantic + semantic_dedup_verdicts): appended
-    #    functions only; no pre-existing plan touched beyond the
-    #    flatten extraction forced above. The file's other r9/r10
-    #    rows (topk_bruteforce, neardup_pairs, ann_lsh/ivf/recalls,
-    #    index_update/delete, rrf_fusion) keep their rows — plans
-    #    unchanged, and the end-of-round full oracle-check triple
-    #    re-verifies every query at all three scales regardless.
-    #  - streaming/parity.py pure additions (the two new streamed
-    #    parities + apply_lsh_index_increment/apply_dq_gate/stagers):
-    #    appended code only; no existing parity's plan or helper
-    #    changed.
-    #  - dedup.py / text.py / similarity.py pure additions
-    #    (dedup_boilerplate + remove_boilerplate, text_pii_scrub +
-    #    scrub_pii, similarity_quantize_int8/_recall + quantize_int8):
-    #    appended functions only; no pre-existing plan in any of the
-    #    three files touched, and all new queries lead the window as
-    #    never-certified.
-    #  - session.py AQE SMJ->SHJ conversion default
-    #    (maxShuffledHashJoinLocalMapThreshold=128MB): changes only
-    #    the physical JOIN STRATEGY AQE may pick at runtime, never a
-    #    logical plan or a value — every aggregate is exact (decimal
-    #    accumulators, registry.dsum/davg), every registered output is
-    #    certified order-insensitively, and no query reads
-    #    strategy-dependent row order (position-dependent results all
-    #    array_sort/ORDER BY explicitly). Backed empirically, not just
-    #    argued: the full 131-query oracle gate was re-run at all
-    #    three fixture scales with the flag on (green) before commit.
+    #  - dedup.py / similarity.py pure additions (dedup_substring +
+    #    remove_repeated_substrings; ann_topk_ivf_quantized +
+    #    similarity_ann_quantized): appended functions only; no
+    #    pre-existing plan touched.
+    #  - streaming/parity.py additions beyond the forced verbs
+    #    (recover_index_stage, _epoch_prefix/_purge_epoch_files/
+    #    _move_commit helpers): new code paths reached only by the
+    #    forced parities above and the crash tests.
+    #  - relational.py q5/q7 docstring-only size-assumption notes
+    #    (ADVICE r11): comments, no plan bytes changed.
 ]
 
 
