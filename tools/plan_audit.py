@@ -38,6 +38,10 @@ ALLOWED = {
     # vectors) x corpus on <> — same deliberate baseline shape as
     # similarity_topk_bruteforce, on 4x narrower codes
     ("similarity_quantize_recall", "BroadcastNestedLoopJoin"),
+    # IVF-SQ8 recall: the loop join is the EXACT arm (the same
+    # broadcast(N_QUERIES) x corpus baseline every recall metric
+    # embeds); the quantized-IVF arm under test is cell equi-join only
+    ("similarity_ann_quantized", "BroadcastNestedLoopJoin"),
     ("join_cross", "BroadcastNestedLoopJoin"),  # the cross-join surface itself
     ("q22_dormant_customers", "BroadcastNestedLoopJoin"),  # scalar-threshold broadcast
     ("q11_important_parts", "BroadcastNestedLoopJoin"),    # scalar-threshold broadcast
