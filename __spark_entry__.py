@@ -53,8 +53,9 @@ _EDITED_THIS_ROUND = [
     "dedup_substring",
     "similarity_ann_quantized",
     # events_interval_join: round-12 plan conversion (click side
-    # broadcast -> SHUFFLE_HASH; the serial fact-sized broadcast build
-    # was the 6.5x constant — BASELINE §4 round-12 dissection).
+    # broadcast -> SIZE-GATED SHUFFLE_HASH; the serial fact-sized
+    # broadcast build was the 6.5x constant at replica scale, while
+    # broadcast wins 1.8x at sf0.1 — BASELINE §4 round-12 dissection).
     # Identity bit-equal at sf0.01, oracle unchanged — plan changed,
     # so it re-certifies:
     "events_interval_join",

@@ -96,19 +96,41 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tens of ms) and not the output projection (join-only timed equal
     to the full query). The SHUFFLE_HASH hint on the click side
     replaces it with 32 parallel 62k-row builds behind a 4M-row narrow
-    shuffle: interleaved A/B at K=100 medians 0.61 s vs 1.07 s
-    (1.75x), sf0.1 parity-to-better (0.43 vs 0.51), identity bit-equal
-    at sf0.01, oracle unchanged. Broadcasting a fact-sized side is
-    also exactly what a 100 TB run must never do — the hint is the
-    scale shape, locally faster as a bonus. (The r8 negative stands
-    unchanged: time-bucket banding doubles the probe side for nothing
-    at this per-user/hour density — 2.8x slower then, not retried.)"""
+    shuffle: interleaved A/B at K=100 medians 0.61 s vs 1.07 s (1.75x),
+    identity bit-equal at sf0.01, oracle unchanged. Broadcasting a
+    fact-sized side is also exactly what a 100 TB run must never do —
+    the hint is the scale shape, locally faster on top.
+
+    The hint is SIZE-GATED, not unconditional: at sf0.1 the broadcast
+    build is ~30k rows and beats the shuffle arm ~1.8x (7-cycle
+    same-session A/B medians 0.29 vs 0.52 — the crossover sits between
+    100k and 2M events), so the strategy flips on the events table's
+    on-disk parquet size at a 32 MiB cutoff (sf0.1 = 2 MB, the 10M-row
+    replica = 156 MB: two decades of margin each side). This is the
+    decision a cost-based optimizer makes from table stats — done here
+    with one file-stat because Spark's broadcast bound (64MB of
+    ESTIMATED plan size) demonstrably mis-prices the serial build cost
+    near its ceiling. At 100 TB the gate always selects the shuffle
+    arm. (The r8 negative stands unchanged: time-bucket banding
+    doubles the probe side for nothing at this per-user/hour density —
+    2.8x slower then, not retried.)"""
+    import os
+
+    from coursera_etl_pipeline_spark.catalog import table_path
     from coursera_etl_pipeline_spark.streaming.joins import attribution_join
 
     e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    p = table_path(sf_dir, "events")
+    try:
+        nbytes = (sum(f.stat().st_size for f in os.scandir(p))
+                  if os.path.isdir(p) else os.path.getsize(p))
+    except OSError:
+        nbytes = 0
+    if nbytes > 32 * 1024 * 1024:
+        clicks = clicks.hint("SHUFFLE_HASH")
     return attribution_join(
-        e.filter(F.col("event_type") == "view"),
-        e.filter(F.col("event_type") == "click").hint("SHUFFLE_HASH"))
+        e.filter(F.col("event_type") == "view"), clicks)
 
 
 @query(
