@@ -662,7 +662,9 @@ def apply_index_increment(bdf: "DataFrame", post_dir: str,
         # test_stream_index_update_multi_batch_append_equals_rebuild.
         # Writing both deltas to a neutral staging dir first (no
         # cached plan depends on it) materializes them from the
-        # pre-append state; the commits are then pure file appends.
+        # pre-append state; the commits are then per-file moves into
+        # the store (round 12: under the epoch-prefix names that make
+        # crashed-replay purge possible — module note at _epoch_prefix).
         # (Staging isolates the READ side from the write — it does not
         # make the two commits atomic; see the commit-order note below
         # for the crash-between-appends story.)
