@@ -46,52 +46,49 @@ _EDITED_THIS_ROUND = [
     # green rows predate the change, so they outrank everything the history
     # says is current.  Update per round alongside the round's edits.
     #
-    # Round 12. New queries (never certified, lead without entries, listed
-    # for the test_edited_this_round guard): dedup_substring (exact-
-    # substring suffix-array-shape dedup), similarity_ann_quantized
-    # (IVF-SQ8 composition).
-    "dedup_substring",
-    "similarity_ann_quantized",
-    # events_interval_join: round-12 plan conversion (click side
-    # broadcast -> SIZE-GATED SHUFFLE_HASH; the serial fact-sized
-    # broadcast build was the 6.5x constant at replica scale, while
-    # broadcast wins 1.8x at sf0.1 — BASELINE §4 round-12 dissection).
-    # Identity bit-equal at sf0.01, oracle unchanged — plan changed,
-    # so it re-certifies:
+    # Round 13. The nine TPC-H-shape queries whose fact-scaled dimension
+    # hints (customer/supplier/part) converted from static F.broadcast to
+    # the stats-gated catalog.gated_broadcast (VERDICT r12 item 1 — the
+    # round's one systemic demerit). At sf0.01/sf0.1 the gate selects the
+    # broadcast arm, so plans and values are bit-identical to the certified
+    # rows, but the join-side HINT SELECTION LOGIC changed, so all nine
+    # re-certify (q17 is also in the stale r10 cohort — zero extra slots):
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    # events_interval_join: its private scandir gate moved onto the shared
+    # catalog.dataset_nbytes primitive (ADVICE r12 — recursive walk for
+    # partitioned layouts; unknown size now falls to the SHUFFLE_HASH arm,
+    # never broadcast). Same arm selected at every fixture scale, but the
+    # selection code changed, so it re-certifies:
     "events_interval_join",
-    # similarity_quantize_int8 / _recall: the shared oracle CTE gained
-    # the coalesce(list_max, 0) empty-vector guard (ADVICE r11). Values
-    # provably identical on the fixed-width fixture, but the ORACLE
-    # TEXT the driver hashes against changed, so both re-certify:
-    "similarity_quantize_int8",
+    # similarity_quantize_recall / similarity_ann_quantized: their qd
+    # oracle CTEs gained the coalesce(list_sum, 0) empty-vector guard
+    # (ADVICE r12 — same divergence class as r12's list_max guard).
+    # Values provably identical on the fixed-width fixture, but the
+    # ORACLE TEXT the driver hashes against changed, so both re-certify:
     "similarity_quantize_recall",
-    # The eight storage-lifecycle parities: round 12 replaced the
-    # append verbs' spark-append commit with the purge+epoch-prefix
-    # move (crash-window fix, tests/test_crash_recovery.py). Result
-    # ROWS are provably unchanged (same staged deltas, different file
-    # naming at rest), but the implementing verbs changed, so every
-    # parity that commits through them re-certifies:
-    "stream_index_update_parity",
-    "stream_index_delete_parity",
-    "stream_index_multi_tick_parity",
-    "stream_ann_index_parity",
-    "stream_ann_index_delete_parity",
-    "stream_lsh_index_delete_parity",
-    "stream_dq_gate_parity",
-    "dedup_index_compact",
-    # Round-12 carve-outs (files edited, NO forcing — each provably
-    # leaves every registered result unchanged, oracle-rechecked at
-    # all three fixture scales post-change):
-    #  - dedup.py / similarity.py pure additions (dedup_substring +
-    #    remove_repeated_substrings; ann_topk_ivf_quantized +
-    #    similarity_ann_quantized): appended functions only; no
-    #    pre-existing plan touched.
-    #  - streaming/parity.py additions beyond the forced verbs
-    #    (recover_index_stage, _epoch_prefix/_purge_epoch_files/
-    #    _move_commit helpers): new code paths reached only by the
-    #    forced parities above and the crash tests.
-    #  - relational.py q5/q7 docstring-only size-assumption notes
-    #    (ADVICE r11): comments, no plan bytes changed.
+    "similarity_ann_quantized",
+    # Round-13 carve-outs (files edited, NO forcing — each provably
+    # leaves every registered result unchanged):
+    #  - streaming/parity.py recover_index_stage: added the unique-
+    #    basename contract assert (ADVICE r12). Reached ONLY by crash
+    #    recovery (tests/test_crash_recovery.py), never by a clean
+    #    driver run; all current callers pass unique basenames.
+    #  - streaming/parity.py _move_commit: added the finally-sweep of
+    #    this call's ._tmp_{prefix}* debris (ADVICE r12). The sweep
+    #    deletes only dot-hidden temp names Spark's file index and the
+    #    oracle's *.parquet globs both already ignore, after every
+    #    successful move has renamed its tmp away — committed bytes
+    #    and result rows are untouched on every path (re-verified
+    #    locally: stream_index_update_parity value-hash unchanged
+    #    pre/post edit via tools/oracle_check.py).
 ]
 
 

@@ -226,6 +226,78 @@ def _path_fingerprint(path: str) -> tuple:
     return tuple(sorted(out))
 
 
+# On-disk parquet bytes above which a dimension table is no longer
+# force-broadcast (see gated_broadcast). 32 MiB of snappy parquet is
+# ~150-250 MB as an in-memory HashedRelation — already near the
+# practical per-executor broadcast ceiling, and the same constant the
+# events interval join's gate validated with two decades of margin on
+# each side (sf0.1 = 2 MB broadcast-wins, 10M-row replica = 156 MB
+# shuffle-wins). One constant, one decision rule, everywhere a
+# linearly-scaling table feeds a join-side hint.
+BROADCAST_GATE_BYTES = 32 * 1024 * 1024
+
+
+def dataset_nbytes(path: str) -> int | None:
+    """Recursive on-disk size of a parquet dataset, or None when the
+    size CANNOT be determined (absent path, permission error, or a
+    non-local URI this process can't stat).
+
+    os.walk (not a one-level scandir) so partitioned/nested layouts
+    (`k=v/` subdirs) count their contents rather than their directory
+    inodes (ADVICE r12). Callers MUST treat None as "assume large":
+    at the 100 TB target the table lives behind an object-store URI
+    precisely where local stats fail, and defaulting the unknown arm
+    to broadcast is the OOM the gate exists to prevent. (On a real
+    cluster this helper is where Hadoop FS content-summary / catalog
+    stats plug in; the decision rule downstream is unchanged.)"""
+    if "://" in path:
+        return None
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        if not os.path.isdir(path):
+            return None
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for fname in files:
+                total += os.path.getsize(os.path.join(root, fname))
+        return total
+    except OSError:
+        return None
+
+
+def gated_broadcast(df: DataFrame, sf_dir: str, table: str,
+                    cutoff_bytes: int = BROADCAST_GATE_BYTES) -> DataFrame:
+    """Stats-gated join-side hint for a LINEARLY-SCALING dimension (or
+    a filtered cut of one): ``F.broadcast`` while the source table's
+    on-disk parquet is provably small, ``SHUFFLE_HASH`` above the
+    cutoff or when the size is unknown.
+
+    This is the cost-based-optimizer decision made from table stats —
+    the same one-file-stat pattern the events interval join validated
+    (streaming/queries.py) — replacing the static ``F.broadcast``
+    hints that VERDICT r12 flagged: TPC-H customer/supplier/part scale
+    with sf, so at the 100 TB target an unconditional hint forces a
+    multi-billion-row broadcast build and OOMs (AQE cannot override an
+    explicit hint). Below the cutoff the broadcast arm keeps today's
+    benchmarked plans bit-for-bit (sf0.1 dims are KB-to-sub-MB — two
+    decades of margin); above it the SHUFFLE_HASH arm hashes the dim
+    side after a shuffle — no sort of the fact side, build sized by
+    dim selectivity x shuffle-partition count, the shape that survives
+    any scale-up. The gate stats the SOURCE table, not the cut fed to
+    the join: a filtered slice of a fact-scaled table still scales
+    linearly, so the proxy is conservative exactly when it must be.
+
+    Constant-size tables (nation=25, region=5, O(1) aggregates) keep
+    their static ``F.broadcast`` — a gate on those is noise."""
+    nbytes = dataset_nbytes(table_path(sf_dir, table))
+    from pyspark.sql import functions as F
+
+    if nbytes is not None and nbytes <= cutoff_bytes:
+        return F.broadcast(df)
+    return df.hint("SHUFFLE_HASH")
+
+
 def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Ensure at least one scan partition per core.
 

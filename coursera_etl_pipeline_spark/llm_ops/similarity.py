@@ -1066,7 +1066,13 @@ def similarity_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH qz AS ({_duck_quantized()}),
     qd AS (
       SELECT vec_id, q,
-             CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS qq
+             -- coalesce: DuckDB's list_sum is NULL on an empty list
+             -- while Spark's aggregate(q, 0L, ...) is 0, and a NULL
+             -- qq silently skips the qq = 0 CASE arm below (ADVICE
+             -- r12 — same empty-vector guard as _duck_quantized's
+             -- coalesce(list_max, 0))
+             CAST(coalesce(list_sum(list_transform(q, v -> v * v)), 0)
+                  AS BIGINT) AS qq
       FROM qz
     ),
     exact AS (
@@ -1231,7 +1237,13 @@ def ann_topk_ivf_quantized(emb: DataFrame, k: int = TOP_K,
     qz AS ({_duck_quantized()}),
     qd AS (
       SELECT vec_id, q,
-             CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS qq
+             -- coalesce: DuckDB's list_sum is NULL on an empty list
+             -- while Spark's aggregate(q, 0L, ...) is 0, and a NULL
+             -- qq silently skips the qq = 0 CASE arm below (ADVICE
+             -- r12 — same empty-vector guard as _duck_quantized's
+             -- coalesce(list_max, 0))
+             CAST(coalesce(list_sum(list_transform(q, v -> v * v)), 0)
+                  AS BIGINT) AS qq
       FROM qz
     ),
     annq AS (

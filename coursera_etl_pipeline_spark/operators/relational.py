@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from coursera_etl_pipeline_spark.catalog import load_table, views
+from coursera_etl_pipeline_spark.catalog import gated_broadcast, load_table, views
 from coursera_etl_pipeline_spark.registry import (
     davg,
     dsum,
@@ -193,13 +193,19 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
        knob a 100 TB deployment already sizes for its executors.
 
     Values bit-identical (inner-join reassociation + join-strategy
-    hint only); the oracle SQL is unchanged."""
+    hint only); the oracle SQL is unchanged.
+
+    Round 13: the customer-cut broadcast is SIZE-GATED
+    (catalog.gated_broadcast, VERDICT r12) — broadcast while the
+    customer table's parquet is under 32 MiB, SHUFFLE_HASH above,
+    since the BUILDING cut scales linearly with sf and a forced
+    broadcast OOMs at the 100 TB target."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
-    o_cut = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    o_cut = (o.join(gated_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
              .select("o_orderkey", "o_orderdate")
              .hint("SHUFFLE_HASH"))
     return (
@@ -258,14 +264,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged, the orders exchange shrinks ~5x and SHUFFLE_HASH on it
     removes the lineitem-side sort.
 
-    SIZE ASSUMPTION (ADVICE r11): the explicit F.broadcast on the 20%
-    customer slice bypasses the 64MB autoBroadcast guard — sized for
-    the benchmarked envelope (sf100 on SPARK_GRAFT_DRIVER_MEM=48g,
-    ~3M-row slice). Well past that envelope, or on small-memory
-    drivers, drop the hint and let AQE's runtime-size broadcast decide
-    once stats make the cut visible; the dim-first plan shape (cut
-    BEFORE the fact-fact shuffle) is what matters, not the forced
-    broadcast. Interleaved A/B
+    Round 13 (VERDICT r12): the customer-slice and supplier
+    broadcasts are SIZE-GATED (catalog.gated_broadcast) — broadcast
+    inside the benchmarked small-table envelope, SHUFFLE_HASH once
+    the source table's parquet passes 32 MiB, because both tables
+    scale linearly with sf and a forced broadcast OOMs at the 100 TB
+    target. The dim-first plan shape (cut BEFORE the fact-fact
+    shuffle) is unchanged on both arms. Interleaved A/B
     (tools/ab_q5_dimfirst_r11.py, identity bit-equal at sf0.01):
     sf10 3/4 cycle wins (medians 3.06 -> 2.62), sf100 3/3 wins
     (27.8 -> 20.1, and the new arm holds steady while the old decays
@@ -289,12 +294,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                     c.c_nationkey == F.col("n_nationkey"))
              .select("c_custkey", F.col("c_nationkey").alias("_c_nk"),
                      "n_name"))
-    o_cut = (o.join(F.broadcast(c_cut), o.o_custkey == c_cut.c_custkey)
+    o_cut = (o.join(gated_broadcast(c_cut, sf_dir, "customer"),
+                    o.o_custkey == c_cut.c_custkey)
              .select("o_orderkey", "_c_nk", "n_name")
              .hint("SHUFFLE_HASH"))
     return (
         li.join(o_cut, li.l_orderkey == o_cut.o_orderkey)
-        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+        .join(gated_broadcast(s, sf_dir, "supplier"), (li.l_suppkey == s.s_suppkey)
               & (F.col("_c_nk") == s.s_nationkey))
         .groupBy("n_name")
         .agg(F.expr(hi).alias("_hi"), F.expr(lo).alias("_lo"))
@@ -719,13 +725,15 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional aggregation over a broadcast
     dimension join — one scalar out, zero rows shuffled beyond the
-    partial aggregates."""
+    partial aggregates. part scales linearly with sf, so the hint is
+    size-gated (catalog.gated_broadcast, VERDICT r12): SHUFFLE_HASH
+    past 32 MiB of parquet instead of an OOM-bound forced broadcast."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-02-01").cast("timestamp")))
     p = load_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(gated_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
         .agg(
             F.expr(dsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")).alias("a"),
             F.expr(dsum("l_extendedprice * (1 - l_discount)")).alias("b"))
@@ -745,7 +753,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: OR-of-ANDs across both join sides — Catalyst
-    extracts the common join key and pushes per-side conjuncts."""
+    extracts the common join key and pushes per-side conjuncts. The
+    part hint is size-gated (catalog.gated_broadcast, VERDICT r12)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     cond = (
@@ -754,7 +763,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("p_type").like("PROMO%") & (F.col("l_quantity") >= 40))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(gated_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(F.count(F.lit(1)).alias("n"),
              F.expr(dsum("l_extendedprice * (1 - l_discount)")).alias("revenue"))
@@ -779,7 +788,10 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: IN over an aggregated subquery (semi join of
-    the fact table against its own aggregate) + top-k."""
+    the fact table against its own aggregate) + top-k. The FULL
+    customer table joins here, so its hint is size-gated
+    (catalog.gated_broadcast, VERDICT r12): at the 100 TB target the
+    static broadcast this query used to carry is the textbook OOM."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -791,7 +803,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(big.withColumnRenamed("l_orderkey", "big_key"),
                 F.col("l_orderkey") == F.col("big_key"), "left_semi")
         .join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(gated_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "o_orderkey")
         .agg(F.expr(dsum("l_quantity")).alias("total_qty"))
         .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
@@ -905,8 +917,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: who returned the most revenue last quarter —
-    fact-fact join shuffles once on orderkey; customer and nation are
-    broadcast; top-k plans TakeOrderedAndProject."""
+    fact-fact join shuffles once on orderkey; nation broadcasts
+    statically (25 rows forever); the FULL customer table's hint is
+    size-gated (catalog.gated_broadcast, VERDICT r12) because it
+    scales linearly with sf."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -915,7 +929,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(gated_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.expr(dsum("l_extendedprice * (1 - l_discount)")).alias("revenue"))
@@ -972,12 +986,12 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffling two full fact tables and shuffling their dim-selected
     8% slices.
 
-    SIZE ASSUMPTION (ADVICE r11): as in q5, the explicit F.broadcast
-    on the 8% supplier/customer slices bypasses the 64MB autoBroadcast
-    guard and is sized for the benchmarked envelope (sf100 on a 48g
-    driver). Beyond it, drop the hints and let AQE's runtime-size
-    broadcast decide — the dim-first cut placement is the load-bearing
-    part of the rewrite, not the forced hint."""
+    Round 13 (VERDICT r12): the 8% supplier/customer slice broadcasts
+    are SIZE-GATED (catalog.gated_broadcast) — broadcast inside the
+    small-table envelope, SHUFFLE_HASH once the source table's
+    parquet passes 32 MiB. The dim-first cut placement — the
+    load-bearing part of the rewrite — is identical on both arms;
+    only the join strategy that attaches the cut flips with scale."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders")
@@ -993,8 +1007,10 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_cut = (c.join(F.broadcast(n2.filter(F.col("cust_nation").isin(*nations))),
                     F.col("c_nationkey") == F.col("n2_key"))
              .select("c_custkey", "cust_nation"))
-    li_cut = li.join(F.broadcast(s_cut), li.l_suppkey == F.col("s_suppkey"))
-    o_cut = (o.join(F.broadcast(c_cut), o.o_custkey == F.col("c_custkey"))
+    li_cut = li.join(gated_broadcast(s_cut, sf_dir, "supplier"),
+                     li.l_suppkey == F.col("s_suppkey"))
+    o_cut = (o.join(gated_broadcast(c_cut, sf_dir, "customer"),
+                    o.o_custkey == F.col("c_custkey"))
              .select("o_orderkey", "cust_nation")
              .hint("SHUFFLE_HASH"))
     pair = (
@@ -1069,8 +1085,11 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of a region's yearly order
     volume — six-table join where every dimension chain (supplier->
-    nation, customer->nation->region) broadcasts; only the lineitem x
-    orders join shuffles."""
+    nation, customer->nation->region) attaches without shuffling the
+    facts at fixture scale; only the lineitem x orders join shuffles.
+    The supplier and customer hints are size-gated
+    (catalog.gated_broadcast, VERDICT r12) — both scale linearly with
+    sf; nation/region stay static broadcasts (25/5 rows forever)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
@@ -1082,8 +1101,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     vol = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(gated_broadcast(s, sf_dir, "supplier"), li.l_suppkey == s.s_suppkey)
+        .join(gated_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"))
@@ -1153,13 +1172,15 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated average — each line compared against
     its part's mean quantity. The correlated subquery becomes one
     aggregate of lineitem re-joined on partkey (computed once, not per
-    row), then the threshold filter."""
+    row), then the threshold filter. The Brand#13 part cut scales
+    linearly with sf, so its hint is size-gated
+    (catalog.gated_broadcast, VERDICT r12)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
     avg_q = (li.groupBy(F.col("l_partkey").alias("avg_pk"))
              .agg(F.expr(davg("l_quantity")).alias("avg_qty")))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(gated_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
         .join(avg_q, li.l_partkey == F.col("avg_pk"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(F.round(F.expr(dsum("l_extendedprice")) / 7.0, 6).alias("avg_yearly"),

@@ -467,21 +467,40 @@ def _move_commit(stage_subdir: str, dest_dir: str, prefix: str) -> None:
     single atomic os.replace calls; cross-device falls back to a copy
     into a dot-hidden temp name inside dest_dir (invisible to Spark's
     file index and to `*.parquet` globs) followed by the atomic
-    rename — a reader never observes a torn file either way."""
+    rename — a reader never observes a torn file either way.
+
+    The cross-device fallback can crash between copy2 and the final
+    rename; epoch callers purge that debris on replay (their prefix is
+    re-visited by _purge_epoch_files), but epoch-LESS batch callers
+    get a per-call unique prefix that is never revisited, so without
+    the finally-sweep below a crashed call would leak its ._tmp_ files
+    in the destination forever (ADVICE r12). The sweep is confined to
+    THIS call's prefix — the lifecycles are single-writer per store,
+    so no concurrent attempt can share it — and runs after the loop
+    too, where every successfully-moved tmp name has already been
+    renamed away and anything left is debris by definition."""
     import shutil
 
     os.makedirs(dest_dir, exist_ok=True)
-    for nm in sorted(os.listdir(stage_subdir)):
-        if not nm.endswith(".parquet") or nm.startswith(("_", ".")):
-            continue
-        src = os.path.join(stage_subdir, nm)
-        dst = os.path.join(dest_dir, prefix + nm)
-        try:
-            os.replace(src, dst)
-        except OSError:
-            tmp = os.path.join(dest_dir, f"._tmp_{prefix}{nm}")
-            shutil.copy2(src, tmp)
-            os.replace(tmp, dst)
+    try:
+        for nm in sorted(os.listdir(stage_subdir)):
+            if not nm.endswith(".parquet") or nm.startswith(("_", ".")):
+                continue
+            src = os.path.join(stage_subdir, nm)
+            dst = os.path.join(dest_dir, prefix + nm)
+            try:
+                os.replace(src, dst)
+            except OSError:
+                tmp = os.path.join(dest_dir, f"._tmp_{prefix}{nm}")
+                shutil.copy2(src, tmp)
+                os.replace(tmp, dst)
+    finally:
+        for nm in os.listdir(dest_dir):
+            if nm.startswith(f"._tmp_{prefix}"):
+                try:
+                    os.remove(os.path.join(dest_dir, nm))
+                except OSError:
+                    pass
 
 
 def recover_index_stage(spark: SparkSession, stage: str,
@@ -500,6 +519,19 @@ def recover_index_stage(spark: SparkSession, stage: str,
     a crash inside recovery — converges to the same state. Marker
     re-seal runs strictly AFTER every data commit: a sealed epoch must
     imply its data is present."""
+    # The `_markers` snapshot is keyed by destination BASENAME
+    # (_preserve_markers writes `{stage}/_markers/{basename(dest)}`),
+    # so two destinations sharing a basename would already collide at
+    # snapshot time and one would silently lose its re-seal here,
+    # letting a replayed epoch double-apply after recovery (ADVICE
+    # r12). No current lifecycle uses colliding basenames — make that
+    # a contract instead of an accident, and refuse BEFORE any data
+    # commit (a half-recovered store is worse than a refused call):
+    bases = [os.path.basename(d.rstrip("/")) for d in dests.values()]
+    if len(set(bases)) != len(bases):
+        raise ValueError(
+            f"recover_index_stage: destination basenames must be "
+            f"unique (the _markers snapshot is basename-keyed): {bases}")
     for name, dest in dests.items():
         (spark.read.parquet(os.path.join(stage, name))
          .write.mode("overwrite").parquet(dest))

@@ -111,23 +111,20 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     with one file-stat because Spark's broadcast bound (64MB of
     ESTIMATED plan size) demonstrably mis-prices the serial build cost
     near its ceiling. At 100 TB the gate always selects the shuffle
-    arm. (The r8 negative stands unchanged: time-bucket banding
+    arm: the stat recurses nested/partitioned layouts and an UNKNOWN
+    size (non-local URI, stat error) falls to the SHUFFLE_HASH arm,
+    never the broadcast one (ADVICE r12 — catalog.dataset_nbytes is
+    the shared gate primitive, also behind the q-series' dimension
+    gates). (The r8 negative stands unchanged: time-bucket banding
     doubles the probe side for nothing at this per-user/hour density —
     2.8x slower then, not retried.)"""
-    import os
-
-    from coursera_etl_pipeline_spark.catalog import table_path
+    from coursera_etl_pipeline_spark.catalog import dataset_nbytes, table_path
     from coursera_etl_pipeline_spark.streaming.joins import attribution_join
 
     e = load_table(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click")
-    p = table_path(sf_dir, "events")
-    try:
-        nbytes = (sum(f.stat().st_size for f in os.scandir(p))
-                  if os.path.isdir(p) else os.path.getsize(p))
-    except OSError:
-        nbytes = 0
-    if nbytes > 32 * 1024 * 1024:
+    nbytes = dataset_nbytes(table_path(sf_dir, "events"))
+    if nbytes is None or nbytes > 32 * 1024 * 1024:
         clicks = clicks.hint("SHUFFLE_HASH")
     return attribution_join(
         e.filter(F.col("event_type") == "view"), clicks)

@@ -64,3 +64,43 @@ def test_package_lazy_api_resolves_every_name():
 
     for name in pkg.__all__:
         assert callable(getattr(pkg, name)), name
+
+
+def test_dataset_nbytes_recurses_partitioned_layout(tmp_path):
+    """ADVICE r12: a partitioned/nested dataset must count file CONTENTS,
+    not immediate-entry inode sizes — a one-level scandir under-counts
+    and would flip the broadcast gate to the OOM arm at exactly the
+    layouts a large table ships in."""
+    from coursera_etl_pipeline_spark.catalog import dataset_nbytes
+
+    d = tmp_path / "t.parquet"
+    (d / "k=1").mkdir(parents=True)
+    (d / "k=2" / "j=x").mkdir(parents=True)
+    (d / "k=1" / "part-0.parquet").write_bytes(b"a" * 1000)
+    (d / "k=2" / "j=x" / "part-1.parquet").write_bytes(b"b" * 2345)
+    (d / "_SUCCESS").write_bytes(b"")
+    assert dataset_nbytes(str(d)) == 3345
+
+
+def test_dataset_nbytes_flat_file_and_dir(tmp_path):
+    from coursera_etl_pipeline_spark.catalog import dataset_nbytes
+
+    f = tmp_path / "flat.parquet"
+    f.write_bytes(b"x" * 512)
+    assert dataset_nbytes(str(f)) == 512
+    d = tmp_path / "ds.parquet"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"y" * 100)
+    (d / "part-1.parquet").write_bytes(b"z" * 150)
+    assert dataset_nbytes(str(d)) == 250
+
+
+def test_dataset_nbytes_unknown_is_none_never_zero(tmp_path):
+    """The gate treats None as 'assume large' -> shuffle arm; returning
+    0 for an unstatable path would select the broadcast arm for every
+    object-store table — the exact failure ADVICE r12 flagged."""
+    from coursera_etl_pipeline_spark.catalog import dataset_nbytes
+
+    assert dataset_nbytes(str(tmp_path / "absent.parquet")) is None
+    assert dataset_nbytes("s3a://bucket/warehouse/customer.parquet") is None
+    assert dataset_nbytes("hdfs://nn:8020/t.parquet") is None

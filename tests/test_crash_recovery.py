@@ -264,3 +264,62 @@ def test_dq_gate_crash_replay_delivers_batch_once(spark, tmp_path,
     assert _rows(spark.read.parquet(accept_dir)) == _rows(docs)
     assert not [f for f in os.listdir(reject_dir)
                 if f.endswith(".parquet")]
+
+
+def test_recover_rejects_colliding_destination_basenames(spark, tmp_path):
+    """ADVICE r12: the _markers snapshot is keyed by destination
+    BASENAME, so two dests sharing one (store/band vs tomb/band) would
+    silently merge their marker re-seals and let a replayed epoch
+    double-apply post-recovery. The contract is now explicit: recovery
+    refuses the layout instead of corrupting it."""
+    stage = tmp_path / "stage"
+    for sub in ("a", "b"):
+        spark.createDataFrame([(1,)], "x long").write.parquet(
+            str(stage / sub))
+    dests = {"a": str(tmp_path / "store" / "band"),
+             "b": str(tmp_path / "tomb" / "band")}
+    with pytest.raises(ValueError, match="basenames must be unique"):
+        parity.recover_index_stage(spark, str(stage), dests)
+
+
+def test_move_commit_sweeps_tmp_debris_on_crash(tmp_path, monkeypatch):
+    """ADVICE r12: the cross-device fallback could die between copy2
+    and the final rename; epoch callers purge that debris on replay,
+    but epoch-less batch callers never revisit their unique prefix —
+    the finally-sweep must leave zero ._tmp_ files behind."""
+    import shutil
+
+    stage = tmp_path / "stage"
+    dest = tmp_path / "dest"
+    stage.mkdir()
+    dest.mkdir()
+    (stage / "part-0.parquet").write_bytes(b"a" * 10)
+    (stage / "part-1.parquet").write_bytes(b"b" * 10)
+
+    real_replace = os.replace
+    real_copy2 = shutil.copy2
+    calls = {"n": 0}
+
+    def failing_replace(src, dst):
+        # force every direct move onto the cross-device fallback; the
+        # fallback's own rename (tmp -> final) is allowed through
+        if "._tmp_" in os.path.basename(src):
+            return real_replace(src, dst)
+        raise OSError(18, "Invalid cross-device link")
+
+    def crashing_copy2(src, dst):
+        calls["n"] += 1
+        real_copy2(src, dst)
+        if calls["n"] == 2:  # second file: die with its tmp in place
+            raise RuntimeError("simulated crash mid-copy")
+
+    monkeypatch.setattr(os, "replace", failing_replace)
+    monkeypatch.setattr(shutil, "copy2", crashing_copy2)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        parity._move_commit(str(stage), str(dest), "callXYZ_")
+    monkeypatch.undo()
+
+    names = sorted(os.listdir(dest))
+    assert not any(n.startswith("._tmp_") for n in names), names
+    # the first file's commit survived; the torn second never appeared
+    assert names == ["callXYZ_part-0.parquet"]

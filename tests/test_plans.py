@@ -340,3 +340,57 @@ def test_aqe_converts_smj_to_shuffled_hash(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_gated_broadcast_selects_arm_by_table_stats(spark, sf_dir, monkeypatch):
+    """VERDICT r12 item 1: the q-series' fact-scaled dimension hints
+    (customer/supplier/part) are stats-gated, not static. Below the
+    cutoff the certified broadcast plan is unchanged; above it — or
+    when the size is UNKNOWN — the dim side becomes a ShuffledHashJoin
+    build, never a forced broadcast. Both arms must return identical
+    rows (the gate flips join strategy, not semantics)."""
+    import coursera_etl_pipeline_spark.catalog as catalog
+    from coursera_etl_pipeline_spark.operators.relational import q10_returned_items
+
+    small_df = q10_returned_items(spark, sf_dir)
+    assert "BroadcastHashJoin" in plan_of(small_df)
+    rows_small = [r.asDict() for r in small_df.collect()]
+
+    for fake_stat in (lambda p: 10**12, lambda p: None):
+        monkeypatch.setattr(catalog, "dataset_nbytes", fake_stat)
+        big_df = q10_returned_items(spark, sf_dir)
+        assert "ShuffledHashJoin" in plan_of(big_df), \
+            "large/unknown dim stats must select the shuffle arm"
+        assert [r.asDict() for r in big_df.collect()] == rows_small
+    monkeypatch.undo()
+
+
+def test_gated_broadcast_cutoff_param_flips_arms(spark, sf_dir):
+    """Direct helper contract at real fixture stats: the sf0.001
+    customer table is under the default cutoff (broadcast arm) and
+    over a 1-byte cutoff (shuffle arm)."""
+    from coursera_etl_pipeline_spark.catalog import gated_broadcast, load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    bc = o.join(gated_broadcast(c, sf_dir, "customer"),
+                o.o_custkey == c.c_custkey)
+    assert "BroadcastHashJoin" in plan_of(bc)
+    sh = o.join(gated_broadcast(c, sf_dir, "customer", cutoff_bytes=1),
+                o.o_custkey == c.c_custkey)
+    assert "ShuffledHashJoin" in plan_of(sh)
+
+
+def test_interval_join_gate_unknown_size_takes_shuffle_arm(spark, sf_dir, monkeypatch):
+    """ADVICE r12: the events interval join's size gate must treat an
+    UNDETERMINABLE table size (object-store URI, stat error) as large
+    — the broadcast arm on an unknown fact-sized side is the OOM a
+    100 TB run cannot take. Small known size keeps the (faster at
+    sf0.1) broadcast arm; None flips to SHUFFLE_HASH."""
+    import coursera_etl_pipeline_spark.catalog as catalog
+    from coursera_etl_pipeline_spark.streaming.queries import events_interval_join
+
+    assert "BroadcastHashJoin" in plan_of(events_interval_join(spark, sf_dir))
+    monkeypatch.setattr(catalog, "dataset_nbytes", lambda p: None)
+    assert "ShuffledHashJoin" in plan_of(events_interval_join(spark, sf_dir))
+    monkeypatch.undo()
