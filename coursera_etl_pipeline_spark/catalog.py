@@ -267,7 +267,8 @@ def dataset_nbytes(path: str) -> int | None:
 
 
 def gated_broadcast(df: DataFrame, sf_dir: str, table: str,
-                    cutoff_bytes: int = BROADCAST_GATE_BYTES) -> DataFrame:
+                    cutoff_bytes: int = BROADCAST_GATE_BYTES,
+                    fraction: float = 1.0) -> DataFrame:
     """Stats-gated join-side hint for a LINEARLY-SCALING dimension (or
     a filtered cut of one): ``F.broadcast`` while the source table's
     on-disk parquet is provably small, ``SHUFFLE_HASH`` above the
@@ -288,12 +289,26 @@ def gated_broadcast(df: DataFrame, sf_dir: str, table: str,
     the join: a filtered slice of a fact-scaled table still scales
     linearly, so the proxy is conservative exactly when it must be.
 
+    ``fraction`` is the Selinger-style selectivity estimate for a
+    LITERAL equality/IN predicate already applied to ``df``, derived
+    from the predicate's DOMAIN CARDINALITY (one of 5 market
+    segments -> 0.2, 2 of 25 nations -> 0.08, one of 25 brands ->
+    0.04) — never from measuring the data, so it stays valid at any
+    sf under the fixtures' uniform generators, exactly like a CBO's
+    NDV-based estimate. The gate compares nbytes x fraction against
+    the cutoff: a heavily-cut slice of a large table broadcasts for
+    decades longer than its source (q7's 8% nation cut measured
+    1.5x faster broadcast at sf100 — BASELINE §4 round-13), while
+    still flipping to the shuffle arm once the SLICE itself reaches
+    broadcast-hostile size (a 20% slice of a 100 TB-scale customer
+    is still TB-scale). Default 1.0 = no predicate, pure table stat.
+
     Constant-size tables (nation=25, region=5, O(1) aggregates) keep
     their static ``F.broadcast`` — a gate on those is noise."""
     nbytes = dataset_nbytes(table_path(sf_dir, table))
     from pyspark.sql import functions as F
 
-    if nbytes is not None and nbytes <= cutoff_bytes:
+    if nbytes is not None and nbytes * fraction <= cutoff_bytes:
         return F.broadcast(df)
     return df.hint("SHUFFLE_HASH")
 

@@ -196,16 +196,21 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     hint only); the oracle SQL is unchanged.
 
     Round 13: the customer-cut broadcast is SIZE-GATED
-    (catalog.gated_broadcast, VERDICT r12) — broadcast while the
-    customer table's parquet is under 32 MiB, SHUFFLE_HASH above,
-    since the BUILDING cut scales linearly with sf and a forced
-    broadcast OOMs at the 100 TB target."""
+    (catalog.gated_broadcast, VERDICT r12) at selectivity 0.2 — the
+    BUILDING predicate keeps 1 of 5 market segments, so the gate
+    prices the SLICE (Selinger-style domain-cardinality estimate),
+    broadcasting while slice bytes stay under 32 MiB and flipping to
+    SHUFFLE_HASH past it; the cut scales linearly with sf, so a
+    static broadcast OOMs at the 100 TB target. K=1000 arm A/B
+    measured the arms TIED here (10.4 vs 9.9 medians, BASELINE §4
+    round-13), so the flip point is cost-neutral where measured."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
-    o_cut = (o.join(gated_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
+    o_cut = (o.join(gated_broadcast(c, sf_dir, "customer", fraction=0.2),
+                    o.o_custkey == c.c_custkey)
              .select("o_orderkey", "o_orderdate")
              .hint("SHUFFLE_HASH"))
     return (
@@ -265,12 +270,16 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     removes the lineitem-side sort.
 
     Round 13 (VERDICT r12): the customer-slice and supplier
-    broadcasts are SIZE-GATED (catalog.gated_broadcast) — broadcast
-    inside the benchmarked small-table envelope, SHUFFLE_HASH once
-    the source table's parquet passes 32 MiB, because both tables
+    broadcasts are SIZE-GATED (catalog.gated_broadcast) — the ASIA
+    slice at selectivity 0.2 (5 of 25 nations, Selinger-style
+    domain-cardinality estimate, so the gate prices the slice) and
+    supplier at its full table stat. Broadcast inside the small
+    envelope, SHUFFLE_HASH once slice bytes pass 32 MiB: both tables
     scale linearly with sf and a forced broadcast OOMs at the 100 TB
     target. The dim-first plan shape (cut BEFORE the fact-fact
-    shuffle) is unchanged on both arms. Interleaved A/B
+    shuffle) is unchanged on both arms; the K=1000 arm A/B saw no
+    broadcast advantage through heavy weather (gated medians at or
+    below the old arm's — BASELINE §4 round-13). Interleaved A/B
     (tools/ab_q5_dimfirst_r11.py, identity bit-equal at sf0.01):
     sf10 3/4 cycle wins (medians 3.06 -> 2.62), sf100 3/3 wins
     (27.8 -> 20.1, and the new arm holds steady while the old decays
@@ -294,7 +303,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                     c.c_nationkey == F.col("n_nationkey"))
              .select("c_custkey", F.col("c_nationkey").alias("_c_nk"),
                      "n_name"))
-    o_cut = (o.join(gated_broadcast(c_cut, sf_dir, "customer"),
+    o_cut = (o.join(gated_broadcast(c_cut, sf_dir, "customer", fraction=0.2),
                     o.o_custkey == c_cut.c_custkey)
              .select("o_orderkey", "_c_nk", "n_name")
              .hint("SHUFFLE_HASH"))
@@ -787,25 +796,50 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: IN over an aggregated subquery (semi join of
-    the fact table against its own aggregate) + top-k. The FULL
-    customer table joins here, so its hint is size-gated
-    (catalog.gated_broadcast, VERDICT r12): at the 100 TB target the
-    static broadcast this query used to carry is the textbook OOM."""
+    """TPC-H Q18 shape: IN over an aggregated subquery + top-k.
+
+    Round-13 EAGER-AGGREGATION rewrite (with the gate conversion).
+    The old plan aggregated lineitem TWICE (once for the HAVING
+    subquery, once for the output sum) and pushed the fact table
+    through a semi join, an orders join, and a customer join before
+    collapsing — so the customer join's probe side was fact-sized,
+    the site whose forced broadcast the r12 verdict flagged (and
+    whose arm A/B at K=1000 measured as a weather-tie: BASELINE §4
+    round-13). Both sums are per-order sums of the SAME rows, and
+    the output grouping keys (c_custkey, o_orderkey) are functionally
+    determined by o_orderkey (orders PK; customer PK makes the later
+    joins 1-or-0 per row, commuting with the aggregate): so compute
+    ONE groupBy(l_orderkey) carrying both the DECIMAL having-sum and
+    the micros output-sum, filter > 120, and join orders + customer
+    against the FILTERED AGGREGATE — one scan and one shuffle of
+    lineitem instead of two of each, and every later join sees
+    aggregate-sized input at any scale. The customer membership
+    filter is a left-semi on the gated hint (c_custkey unique, so
+    semi == the oracle's inner join; orphaned custkeys — which
+    dq_audit_orders exists to count — drop identically in both
+    plans). Values bit-identical; oracle unchanged. Measured at
+    K=1000 (~sf100): 118/140 s samples inside the same-session arm
+    A/B's 69-130 s weather band — wall-clock is DOMINATED by the
+    unavoidable 600M-row per-order aggregate on every arm, so the
+    rewrite's local effect is a wash; what it buys is structural
+    (one scan + one wide shuffle of lineitem instead of two scans,
+    and no fact-sized probe into the customer join at any scale) —
+    see BASELINE §4 round-13."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    big = (li.groupBy("l_orderkey")
-           .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("q"))
-           .filter(F.col("q") > 120)
-           .select("l_orderkey"))
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("q"),
+             F.expr(dsum("l_quantity")).alias("total_qty"))
+        .filter(F.col("q") > 120))
     return (
-        li.join(big.withColumnRenamed("l_orderkey", "big_key"),
-                F.col("l_orderkey") == F.col("big_key"), "left_semi")
+        per_order
         .join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(gated_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "o_orderkey")
-        .agg(F.expr(dsum("l_quantity")).alias("total_qty"))
+        .join(gated_broadcast(c.select("c_custkey"), sf_dir, "customer"),
+              o.o_custkey == c.c_custkey, "left_semi")
+        .select(F.col("o_custkey").alias("c_custkey"), "o_orderkey",
+                "total_qty")
         .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
         .limit(20)
     )
@@ -916,23 +950,44 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: who returned the most revenue last quarter —
-    fact-fact join shuffles once on orderkey; nation broadcasts
-    statically (25 rows forever); the FULL customer table's hint is
-    size-gated (catalog.gated_broadcast, VERDICT r12) because it
-    scales linearly with sf."""
+    """TPC-H Q10 shape: who returned the most revenue last quarter.
+
+    Round-13 EAGER-AGGREGATION rewrite (with the gate conversion): the
+    old plan joined the fact-fact result against customer FIRST and
+    aggregated after, so the custkey exchange carried wide rows
+    (c_name strings and all) at fact cardinality, and the customer
+    join's input was fact-sized — the exact site the r12 verdict
+    flagged for its forced broadcast. The aggregate's grouping keys
+    (c_custkey, c_name, n_name) are functionally determined by
+    o_custkey (c_custkey is the customer PK, so the inner join is
+    1-or-0 per row and commutes with a groupBy on the join key):
+    aggregate revenue by o_custkey BELOW the dim joins, then attach
+    customer/nation to the COLLAPSED result (<= one row per customer).
+    The custkey shuffle now carries (custkey, micros) pairs, the
+    customer join sees aggregate-sized input whatever the scale, and
+    the top-k stays TakeOrderedAndProject. Values bit-identical
+    (same dsum over the same rows; join-agg reorder exact under the
+    PK); oracle unchanged. Customer's hint remains size-gated
+    (catalog.gated_broadcast — it scales linearly with sf); nation
+    broadcasts statically (25 rows forever). Measured at K=1000
+    (~sf100): 8.3 s median vs the r13 gated-late-join arm's 11.4 and
+    the r11 static-broadcast row's 15.1; ratio vs DuckDB 4.9x -> 3.4x
+    — see BASELINE §4 round-13."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp")))
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load_table(spark, sf_dir, "nation")
-    return (
+    rev = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(gated_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey")
+        .agg(F.expr(dsum("l_extendedprice * (1 - l_discount)")).alias("revenue")))
+    return (
+        rev.join(gated_broadcast(c, sf_dir, "customer"),
+                 rev.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.expr(dsum("l_extendedprice * (1 - l_discount)")).alias("revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -987,9 +1042,14 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     8% slices.
 
     Round 13 (VERDICT r12): the 8% supplier/customer slice broadcasts
-    are SIZE-GATED (catalog.gated_broadcast) — broadcast inside the
-    small-table envelope, SHUFFLE_HASH once the source table's
-    parquet passes 32 MiB. The dim-first cut placement — the
+    are SIZE-GATED (catalog.gated_broadcast) at selectivity 0.08
+    (2 of 25 nations — Selinger-style domain-cardinality estimate, so
+    the gate prices the SLICE, not the source table). The K=1000 arm
+    A/B measured the slice broadcast 1.5x faster than the shuffle arm
+    (5.4 vs 8.1 medians, tight samples — BASELINE §4 round-13), and
+    the fraction keeps exactly that winning arm at sf100 (168 MB x
+    0.08 = 13 MB < 32 MiB) while still flipping once the slice itself
+    reaches broadcast-hostile size. The dim-first cut placement — the
     load-bearing part of the rewrite — is identical on both arms;
     only the join strategy that attaches the cut flips with scale."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -1007,9 +1067,9 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_cut = (c.join(F.broadcast(n2.filter(F.col("cust_nation").isin(*nations))),
                     F.col("c_nationkey") == F.col("n2_key"))
              .select("c_custkey", "cust_nation"))
-    li_cut = li.join(gated_broadcast(s_cut, sf_dir, "supplier"),
+    li_cut = li.join(gated_broadcast(s_cut, sf_dir, "supplier", fraction=0.08),
                      li.l_suppkey == F.col("s_suppkey"))
-    o_cut = (o.join(gated_broadcast(c_cut, sf_dir, "customer"),
+    o_cut = (o.join(gated_broadcast(c_cut, sf_dir, "customer", fraction=0.08),
                     o.o_custkey == F.col("c_custkey"))
              .select("o_orderkey", "cust_nation")
              .hint("SHUFFLE_HASH"))
@@ -1174,13 +1234,16 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate of lineitem re-joined on partkey (computed once, not per
     row), then the threshold filter. The Brand#13 part cut scales
     linearly with sf, so its hint is size-gated
-    (catalog.gated_broadcast, VERDICT r12)."""
+    (catalog.gated_broadcast, VERDICT r12) at selectivity 0.04 —
+    1 of 25 brands, the Selinger-style domain-cardinality estimate,
+    so the gate prices the slice rather than the source table."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
     avg_q = (li.groupBy(F.col("l_partkey").alias("avg_pk"))
              .agg(F.expr(davg("l_quantity")).alias("avg_qty")))
     return (
-        li.join(gated_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
+        li.join(gated_broadcast(p, sf_dir, "part", fraction=0.04),
+                li.l_partkey == p.p_partkey)
         .join(avg_q, li.l_partkey == F.col("avg_pk"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(F.round(F.expr(dsum("l_extendedprice")) / 7.0, 6).alias("avg_yearly"),

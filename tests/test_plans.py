@@ -394,3 +394,28 @@ def test_interval_join_gate_unknown_size_takes_shuffle_arm(spark, sf_dir, monkey
     monkeypatch.setattr(catalog, "dataset_nbytes", lambda p: None)
     assert "ShuffledHashJoin" in plan_of(events_interval_join(spark, sf_dir))
     monkeypatch.undo()
+
+
+def test_gated_broadcast_fraction_prices_the_slice(spark, sf_dir):
+    """Selectivity-aware gating (BASELINE §4 round-13): `fraction` is
+    the Selinger-style domain-cardinality selectivity of a literal
+    predicate already applied to the slice, and the gate compares
+    table_bytes x fraction to the cutoff — so a heavily-cut slice of
+    a large table keeps its (measured-winning) broadcast arm long
+    after the full table flips."""
+    from coursera_etl_pipeline_spark.catalog import (
+        dataset_nbytes, gated_broadcast, load_table, table_path,
+    )
+
+    nbytes = dataset_nbytes(table_path(sf_dir, "customer"))
+    cutoff = nbytes // 2  # full table over, a 0.08 slice far under
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    full = o.join(gated_broadcast(c, sf_dir, "customer",
+                                  cutoff_bytes=cutoff),
+                  o.o_custkey == c.c_custkey)
+    assert "ShuffledHashJoin" in plan_of(full)
+    sliced = o.join(gated_broadcast(c, sf_dir, "customer",
+                                    cutoff_bytes=cutoff, fraction=0.08),
+                    o.o_custkey == c.c_custkey)
+    assert "BroadcastHashJoin" in plan_of(sliced)
