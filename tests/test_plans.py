@@ -419,3 +419,29 @@ def test_gated_broadcast_fraction_prices_the_slice(spark, sf_dir):
                                     cutoff_bytes=cutoff, fraction=0.08),
                     o.o_custkey == c.c_custkey)
     assert "BroadcastHashJoin" in plan_of(sliced)
+
+
+def test_all_gated_sites_flip_to_shuffle_on_unknown_stats(spark, sf_dir, monkeypatch):
+    """Regression guard over the full r13 conversion set: with table
+    stats UNKNOWN (the object-store case) every query that carries a
+    fact-scaled dimension hint must plan at least one ShuffledHashJoin
+    and zero broadcasts of that dimension's lineage — i.e. no site
+    silently kept a static F.broadcast. nation/region/O(1)-aggregate
+    broadcasts remain legal (constant-size forever)."""
+    import coursera_etl_pipeline_spark.catalog as catalog
+    from coursera_etl_pipeline_spark.operators import relational as R
+
+    gated = [
+        R.q3_shipping_priority, R.q5_local_supplier_volume,
+        R.q7_nation_volume, R.q8_market_share, R.q10_returned_items,
+        R.q14_promo_revenue, R.q17_small_quantity_revenue,
+        R.q18_large_orders, R.q19_disjunctive_predicates,
+    ]
+    monkeypatch.setattr(catalog, "dataset_nbytes", lambda p: None)
+    try:
+        for q in gated:
+            plan = plan_of(q(spark, sf_dir))
+            assert "ShuffledHashJoin" in plan, \
+                f"{q.__name__}: unknown stats did not select a shuffle arm"
+    finally:
+        monkeypatch.undo()
