@@ -252,13 +252,23 @@ def dataset_nbytes(path: str) -> int | None:
     stats plug in; the decision rule downstream is unchanged.)"""
     if "://" in path:
         return None
+
+    def _surface(err: OSError) -> None:
+        # os.walk swallows scandir errors by default (onerror=None),
+        # which would return a PARTIAL total — or 0 for an unreadable
+        # root — and 0 selects the broadcast arm: the exact
+        # 0-means-broadcast failure this function exists to prevent.
+        # Re-raise so every unreadable level lands in the except below
+        # and the caller sees None = "assume large".
+        raise err
+
     try:
         if os.path.isfile(path):
             return os.path.getsize(path)
         if not os.path.isdir(path):
             return None
         total = 0
-        for root, _dirs, files in os.walk(path):
+        for root, _dirs, files in os.walk(path, onerror=_surface):
             for fname in files:
                 total += os.path.getsize(os.path.join(root, fname))
         return total

@@ -495,7 +495,14 @@ def _move_commit(stage_subdir: str, dest_dir: str, prefix: str) -> None:
                 shutil.copy2(src, tmp)
                 os.replace(tmp, dst)
     finally:
-        for nm in os.listdir(dest_dir):
+        # listdir itself guarded: dest_dir vanishing mid-commit must
+        # not mask the loop's real exception (or fail a commit whose
+        # files all landed) with a FileNotFoundError from cleanup
+        try:
+            leftover = os.listdir(dest_dir)
+        except OSError:
+            leftover = []
+        for nm in leftover:
             if nm.startswith(f"._tmp_{prefix}"):
                 try:
                     os.remove(os.path.join(dest_dir, nm))

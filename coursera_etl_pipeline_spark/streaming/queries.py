@@ -118,13 +118,15 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     gates). (The r8 negative stands unchanged: time-bucket banding
     doubles the probe side for nothing at this per-user/hour density —
     2.8x slower then, not retried.)"""
-    from coursera_etl_pipeline_spark.catalog import dataset_nbytes, table_path
+    from coursera_etl_pipeline_spark.catalog import (
+        BROADCAST_GATE_BYTES, dataset_nbytes, table_path,
+    )
     from coursera_etl_pipeline_spark.streaming.joins import attribution_join
 
     e = load_table(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click")
     nbytes = dataset_nbytes(table_path(sf_dir, "events"))
-    if nbytes is None or nbytes > 32 * 1024 * 1024:
+    if nbytes is None or nbytes > BROADCAST_GATE_BYTES:
         clicks = clicks.hint("SHUFFLE_HASH")
     return attribution_join(
         e.filter(F.col("event_type") == "view"), clicks)

@@ -104,3 +104,33 @@ def test_dataset_nbytes_unknown_is_none_never_zero(tmp_path):
     assert dataset_nbytes(str(tmp_path / "absent.parquet")) is None
     assert dataset_nbytes("s3a://bucket/warehouse/customer.parquet") is None
     assert dataset_nbytes("hdfs://nn:8020/t.parquet") is None
+
+
+def test_dataset_nbytes_scandir_failure_is_none_not_partial(tmp_path, monkeypatch):
+    """os.walk swallows scandir errors by default, which would turn an
+    unreadable level into a PARTIAL total (or 0 for the root) — and 0
+    selects the broadcast arm. The onerror hook must surface the
+    OSError so the result is None = assume large. (Simulated via
+    monkeypatch: the suite runs as root, where chmod 000 still
+    reads.)"""
+    import os as _os
+
+    from coursera_etl_pipeline_spark.catalog import dataset_nbytes
+
+    d = tmp_path / "t.parquet"
+    sub = d / "k=1"
+    sub.mkdir(parents=True)
+    (d / "part-0.parquet").write_bytes(b"a" * 100)
+    (sub / "part-1.parquet").write_bytes(b"b" * 200)
+    assert dataset_nbytes(str(d)) == 300
+
+    real_scandir = _os.scandir
+
+    def deny_subdir(path=".", *a, **kw):
+        if _os.fspath(path) == str(sub):
+            raise PermissionError(13, "Permission denied", str(sub))
+        return real_scandir(path, *a, **kw)
+
+    monkeypatch.setattr(_os, "scandir", deny_subdir)
+    assert dataset_nbytes(str(d)) is None, \
+        "an unreadable subdir must yield None, never a partial count"

@@ -353,7 +353,12 @@ def test_gated_broadcast_selects_arm_by_table_stats(spark, sf_dir, monkeypatch):
     from coursera_etl_pipeline_spark.operators.relational import q10_returned_items
 
     small_df = q10_returned_items(spark, sf_dir)
-    assert "BroadcastHashJoin" in plan_of(small_df)
+    small_plan = plan_of(small_df)
+    # anchor on the ABSENCE of shuffle joins, not the presence of a
+    # BroadcastHashJoin (nation's static broadcast would satisfy that
+    # even if the gated customer site wrongly took the shuffle arm)
+    assert "BroadcastHashJoin" in small_plan
+    assert "ShuffledHashJoin" not in small_plan
     rows_small = [r.asDict() for r in small_df.collect()]
 
     for fake_stat in (lambda p: 10**12, lambda p: None):
@@ -422,26 +427,43 @@ def test_gated_broadcast_fraction_prices_the_slice(spark, sf_dir):
 
 
 def test_all_gated_sites_flip_to_shuffle_on_unknown_stats(spark, sf_dir, monkeypatch):
-    """Regression guard over the full r13 conversion set: with table
-    stats UNKNOWN (the object-store case) every query that carries a
-    fact-scaled dimension hint must plan at least one ShuffledHashJoin
-    and zero broadcasts of that dimension's lineage — i.e. no site
-    silently kept a static F.broadcast. nation/region/O(1)-aggregate
-    broadcasts remain legal (constant-size forever)."""
+    """Regression guard over the full r13 conversion set, counting
+    JOIN NODES so it cannot pass vacuously: flipping stats from
+    known-tiny to UNKNOWN must convert EXACTLY this query's gated
+    sites from BroadcastHashJoin to ShuffledHashJoin — a site that
+    silently reverts to a static F.broadcast shows up as a delta
+    shortfall even in queries that carry an unconditional
+    SHUFFLE_HASH elsewhere (q3/q5/q7's o_cut) or constant-dim
+    broadcasts (nation/region/O(1) aggregates, which legally stay)."""
+    import re
+
     import coursera_etl_pipeline_spark.catalog as catalog
     from coursera_etl_pipeline_spark.operators import relational as R
 
-    gated = [
-        R.q3_shipping_priority, R.q5_local_supplier_volume,
-        R.q7_nation_volume, R.q8_market_share, R.q10_returned_items,
-        R.q14_promo_revenue, R.q17_small_quantity_revenue,
-        R.q18_large_orders, R.q19_disjunctive_predicates,
-    ]
-    monkeypatch.setattr(catalog, "dataset_nbytes", lambda p: None)
-    try:
-        for q in gated:
-            plan = plan_of(q(spark, sf_dir))
-            assert "ShuffledHashJoin" in plan, \
-                f"{q.__name__}: unknown stats did not select a shuffle arm"
-    finally:
-        monkeypatch.undo()
+    gated_sites = {
+        R.q3_shipping_priority: 1,      # customer BUILDING cut
+        R.q5_local_supplier_volume: 2,  # customer ASIA cut + supplier
+        R.q7_nation_volume: 2,          # supplier + customer 8% cuts
+        R.q8_market_share: 2,           # supplier + customer, full
+        R.q10_returned_items: 1,        # customer, full
+        R.q14_promo_revenue: 1,         # part, full
+        R.q17_small_quantity_revenue: 1,  # part Brand#13 cut
+        R.q18_large_orders: 1,          # customer (semi), full
+        R.q19_disjunctive_predicates: 1,  # part, full
+    }
+
+    def nodes(plan, kind):
+        return len(re.findall(rf"^\(\d+\) {kind}", plan, re.M))
+
+    for q, n_sites in gated_sites.items():
+        monkeypatch.setattr(catalog, "dataset_nbytes", lambda p: 1)
+        small = plan_of(q(spark, sf_dir))
+        monkeypatch.setattr(catalog, "dataset_nbytes", lambda p: None)
+        unknown = plan_of(q(spark, sf_dir))
+        bhj_delta = nodes(small, "BroadcastHashJoin") - nodes(unknown, "BroadcastHashJoin")
+        shj_delta = nodes(unknown, "ShuffledHashJoin") - nodes(small, "ShuffledHashJoin")
+        assert bhj_delta == n_sites, \
+            f"{q.__name__}: {n_sites} gated sites, {bhj_delta} broadcasts flipped"
+        assert shj_delta == n_sites, \
+            f"{q.__name__}: {n_sites} gated sites, {shj_delta} shuffle joins appeared"
+    monkeypatch.undo()

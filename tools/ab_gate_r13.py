@@ -11,7 +11,14 @@ equally:
 
   arm A (gated)  — the shipped code; dataset_nbytes reads real stats
   arm B (bcast)  — catalog.dataset_nbytes monkeypatched to 1 byte, so
-                   the gate always picks F.broadcast: the pre-r13 plan
+                   the gate always picks F.broadcast
+
+Both arms run the CURRENT query bodies, so the A/B isolates the
+JOIN-STRATEGY choice alone. For queries that also changed shape this
+round (q10/q18's eager-aggregation rewrites landed after their arm
+A/Bs ran), arm B is the forced-broadcast variant of the NEW shape —
+comparisons against pre-r13 standing rows compound the two changes
+and are labelled as such in BASELINE §4.
 
 Identity is asserted at sf0.01 (same rows both arms) before timing.
 
