@@ -467,3 +467,31 @@ def test_all_gated_sites_flip_to_shuffle_on_unknown_stats(spark, sf_dir, monkeyp
         assert shj_delta == n_sites, \
             f"{q.__name__}: {n_sites} gated sites, {shj_delta} shuffle joins appeared"
     monkeypatch.undo()
+
+
+def test_selectivity_fractions_match_fixture_domains(spark, sf_dir):
+    """The gate's fraction arguments are Selinger-style selectivities
+    DERIVED from domain cardinality (q3: 1-of-5 segments = 0.2, q5:
+    5-of-25 nations = 0.2, q7: 2-of-25 = 0.08, q17: 1-of-25 brands =
+    0.04). Those denominators are properties of the FIXTURE
+    generators; if a driver regeneration ever changes them, the
+    fractions silently mis-price the slices — fail loudly here
+    instead."""
+    from coursera_etl_pipeline_spark.catalog import load_table
+
+    seg = load_table(spark, sf_dir, "customer") \
+        .select("c_mktsegment").distinct().count()
+    nat = load_table(spark, sf_dir, "nation") \
+        .select("n_name").distinct().count()
+    brand = load_table(spark, sf_dir, "part") \
+        .select("p_brand").distinct().count()
+    asia = load_table(spark, sf_dir, "nation").join(
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA"),
+        F.col("n_regionkey") == F.col("r_regionkey")).count()
+    assert seg == 5, "q3's fraction=0.2 assumes 5 market segments"
+    assert nat == 25 and asia == 5, \
+        "q5's fraction=0.2 assumes 5-of-25 nations in ASIA"
+    assert brand == 25, "q17's fraction=0.04 assumes 25 brands"
+    # q7's fraction=0.08 is 2-of-25 nations (pair predicate) — covered
+    # by the nat == 25 assert above
