@@ -495,13 +495,23 @@ def _move_commit(stage_subdir: str, dest_dir: str, prefix: str) -> None:
                 shutil.copy2(src, tmp)
                 os.replace(tmp, dst)
     finally:
-        # listdir itself guarded: dest_dir vanishing mid-commit must
-        # not mask the loop's real exception (or fail a commit whose
-        # files all landed) with a FileNotFoundError from cleanup
+        # Exception-aware cleanup: when the move loop is ALREADY
+        # raising, a listdir failure here must not mask the real
+        # crash cause — suppress it. On the SUCCESS path, though, a
+        # dest_dir that cannot be listed right after every file
+        # landed means the destination itself is gone or unreadable:
+        # let that OSError propagate loudly rather than report a
+        # commit whose data may no longer exist (review r13).
+        import sys
+
+        in_flight = sys.exc_info()[0] is not None
         try:
             leftover = os.listdir(dest_dir)
         except OSError:
-            leftover = []
+            if in_flight:
+                leftover = []
+            else:
+                raise
         for nm in leftover:
             if nm.startswith(f"._tmp_{prefix}"):
                 try:
