@@ -46,49 +46,24 @@ _EDITED_THIS_ROUND = [
     # green rows predate the change, so they outrank everything the history
     # says is current.  Update per round alongside the round's edits.
     #
-    # Round 13. The nine TPC-H-shape queries whose fact-scaled dimension
-    # hints (customer/supplier/part) converted from static F.broadcast to
-    # the stats-gated catalog.gated_broadcast (VERDICT r12 item 1 — the
-    # round's one systemic demerit). At sf0.01/sf0.1 the gate selects the
-    # broadcast arm, so plans and values are bit-identical to the certified
-    # rows, but the join-side HINT SELECTION LOGIC changed, so all nine
-    # re-certify (q17 is also in the stale r10 cohort — zero extra slots):
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    # events_interval_join: its private scandir gate moved onto the shared
-    # catalog.dataset_nbytes primitive (ADVICE r12 — recursive walk for
-    # partitioned layouts; unknown size now falls to the SHUFFLE_HASH arm,
-    # never broadcast). Same arm selected at every fixture scale, but the
-    # selection code changed, so it re-certifies:
-    "events_interval_join",
-    # similarity_quantize_recall / similarity_ann_quantized: their qd
-    # oracle CTEs gained the coalesce(list_sum, 0) empty-vector guard
-    # (ADVICE r12 — same divergence class as r12's list_max guard).
-    # Values provably identical on the fixed-width fixture, but the
-    # ORACLE TEXT the driver hashes against changed, so both re-certify:
-    "similarity_quantize_recall",
-    "similarity_ann_quantized",
-    # Round-13 carve-outs (files edited, NO forcing — each provably
-    # leaves every registered result unchanged):
-    #  - streaming/parity.py recover_index_stage: added the unique-
-    #    basename contract assert (ADVICE r12). Reached ONLY by crash
-    #    recovery (tests/test_crash_recovery.py), never by a clean
-    #    driver run; all current callers pass unique basenames.
-    #  - streaming/parity.py _move_commit: added the finally-sweep of
-    #    this call's ._tmp_{prefix}* debris (ADVICE r12). The sweep
-    #    deletes only dot-hidden temp names Spark's file index and the
-    #    oracle's *.parquet globs both already ignore, after every
-    #    successful move has renamed its tmp away — committed bytes
-    #    and result rows are untouched on every path (re-verified
-    #    locally: stream_index_update_parity value-hash unchanged
-    #    pre/post edit via tools/oracle_check.py).
+    # Round 14. dedup_substring: the min_docs=2 dup-fingerprint aggregate
+    # switched from count_distinct(doc_id) to the O(1)-state
+    # min(doc_id) != max(doc_id) arm (VERDICT r13 item 4). Values are
+    # provably identical (>= 2 distinct ids <=> min != max) and
+    # re-verified via tools/oracle_check.py, but the aggregation logic
+    # changed, so it re-certifies:
+    "dedup_substring",
+    # Round-14 carve-out (file edited, NO forcing): streaming/parity.py
+    # _move_commit's finally-sweep now tracks loop success with a local
+    # flag instead of sys.exc_info() (ADVICE r13) — behavior identical
+    # on every clean path (flag True <=> no exception in the loop);
+    # the change only prevents a success-path listdir failure from
+    # being swallowed when a CALLER is mid-exception, a path no
+    # registered query reaches (kill-tests cover it).
+    # (Round-13's twelve forcings all certified green in
+    # CORRECTNESS_r13 and are dropped from this list — keeping them
+    # would burn 12 of the 50 slots re-proving current rows. Their
+    # rationale lives in the r13 git history of this file.)
 ]
 
 

@@ -1099,6 +1099,29 @@ SUBSTR_TOKENS = 15
 SUBSTR_MIN_DOCS = 2
 
 
+def _dup_fingerprints(wins: DataFrame, min_docs: int) -> DataFrame:
+    """Fingerprints seen in >= min_docs distinct documents. At the
+    canonical min_docs=2 this is exactly min(doc_id) != max(doc_id) —
+    O(1) aggregation state per fingerprint. The count_distinct arm
+    carries the full distinct doc-id set per fingerprint through the
+    aggregate — on an all-duplicate replica that is a |docs|-sized
+    set per fp, the named cause of dedup_substring's K=1000
+    2.3x-over-linear memory step (VERDICT r13 item 4); min/max keep
+    two scalars. The general-min_docs arm stays for parameterized
+    callers; tests/test_llm_ops.py pins arm equivalence."""
+    if min_docs == 2:
+        return (
+            wins.groupBy("fp")
+            .agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+            .filter(F.col("_lo") != F.col("_hi"))
+            .select("fp"))
+    return (
+        wins.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("fp"))
+
+
 def remove_repeated_substrings(docs: DataFrame,
                                k: int = SUBSTR_TOKENS,
                                min_docs: int = SUBSTR_MIN_DOCS) -> DataFrame:
@@ -1121,11 +1144,7 @@ def remove_repeated_substrings(docs: DataFrame,
             F.md5(F.array_join(
                 F.slice(F.col("_toks"), F.col("start") + 1, k), " "))
             .alias("fp")))
-    dup = (
-        wins.groupBy("fp")
-        .agg(F.count_distinct("doc_id").alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("fp"))
+    dup = _dup_fingerprints(wins, min_docs)
     dup_starts = (
         wins.join(dup, "fp")
         .groupBy("doc_id")
@@ -1200,7 +1219,9 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the stride-1 window explode is k-times the
     boilerplate explode's rows but still linear in corpus tokens and
     narrow (doc_id, start, 32-byte fp); dup discovery is one
-    fingerprint hash-aggregate with map-side partial count-distinct;
+    fingerprint hash-aggregate — O(1) state per fp at the canonical
+    min_docs=2 (min != max, see _dup_fingerprints), map-side partial
+    count-distinct on the general arm;
     marking is an equi-join back on fp (AQE broadcasts the dup set
     when small, splits it when boilerplate-skewed). Coverage never
     materializes per-token rows: each doc folds its (bounded by
@@ -1212,3 +1233,136 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles on (fp) + (doc_id), which is the distributed-right shape.
     """
     return remove_repeated_substrings(load_table(spark, sf_dir, "documents"))
+
+
+# --- paragraph-level keep-first dedup (round 14) ------------------------------
+#
+# The RefinedWeb/C4 middle granularity between `dedup_exact` (whole
+# documents) and `dedup_substring` (arbitrary-offset runs), with a
+# DIFFERENT retention rule from `dedup_boilerplate`: boilerplate
+# removes every instance of a repeated span (including the first);
+# keep-first dedup keeps exactly the globally FIRST occurrence of each
+# paragraph and drops the later copies — the curation semantic for
+# "this paragraph is legitimate content once, spam after that".
+# First = argmin over (doc_id, para_id), a total deterministic order.
+
+PARA_TOKENS = 8
+
+
+def paragraphize(docs: DataFrame, para_tokens: int = PARA_TOKENS,
+                 delimiter: str | None = None) -> DataFrame:
+    """(doc_id, para_id, para) rows. Pluggable split: real corpora
+    paragraphize on a delimiter (e.g. '\\n\\n'); the newline-free
+    fixture uses fixed-token tiling (same tile shape as boilerplate
+    chunks so the two operators' planted-case contrast is exact)."""
+    if delimiter is not None:
+        return docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", delimiter))
+            .alias("para_id", "para"))
+    toks = F.split(F.col("text"), " ")
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size(toks) - 1) / para_tokens).cast("int"))
+            ).alias("para_id", "_k"),
+            toks.alias("_toks"))
+        .select(
+            "doc_id", "para_id",
+            F.array_join(
+                F.slice(F.col("_toks"),
+                        F.col("_k") * para_tokens + 1, para_tokens), " ")
+            .alias("para")))
+
+
+def dedup_paragraphs_keep_first(docs: DataFrame,
+                                para_tokens: int = PARA_TOKENS,
+                                delimiter: str | None = None) -> DataFrame:
+    """DataFrame core of `dedup_paragraph_keep_first` (see its
+    docstring for the plan shape); parameterized for property tests."""
+    paras = paragraphize(docs, para_tokens, delimiter).withColumn(
+        "fp", F.md5(F.col("para")))
+    # one hash-aggregate: argmin(doc_id, para_id) per fingerprint.
+    # min() over a struct is lexicographic by field order on both
+    # engines, and partial-aggregates map-side with O(1) state per fp
+    # — the same skew-resistant shape as _dup_fingerprints' min/max
+    # arm (a window row_number over fp would put every instance of a
+    # hot paragraph on one task with no partial aggregation).
+    first = paras.groupBy("fp").agg(
+        F.min(F.struct(F.col("doc_id"), F.col("para_id"))).alias("_first"))
+    marked = (
+        paras.join(first, "fp")
+        .withColumn(
+            "_keep",
+            (F.col("doc_id") == F.col("_first.doc_id"))
+            & (F.col("para_id") == F.col("_first.para_id"))))
+    return (
+        marked.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.count(F.when(~F.col("_keep"), F.lit(1)))
+            .alias("n_dropped_paras"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("_keep"),
+                               F.struct("para_id", "para")))),
+                    lambda x: x["para"]), " ").alias("clean_text")))
+
+
+@query(
+    "dedup_paragraph_keep_first",
+    # Same tiling CTE family as dedup_boilerplate; the argmin is
+    # min(struct_pack(...)) — lexicographic struct min, DuckDB's form
+    # of the engine's min(struct(doc_id, para_id)) — and keep is an
+    # equality test against that argmin. count(*) FILTER keeps the
+    # counters BIGINT; string_agg ORDER BY para_id is the positional
+    # reassembly.
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    paras AS (
+      SELECT doc_id, CAST(k AS INTEGER) AS para_id,
+             array_to_string(
+               list_slice(ws, k * {PARA_TOKENS} + 1,
+                          k * {PARA_TOKENS} + {PARA_TOKENS}), ' ') AS para
+      FROM w, unnest(range(0, (len(ws) - 1) // {PARA_TOKENS} + 1)) AS u(k)
+    ),
+    frst AS (
+      SELECT md5(para) AS fp,
+             min(struct_pack(d := doc_id, p := para_id)) AS m
+      FROM paras GROUP BY 1
+    ),
+    mk AS (
+      SELECT p.doc_id, p.para_id, p.para,
+             (p.doc_id = f.m.d AND p.para_id = f.m.p) AS keep
+      FROM paras p JOIN frst f ON md5(p.para) = f.fp
+    )
+    SELECT doc_id,
+           count(*) AS n_paras,
+           count(*) FILTER (WHERE NOT keep) AS n_dropped_paras,
+           coalesce(string_agg(CASE WHEN keep THEN para END, ' '
+                               ORDER BY para_id), '') AS clean_text
+    FROM mk GROUP BY doc_id
+    """,
+)
+def dedup_paragraph_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level keep-first dedup: tile each document into
+    PARA_TOKENS-token paragraphs (delimiter split on real corpora —
+    the fixture is newline-free), fingerprint each, keep exactly the
+    globally first occurrence (argmin over (doc_id, para_id)) of each
+    fingerprint and drop later copies; emit per-document paragraph
+    counts and the cleaned text reassembled in position order.
+
+    Scale shape: the paragraph explode is narrow (bytes x ~1); the
+    argmin is ONE fingerprint hash-aggregate whose min(struct) state
+    is O(1) per fp and partial-aggregates map-side (hot boilerplate
+    paragraphs — the skew case — collapse in the map phase); marking
+    is an equi-join back on fp (AQE splits residual skew); reassembly
+    is the per-doc collect_list/array_sort groupBy every dedup
+    operator here shares. Two shuffles on (fp) + (doc_id), never
+    all-pairs, no window-over-all — holds at 100 TB."""
+    return dedup_paragraphs_keep_first(load_table(spark, sf_dir, "documents"))

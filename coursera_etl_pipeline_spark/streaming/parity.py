@@ -482,6 +482,7 @@ def _move_commit(stage_subdir: str, dest_dir: str, prefix: str) -> None:
     import shutil
 
     os.makedirs(dest_dir, exist_ok=True)
+    moved_ok = False
     try:
         for nm in sorted(os.listdir(stage_subdir)):
             if not nm.endswith(".parquet") or nm.startswith(("_", ".")):
@@ -494,6 +495,7 @@ def _move_commit(stage_subdir: str, dest_dir: str, prefix: str) -> None:
                 tmp = os.path.join(dest_dir, f"._tmp_{prefix}{nm}")
                 shutil.copy2(src, tmp)
                 os.replace(tmp, dst)
+        moved_ok = True
     finally:
         # Exception-aware cleanup: when the move loop is ALREADY
         # raising, a listdir failure here must not mask the real
@@ -501,14 +503,16 @@ def _move_commit(stage_subdir: str, dest_dir: str, prefix: str) -> None:
         # dest_dir that cannot be listed right after every file
         # landed means the destination itself is gone or unreadable:
         # let that OSError propagate loudly rather than report a
-        # commit whose data may no longer exist (review r13).
-        import sys
-
-        in_flight = sys.exc_info()[0] is not None
+        # commit whose data may no longer exist (review r13). The
+        # success/failure split is tracked with a local flag, NOT
+        # sys.exc_info(): exc_info is also truthy when a CALLER is
+        # already handling an unrelated exception, which would
+        # silently swallow a success-path listdir failure (ADVICE
+        # r13).
         try:
             leftover = os.listdir(dest_dir)
         except OSError:
-            if in_flight:
+            if not moved_ok:
                 leftover = []
             else:
                 raise

@@ -1495,6 +1495,104 @@ def test_substring_dedup_short_and_empty_docs(spark):
     assert out[2].n_tokens == 1 and out[2].n_dup_tokens == 0
 
 
+def test_substring_dup_arm_equivalence(spark):
+    """The O(1)-state min!=max arm (min_docs=2) selects EXACTLY the
+    fingerprint set the general count_distinct arm does, on a fixture
+    exercising both failure modes: within-doc repetition (one doc,
+    many windows per fp — must NOT mark) and cross-doc duplication
+    (must mark). VERDICT r13 item 4."""
+    from pyspark.sql import functions as F
+
+    from coursera_etl_pipeline_spark.llm_ops.dedup import _dup_fingerprints
+
+    wins = spark.createDataFrame(
+        [
+            (0, 0, "shared"), (1, 3, "shared"),       # cross-doc dup
+            (2, 0, "selfrep"), (2, 7, "selfrep"),     # within-doc only
+            (3, 1, "unique"),                          # singleton
+            (4, 0, "triple"), (5, 2, "triple"), (6, 9, "triple"),
+        ],
+        "doc_id long, start int, fp string")
+    fast = sorted(r.fp for r in _dup_fingerprints(wins, 2).collect())
+    slow = sorted(
+        r.fp
+        for r in wins.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2).select("fp").collect())
+    assert fast == slow == ["shared", "triple"]
+    # the fast arm's plan carries no distinct-set aggregate
+    plan = _dup_fingerprints(wins, 2)._jdf.queryExecution().toString()
+    assert "count(distinct" not in plan.lower()
+
+
+def test_paragraph_keep_first_vs_boilerplate_vs_substring(spark):
+    """The three corpus-dedup semantics on ONE planted fixture: a
+    5-token paragraph shared by two docs at tile-aligned offsets.
+    keep-first KEEPS exactly the first occurrence (doc 0, tile 1) and
+    drops the later copy; boilerplate removes ALL occurrences
+    (including the first); substring dedup cuts the run from BOTH
+    docs. VERDICT r13 item 1's done-criteria case."""
+    from coursera_etl_pipeline_spark.llm_ops.dedup import (
+        dedup_paragraphs_keep_first,
+        remove_boilerplate,
+        remove_repeated_substrings,
+    )
+
+    shared = " ".join(f"s{j}" for j in range(5))
+    a = " ".join(f"a{j}" for j in range(5))
+    a2 = " ".join(f"a{j}" for j in range(5, 10))
+    b = " ".join(f"b{j}" for j in range(5))
+    docs = spark.createDataFrame(
+        [(0, f"{a} {shared} {a2}"),       # shared at tile 1
+         (1, f"{b} {shared}")],           # shared at tile 1, later doc
+        "doc_id long, text string")
+
+    keep = {r.doc_id: r
+            for r in dedup_paragraphs_keep_first(docs, para_tokens=5)
+            .collect()}
+    assert keep[0].clean_text == f"{a} {shared} {a2}"   # first copy kept
+    assert keep[0].n_dropped_paras == 0
+    assert keep[1].clean_text == b                       # later copy drops
+    assert (keep[1].n_paras, keep[1].n_dropped_paras) == (2, 1)
+
+    boiler = {r.doc_id: r
+              for r in remove_boilerplate(docs, chunk_tokens=5,
+                                          min_docs=2).collect()}
+    assert boiler[0].clean_text == f"{a} {a2}"           # ALL copies cut
+    assert boiler[1].clean_text == b
+
+    sub = {r.doc_id: r
+           for r in remove_repeated_substrings(docs, k=5, min_docs=2)
+           .collect()}
+    assert sub[0].clean_text == f"{a} {a2}"              # cut from both
+    assert sub[1].clean_text == b
+
+
+def test_paragraph_keep_first_within_doc_and_order(spark):
+    """Keep-first is GLOBAL: a within-doc repeat also drops (unlike
+    substring dedup's min_docs=2 cross-doc rule), the argmin order is
+    (doc_id, para_id) so doc order beats paragraph position, and the
+    delimiter arm paragraphizes on the separator."""
+    from coursera_etl_pipeline_spark.llm_ops.dedup import (
+        dedup_paragraphs_keep_first,
+    )
+
+    p = " ".join(f"p{j}" for j in range(3))
+    q = " ".join(f"q{j}" for j in range(3))
+    docs = spark.createDataFrame(
+        [(0, f"{q}|{p}"),     # q first at (0,0); p at (0,1)
+         (1, f"{p}|{p}"),     # both drop: (0,1) owns p — within-doc
+                              # repeat at (1,1) drops too
+         (2, q)],             # later doc: drops
+        "doc_id long, text string")
+    out = {r.doc_id: r
+           for r in dedup_paragraphs_keep_first(docs, delimiter="[|]")
+           .collect()}
+    assert out[0].clean_text == f"{q} {p}" and out[0].n_dropped_paras == 0
+    assert out[1].clean_text == "" and out[1].n_dropped_paras == 2
+    assert out[2].clean_text == "" and out[2].n_dropped_paras == 1
+
+
 def test_pii_scrub_semantics(spark):
     """Masking is global (all occurrences), counts match occurrences,
     and PII-free text passes through byte-identical."""
