@@ -53,13 +53,23 @@ _EDITED_THIS_ROUND = [
     # re-verified via tools/oracle_check.py, but the aggregation logic
     # changed, so it re-certifies:
     "dedup_substring",
-    # Round-14 carve-out (file edited, NO forcing): streaming/parity.py
-    # _move_commit's finally-sweep now tracks loop success with a local
-    # flag instead of sys.exc_info() (ADVICE r13) — behavior identical
-    # on every clean path (flag True <=> no exception in the loop);
-    # the change only prevents a success-path listdir failure from
-    # being swallowed when a CALLER is mid-exception, a path no
-    # registered query reaches (kill-tests cover it).
+    # Round-14 carve-outs (files edited, NO forcing — each provably
+    # leaves every registered result unchanged):
+    #  - streaming/parity.py _move_commit: the finally-sweep now tracks
+    #    loop success with a local flag instead of sys.exc_info()
+    #    (ADVICE r13) — behavior identical on every clean path (flag
+    #    True <=> no exception in the loop); the change only prevents
+    #    a success-path listdir failure from being swallowed when a
+    #    CALLER is mid-exception, a path no registered query reaches
+    #    (kill-tests cover it).
+    #  - relational.py gate fractions (q3/q5/q7/q17) now DERIVED via
+    #    catalog.eq_fraction from the DOMAIN_NDV stats table (VERDICT
+    #    r13 item 6) instead of hand-pinned constants. Arm selection
+    #    is provably identical: tests/test_catalog.py asserts each
+    #    derived value EQUALS the constant it replaced (0.2/0.2/
+    #    0.08/0.08/0.04), so gated_broadcast receives bit-identical
+    #    arguments at every scale; re-verified by oracle_check on all
+    #    four queries.
     # (Round-13's twelve forcings all certified green in
     # CORRECTNESS_r13 and are dropped from this list — keeping them
     # would burn 12 of the 50 slots re-proving current rows. Their

@@ -276,6 +276,42 @@ def dataset_nbytes(path: str) -> int | None:
         return None
 
 
+# Domain cardinalities (NDV) of the literal-predicate columns, fixed
+# by the fixture generators (TESTDATA.md) independent of sf — the
+# catalog statistics a real deployment's CBO would read from table
+# metadata (ANALYZE / parquet footer distinct-count stats). Cut sites
+# derive their gate fraction through eq_fraction() below instead of
+# hand-pinning a constant (VERDICT r13 item 6: a hand-pinned fraction
+# goes stale silently when a predicate changes; a derived one is
+# recomputed from the predicate's own argument count).
+# tests/test_catalog.py verifies every entry against the fixture.
+DOMAIN_NDV = {
+    ("customer", "c_mktsegment"): 5,
+    ("customer", "c_nationkey"): 25,
+    ("supplier", "s_nationkey"): 25,
+    ("part", "p_brand"): 25,
+    ("nation", "n_nationkey"): 25,
+    ("region", "r_regionkey"): 5,
+}
+
+# Nations carried by one region (uniform 25/5 layout — verified by
+# test_catalog against the fixture): the membership cardinality of a
+# one-region cut expressed over the nationkey FK domain.
+NATIONS_PER_REGION = (DOMAIN_NDV[("nation", "n_nationkey")]
+                      // DOMAIN_NDV[("region", "r_regionkey")])
+
+
+def eq_fraction(table: str, column: str, n_values: int = 1) -> float:
+    """Selinger-style selectivity of an equality/IN literal predicate:
+    ``n_values / NDV(column)`` from the DOMAIN_NDV catalog stats —
+    never measured from the data, so the estimate is sf-invariant
+    under the fixtures' uniform generators, exactly like a CBO's
+    NDV-based estimate. Unknown (table, column) raises KeyError by
+    design: a new cut site must REGISTER its domain (one line above)
+    rather than inherit a silently-wrong default."""
+    return n_values / DOMAIN_NDV[(table, column)]
+
+
 def gated_broadcast(df: DataFrame, sf_dir: str, table: str,
                     cutoff_bytes: int = BROADCAST_GATE_BYTES,
                     fraction: float = 1.0) -> DataFrame:

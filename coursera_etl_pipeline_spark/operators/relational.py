@@ -18,7 +18,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from coursera_etl_pipeline_spark.catalog import gated_broadcast, load_table, views
+from coursera_etl_pipeline_spark.catalog import (
+    NATIONS_PER_REGION,
+    eq_fraction,
+    gated_broadcast,
+    load_table,
+    views,
+)
 from coursera_etl_pipeline_spark.registry import (
     davg,
     dsum,
@@ -197,7 +203,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Round 13: the customer-cut broadcast is SIZE-GATED
     (catalog.gated_broadcast, VERDICT r12) at selectivity 0.2 — the
-    BUILDING predicate keeps 1 of 5 market segments, so the gate
+    BUILDING predicate keeps 1 of 5 market segments (derived from
+    catalog.DOMAIN_NDV via eq_fraction since r14, not hand-pinned),
+    so the gate
     prices the SLICE (Selinger-style domain-cardinality estimate),
     broadcasting while slice bytes stay under 32 MiB and flipping to
     SHUFFLE_HASH past it; the cut scales linearly with sf, so a
@@ -209,7 +217,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
-    o_cut = (o.join(gated_broadcast(c, sf_dir, "customer", fraction=0.2),
+    o_cut = (o.join(gated_broadcast(c, sf_dir, "customer",
+                                fraction=eq_fraction("customer", "c_mktsegment")),
                     o.o_custkey == c.c_custkey)
              .select("o_orderkey", "o_orderdate")
              .hint("SHUFFLE_HASH"))
@@ -303,7 +312,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                     c.c_nationkey == F.col("n_nationkey"))
              .select("c_custkey", F.col("c_nationkey").alias("_c_nk"),
                      "n_name"))
-    o_cut = (o.join(gated_broadcast(c_cut, sf_dir, "customer", fraction=0.2),
+    o_cut = (o.join(gated_broadcast(c_cut, sf_dir, "customer",
+                                fraction=eq_fraction("customer", "c_nationkey",
+                                                     NATIONS_PER_REGION)),
                     o.o_custkey == c_cut.c_custkey)
              .select("o_orderkey", "_c_nk", "n_name")
              .hint("SHUFFLE_HASH"))
@@ -1043,7 +1054,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Round 13 (VERDICT r12): the 8% supplier/customer slice broadcasts
     are SIZE-GATED (catalog.gated_broadcast) at selectivity 0.08
-    (2 of 25 nations — Selinger-style domain-cardinality estimate, so
+    (2 of 25 nations — Selinger-style domain-cardinality estimate,
+    derived from catalog.DOMAIN_NDV via eq_fraction since r14, so
     the gate prices the SLICE, not the source table). The K=1000 arm
     A/B measured the slice broadcast 1.5x faster than the shuffle arm
     (5.4 vs 8.1 medians, tight samples — BASELINE §4 round-13), and
@@ -1067,9 +1079,13 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_cut = (c.join(F.broadcast(n2.filter(F.col("cust_nation").isin(*nations))),
                     F.col("c_nationkey") == F.col("n2_key"))
              .select("c_custkey", "cust_nation"))
-    li_cut = li.join(gated_broadcast(s_cut, sf_dir, "supplier", fraction=0.08),
+    li_cut = li.join(gated_broadcast(s_cut, sf_dir, "supplier",
+                                 fraction=eq_fraction("supplier", "s_nationkey",
+                                                      len(nations))),
                      li.l_suppkey == F.col("s_suppkey"))
-    o_cut = (o.join(gated_broadcast(c_cut, sf_dir, "customer", fraction=0.08),
+    o_cut = (o.join(gated_broadcast(c_cut, sf_dir, "customer",
+                                fraction=eq_fraction("customer", "c_nationkey",
+                                                     len(nations))),
                     o.o_custkey == F.col("c_custkey"))
              .select("o_orderkey", "cust_nation")
              .hint("SHUFFLE_HASH"))
@@ -1235,14 +1251,16 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     row), then the threshold filter. The Brand#13 part cut scales
     linearly with sf, so its hint is size-gated
     (catalog.gated_broadcast, VERDICT r12) at selectivity 0.04 —
-    1 of 25 brands, the Selinger-style domain-cardinality estimate,
-    so the gate prices the slice rather than the source table."""
+    1 of 25 brands, the Selinger-style domain-cardinality estimate
+    (derived from catalog.DOMAIN_NDV via eq_fraction since r14), so
+    the gate prices the slice rather than the source table."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
     avg_q = (li.groupBy(F.col("l_partkey").alias("avg_pk"))
              .agg(F.expr(davg("l_quantity")).alias("avg_qty")))
     return (
-        li.join(gated_broadcast(p, sf_dir, "part", fraction=0.04),
+        li.join(gated_broadcast(p, sf_dir, "part",
+                                fraction=eq_fraction("part", "p_brand")),
                 li.l_partkey == p.p_partkey)
         .join(avg_q, li.l_partkey == F.col("avg_pk"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))

@@ -134,3 +134,54 @@ def test_dataset_nbytes_scandir_failure_is_none_not_partial(tmp_path, monkeypatc
     monkeypatch.setattr(_os, "scandir", deny_subdir)
     assert dataset_nbytes(str(d)) is None, \
         "an unreadable subdir must yield None, never a partial count"
+
+
+def test_domain_ndv_matches_fixture():
+    """Every DOMAIN_NDV catalog-stat entry must equal the actual
+    distinct count in the fixture (sf0.01 — NDV is generator-fixed,
+    sf-invariant), and the nations-per-region layout must be uniform:
+    the eq_fraction estimates are only as good as these stats."""
+    import duckdb
+
+    from coursera_etl_pipeline_spark.catalog import (
+        DOMAIN_NDV,
+        NATIONS_PER_REGION,
+    )
+
+    con = duckdb.connect()
+    d = "/root/testdata/sf0.01"
+    for (table, column), ndv in DOMAIN_NDV.items():
+        got = con.sql(
+            f"SELECT count(DISTINCT {column}) "
+            f"FROM '{d}/{table}.parquet'").fetchone()[0]
+        assert got == ndv, (table, column, got, ndv)
+    per_region = con.sql(
+        f"SELECT count(*) FROM '{d}/nation.parquet' "
+        f"GROUP BY n_regionkey").fetchall()
+    assert {r[0] for r in per_region} == {NATIONS_PER_REGION}
+
+
+def test_eq_fraction_derives_every_gate_site_value():
+    """VERDICT r13 item 6 done-criteria: each existing cut site's
+    derived fraction equals the hand-pinned constant it replaced, so
+    arm selection is provably identical at every scale (no forced
+    re-certification needed). Unknown domains refuse loudly instead
+    of defaulting — a new cut site must register its NDV."""
+    import pytest
+
+    from coursera_etl_pipeline_spark.catalog import (
+        NATIONS_PER_REGION,
+        eq_fraction,
+    )
+
+    # q3: BUILDING = 1 of 5 market segments
+    assert eq_fraction("customer", "c_mktsegment") == 0.2
+    # q5: one region's nations over the 25-nation FK domain
+    assert eq_fraction("customer", "c_nationkey", NATIONS_PER_REGION) == 0.2
+    # q7: 2 named nations of 25, both sides
+    assert eq_fraction("supplier", "s_nationkey", 2) == 0.08
+    assert eq_fraction("customer", "c_nationkey", 2) == 0.08
+    # q17: 1 of 25 brands
+    assert eq_fraction("part", "p_brand") == 0.04
+    with pytest.raises(KeyError):
+        eq_fraction("orders", "o_orderstatus")
