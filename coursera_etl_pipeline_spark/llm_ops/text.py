@@ -587,3 +587,90 @@ def scrub_pii(df: DataFrame, text_col: str) -> DataFrame:
         F.regexp_replace(
             F.regexp_replace(text_col, PII_EMAIL_RE, "<EMAIL>"),
             PII_PHONE_RE, "<PHONE>").alias("scrubbed"))
+
+
+# --- URL/host corpus filtering (round 14) -------------------------------------
+#
+# The standard curation PRE-filter (C4, RefinedWeb, Gopher all gate on
+# URL before touching text): parse each document's URL into host /
+# registered-TLD parts, then keep docs whose host survives a blocklist
+# ANTI-join and whose language survives an allowlist SEMI-join. The
+# fixture carries no URL column, so the registered query synthesizes a
+# deterministic WARC-style URL from (source, lang, doc_id) — the
+# Spark-side plumbing (expression pack + join shapes) is the real
+# artifact; url_host_filter() below is the production entry point for
+# corpora that already carry a url column.
+
+URL_HOST_RE = "^[a-z][a-z0-9+.-]*://([^/?#]+)"
+URL_TLD_RE = "\\.([a-z0-9-]+)$"
+
+# Literal curation lists (tiny, O(1) — static broadcast per the
+# constant-size rule in catalog.gated_broadcast's docstring):
+BLOCKED_HOSTS = ("src3.example.org", "src7.example.org",
+                 "src13.example.org")
+ALLOWED_LANGS = ("en", "de", "fr")
+
+
+def url_host_filter(docs: DataFrame, blocked_hosts: DataFrame,
+                    allowed_langs: DataFrame,
+                    url_col: str = "url") -> DataFrame:
+    """Host/TLD extraction + list gating over an arbitrary url column.
+
+    Scale shape: extraction is pure codegen'd regexp (map-only, zero
+    shuffle); both list joins BROADCAST their list side — curation
+    lists are human-maintained, O(10^2..10^6) rows, never fact-scaled
+    — so the whole filter is one map stage at 100 TB. LEFT_ANTI and
+    LEFT_SEMI never duplicate fact rows (no row-count blowup on list
+    duplicates) and prune every list column from the output."""
+    host = F.regexp_extract(F.col(url_col), URL_HOST_RE, 1)
+    parsed = (docs
+              .withColumn("host", host)
+              .withColumn("tld", F.regexp_extract("host", URL_TLD_RE, 1)))
+    return (parsed
+            .join(F.broadcast(blocked_hosts), "host", "left_anti")
+            .join(F.broadcast(allowed_langs), "lang", "left_semi"))
+
+
+@query(
+    "text_url_host_filter",
+    # Same synthesis + regexes in DuckDB; the list gates are the SQL
+    # NOT IN / IN forms of the anti/semi joins (equivalent here: both
+    # lists are literal, non-null, duplicate-free).
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, lang, source, n_chars,
+             'https://' || source || '.example.org/' || lang
+                        || '/doc-' || doc_id AS url
+      FROM documents
+    ),
+    parsed AS (
+      SELECT *, regexp_extract(url, '{URL_HOST_RE}', 1) AS host
+      FROM u
+    )
+    SELECT doc_id, lang, source, url, host,
+           regexp_extract(host, '{URL_TLD_RE}', 1) AS tld
+    FROM parsed
+    WHERE host NOT IN {BLOCKED_HOSTS!r}
+      AND lang IN {ALLOWED_LANGS!r}
+    """.replace('"', "'"),
+)
+def text_url_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/host corpus filtering: synthesize the WARC-style URL the
+    fixture lacks, extract host and TLD with the shared regex pack,
+    drop blocklisted hosts (anti-join) and non-allowlisted languages
+    (semi-join); emit the surviving docs with their parsed URL parts
+    (the value hash certifies synthesis, extraction, and both gates
+    row-by-row)."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "source", "n_chars")
+            .withColumn(
+                "url",
+                F.concat(F.lit("https://"), F.col("source"),
+                         F.lit(".example.org/"), F.col("lang"),
+                         F.lit("/doc-"), F.col("doc_id").cast("string"))))
+    blocked = spark.createDataFrame(
+        [(h,) for h in BLOCKED_HOSTS], "host string")
+    allowed = spark.createDataFrame(
+        [(lg,) for lg in ALLOWED_LANGS], "lang string")
+    return (url_host_filter(docs, blocked, allowed)
+            .select("doc_id", "lang", "source", "url", "host", "tld"))

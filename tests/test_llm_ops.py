@@ -1593,6 +1593,36 @@ def test_paragraph_keep_first_within_doc_and_order(spark):
     assert out[2].clean_text == "" and out[2].n_dropped_paras == 1
 
 
+def test_url_host_filter_semantics(spark):
+    """Host extraction handles scheme variants, ports, query strings,
+    and path-free URLs; the blocklist anti-join drops by HOST (not
+    substring), the allowlist semi-join drops by lang, and duplicate
+    list entries never blow up the row count (anti/semi, not inner)."""
+    from coursera_etl_pipeline_spark.llm_ops.text import url_host_filter
+
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "https://good.example.org/a/b?q=1"),
+            (1, "en", "http://bad.example.org/x"),        # blocked host
+            (2, "zh", "https://good.example.org/y"),      # blocked lang
+            (3, "en", "https://good.example.org:8443"),   # port, no path
+            (4, "en", "https://bad.example.org.evil.io/z"),  # NOT blocked:
+                                                             # host differs
+        ],
+        "doc_id long, lang string, url string")
+    blocked = spark.createDataFrame(
+        [("bad.example.org",), ("bad.example.org",)], "host string")
+    allowed = spark.createDataFrame(
+        [("en",), ("en",), ("de",)], "lang string")
+    out = {r.doc_id: r
+           for r in url_host_filter(docs, blocked, allowed).collect()}
+    assert sorted(out) == [0, 3, 4]
+    assert out[0].host == "good.example.org" and out[0].tld == "org"
+    assert out[3].host == "good.example.org:8443"
+    assert out[4].host == "bad.example.org.evil.io"
+    assert out[4].tld == "io"
+
+
 def test_pii_scrub_semantics(spark):
     """Masking is global (all occurrences), counts match occurrences,
     and PII-free text passes through byte-identical."""
