@@ -64,6 +64,7 @@ HEADLINE = [
     "dedup_semantic",            # SemDeDup: cell-bucketed cosine pairs
     "dedup_boilerplate",         # repeated-span cut: fp agg + join-back
     "dedup_substring",           # stride-1 suffix-array-shape dedup
+    "dedup_paragraph_keep_first",  # argmin-struct fp agg + join-back
 ]
 
 
@@ -128,6 +129,11 @@ _exclude(
     # md5-bucket filter family timed by sample_stratified_hash; the
     # mix adds only |sources|-row aggregates around the same filter
     "sample_corpus_mix",
+)
+_exclude(
+    "map-only regexp extraction + two broadcast list joins (zero "
+    "shuffle); text_quality_score times the zero-shuffle text family",
+    "text_url_host_filter",
 )
 _exclude(
     "recall metric re-running an ANN query the headline already times",
