@@ -136,6 +136,17 @@ _exclude(
     "text_url_host_filter",
 )
 _exclude(
+    "fingerprint min-aggregate + equi-join-back shape timed by "
+    "dedup_paragraph_keep_first; the bucket arithmetic it adds is "
+    "map-only",
+    "sample_split_leakage_safe",
+)
+_exclude(
+    "re-runs the headline-timed text_quality_score and adds a "
+    "3-number percentile aggregate + broadcast CASE",
+    "text_quality_binning",
+)
+_exclude(
     "recall metric re-running an ANN query the headline already times",
     "similarity_ann_recall", "similarity_ivf_recall",
 )

@@ -197,3 +197,68 @@ def sample_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("kept_toks", F.lit(0).cast("bigint"))
                 .alias("kept_toks"))
     )
+
+
+# --- leakage-safe train/val/test split (round 14) -----------------------------
+#
+# Splitting AFTER dedup is not enough when near/exact duplicates
+# survive (or when the split must be assigned before the dedup pass
+# runs): assigning splits per-document leaks duplicated content across
+# the train/test boundary. The standard fix is to hash a GROUP
+# representative, not the document — every member of a duplicate
+# group lands in the same split by construction.
+
+SPLIT_TRAIN_PCT = 80   # bucket < 80            -> train
+SPLIT_VAL_PCT = 90     # 80 <= bucket < 90      -> val; else test
+
+
+def split_assign(docs: DataFrame, key=None) -> DataFrame:
+    """Assign train/val/test by md5 bucket of the duplicate-group
+    representative: group docs by `key` (default md5(text) — the
+    exact-dup fingerprint; pass a minhash cluster id for near-dup
+    coherence), take min(doc_id) as the group rep, bucket the REP.
+
+    Scale shape: one hash-aggregate on the fingerprint (min = O(1)
+    state, map-side partial), equi-join back on fp (AQE handles the
+    hot-duplicate skew), map-side bucket arithmetic — never a global
+    sort or RNG (df.randomSplit would both leak duplicates AND change
+    under repartitioning)."""
+    key = F.md5(F.col("text")) if key is None else key
+    keyed = docs.select("doc_id", key.alias("fp"))
+    rep = keyed.groupBy("fp").agg(F.min("doc_id").alias("_rep"))
+    b = hash_bucket(F.col("_rep"))
+    return (keyed.join(rep, "fp")
+            .select(
+                "doc_id",
+                F.when(b < SPLIT_TRAIN_PCT, F.lit("train"))
+                .when(b < SPLIT_VAL_PCT, F.lit("val"))
+                .otherwise(F.lit("test")).alias("split")))
+
+
+@query(
+    "sample_split_leakage_safe",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, md5(text) AS fp FROM documents
+    ),
+    rep AS (
+      SELECT fp,
+             ('0x' || substr(md5(CAST(min(doc_id) AS VARCHAR)), 1, 8))
+               ::BIGINT % 100 AS b
+      FROM keyed GROUP BY fp
+    )
+    SELECT k.doc_id,
+           CASE WHEN r.b < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN r.b < {SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM keyed k JOIN rep r USING (fp)
+    """,
+)
+def sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-safe train/val/test split (80/10/10 by
+    hash bucket of each exact-duplicate group's min-doc_id
+    representative): duplicate documents can never straddle a split
+    boundary, re-runs select identical splits, and the assignment is
+    partition-layout-independent — none of which df.randomSplit
+    guarantees."""
+    return split_assign(load_table(spark, sf_dir, "documents"))

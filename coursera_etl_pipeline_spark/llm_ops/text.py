@@ -674,3 +674,86 @@ def text_url_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(lg,) for lg in ALLOWED_LANGS], "lang string")
     return (url_host_filter(docs, blocked, allowed)
             .select("doc_id", "lang", "source", "url", "host", "tld"))
+
+
+# --- quality binning via aggregate cutpoints (round 14) ------------------------
+#
+# Curriculum/quality-tier assignment: place each document into a
+# score quartile. The naive spelling — ntile(4) OVER (ORDER BY score)
+# — is a GLOBAL SORT of the corpus, the canonical 100 TB anti-pattern
+# for what is really a 3-number statistic. This operator computes the
+# three cutpoints with ONE tiny aggregate and assigns bins map-side:
+# corpus-sized data never sorts, never shuffles.
+
+QUALITY_BIN_PROBS = (0.25, 0.5, 0.75)
+
+
+def quality_bins(scored: DataFrame,
+                 score_col: str = "quality_score") -> DataFrame:
+    """Bin rows into quartiles of `score_col` by exact interpolated
+    percentiles (Spark `percentile` == DuckDB `quantile_cont`; both
+    sides round the cutpoints to 6 decimals so a final-ulp
+    interpolation difference cannot flip a boundary row). The 1-row
+    cutpoint aggregate joins back by broadcast-able cross join; bin
+    assignment is a codegen'd CASE. Boundary ties go to the lower bin
+    (score <= cutpoint), so counts are n/4 only up to tie mass —
+    the documented cost of not sorting the corpus."""
+    cuts = scored.agg(
+        *[F.round(F.percentile(score_col, F.lit(p)), 6).alias(f"_c{i}")
+          for i, p in enumerate(QUALITY_BIN_PROBS)])
+    s = F.col(score_col)
+    return (scored.crossJoin(F.broadcast(cuts))
+            .select(
+                *scored.columns,
+                F.when(s <= F.col("_c0"), F.lit(0))
+                .when(s <= F.col("_c1"), F.lit(1))
+                .when(s <= F.col("_c2"), F.lit(2))
+                .otherwise(F.lit(3)).cast("int").alias("quality_bin")))
+
+
+@query(
+    "text_quality_binning",
+    # The scoring CTE is text_quality_score's oracle verbatim (same
+    # certified expressions); cutpoints via quantile_cont — DuckDB's
+    # exact interpolated percentile, the same definition as Spark's
+    # percentile() — rounded to 6 on both engines.
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN ('{_MARKER_SET_SQL}')))
+               * 1.0 / len(string_split(text, ' ')) AS stop_ratio,
+             length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+               * 1.0 / length(text) AS alpha_ratio
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             round( least(n_tok / 100.0, 1.0) * 0.4
+                  + least(stop_ratio * 5, 1.0) * 0.3
+                  + alpha_ratio * 0.3, 6) AS quality_score
+      FROM feats
+    ),
+    cuts AS (
+      SELECT round(quantile_cont(quality_score, 0.25), 6) AS c0,
+             round(quantile_cont(quality_score, 0.50), 6) AS c1,
+             round(quantile_cont(quality_score, 0.75), 6) AS c2
+      FROM scored
+    )
+    SELECT s.doc_id, s.quality_score,
+           CAST(CASE WHEN s.quality_score <= c.c0 THEN 0
+                     WHEN s.quality_score <= c.c1 THEN 1
+                     WHEN s.quality_score <= c.c2 THEN 2
+                     ELSE 3 END AS INTEGER) AS quality_bin
+    FROM scored s, cuts c
+    """,
+)
+def text_quality_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile quality tiers over the certified quality score: one
+    3-number percentile aggregate + broadcast join + map-side CASE —
+    the scale-correct form of ntile(4) (which would globally sort the
+    corpus to compute what is a 3-number statistic)."""
+    scored = text_quality_score(spark, sf_dir).select(
+        "doc_id", "quality_score")
+    return quality_bins(scored)

@@ -1593,6 +1593,45 @@ def test_paragraph_keep_first_within_doc_and_order(spark):
     assert out[2].clean_text == "" and out[2].n_dropped_paras == 1
 
 
+def test_split_leakage_safe_semantics(spark):
+    """Exact-duplicate docs ALWAYS share a split (the leakage
+    property randomSplit lacks), every doc gets exactly one split,
+    and the assignment is a pure function of content+rep (stable
+    under row order/partitioning)."""
+    from coursera_etl_pipeline_spark.llm_ops.sampling import split_assign
+
+    rows = [(i, f"unique text {i}") for i in range(40)]
+    rows += [(100, "duplicated body"), (101, "duplicated body"),
+             (102, "duplicated body")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.split for r in split_assign(docs).collect()}
+    assert len(out) == 43
+    assert out[100] == out[101] == out[102]          # leakage-safe
+    assert set(out.values()) <= {"train", "val", "test"}
+    # stability: reversed input order yields the identical assignment
+    docs_rev = spark.createDataFrame(rows[::-1], "doc_id long, text string")
+    out2 = {r.doc_id: r.split
+            for r in split_assign(docs_rev.repartition(7)).collect()}
+    assert out == out2
+
+
+def test_quality_bins_semantics(spark):
+    """Quartile cutpoints split a known score set correctly, ties at
+    a cutpoint go to the LOWER bin, and every row keeps its score."""
+    from coursera_etl_pipeline_spark.llm_ops.text import quality_bins
+
+    scored = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])],
+        "doc_id long, quality_score double")
+    out = {r.doc_id: r.quality_bin for r in quality_bins(scored).collect()}
+    # exact percentiles of 9 points: c0=0.3, c1=0.5, c2=0.7; ties lower
+    assert [out[i] for i in range(9)] == [0, 0, 0, 1, 1, 2, 2, 3, 3]
+    # plan sanity: no global sort of the scored side (the ntile trap)
+    plan = quality_bins(scored)._jdf.queryExecution().executedPlan().toString()
+    assert "Sort " not in plan
+
+
 def test_url_host_filter_semantics(spark):
     """Host extraction handles scheme variants, ports, query strings,
     and path-free URLs; the blocklist anti-join drops by HOST (not
