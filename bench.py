@@ -147,6 +147,16 @@ _exclude(
     "text_quality_binning",
 )
 _exclude(
+    "per-source window running-sum shape timed by text_pack_sequences; "
+    "the cap adds one codegen'd filter",
+    "sample_source_token_cap",
+)
+_exclude(
+    "map-only canonicalization + fp min-aggregate + equi-join-back "
+    "shape timed by dedup_paragraph_keep_first",
+    "dedup_url_exact",
+)
+_exclude(
     "recall metric re-running an ANN query the headline already times",
     "similarity_ann_recall", "similarity_ivf_recall",
 )

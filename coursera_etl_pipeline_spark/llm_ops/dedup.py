@@ -1366,3 +1366,99 @@ def dedup_paragraph_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator here shares. Two shuffles on (fp) + (doc_id), never
     all-pairs, no window-over-all — holds at 100 TB."""
     return dedup_paragraphs_keep_first(load_table(spark, sf_dir, "documents"))
+
+
+# --- URL-canonicalization dedup (round 14) -------------------------------------
+#
+# CommonCrawl-style URL dedup: the same page is crawled under many
+# surface forms (tracking query params, fragments, case-variant
+# hosts, trailing slashes, www. prefixes). Canonicalize FIRST, then
+# dedup on the canonical form — a pure expression pack plus the same
+# argmin hash-aggregate shape as paragraph keep-first.
+
+
+def canonical_url(col) -> "F.Column":
+    """scheme://host/path normalized: query string and fragment
+    dropped, host lowercased and stripped of one leading 'www.',
+    trailing path '/' removed. Pure built-ins — codegen'd, map-only."""
+    no_q = F.regexp_replace(col, "[?#].*$", "")
+    # lowercase ONLY the scheme+host segment; path case is significant.
+    # The scheme matches case-insensitively ([a-zA-Z]) — RFC 3986
+    # schemes are case-insensitive, and lower() folds them after.
+    host = F.lower(F.regexp_extract(
+        no_q, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1))
+    path = F.regexp_replace(no_q, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+    host = F.regexp_replace(host, "^([a-z][a-z0-9+.-]*://)www\\.", "$1")
+    return F.concat(host, F.regexp_replace(path, "/$", ""))
+
+
+def dedup_by_canonical_url(docs: DataFrame,
+                           url_col: str = "url") -> DataFrame:
+    """Keep the min-doc_id representative of each canonical URL.
+    Scale shape: map-only canonicalization, one hash-aggregate on the
+    canonical form (min = O(1) state, map-side partial), equi-join
+    back — never all-pairs, AQE splits hot-URL skew."""
+    keyed = docs.withColumn("canon_url", canonical_url(F.col(url_col)))
+    rep = (keyed.groupBy("canon_url")
+           .agg(F.min("doc_id").alias("_rep")))
+    return (keyed.join(rep, "canon_url")
+            .select("doc_id", "canon_url",
+                    (F.col("doc_id") == F.col("_rep")).alias("is_kept")))
+
+
+# Deterministic surface-form variants planted over the fixture (the
+# generator emits no url column): doc_id mod 3 selects the variant,
+# doc_id div 3 selects the page, so every consecutive id-triple
+# shares one canonical URL under three different surface forms.
+_URL_VARIANT_SQL = """
+      CASE doc_id % 3
+        WHEN 0 THEN 'https://' || source || '.example.org/page/'
+                    || CAST(doc_id // 3 AS VARCHAR)
+        WHEN 1 THEN 'https://WWW.' || upper(source)
+                    || '.EXAMPLE.ORG/page/'
+                    || CAST(doc_id // 3 AS VARCHAR) || '?utm_source=feed#frag'
+        ELSE 'https://www.' || source || '.example.org/page/'
+                    || CAST(doc_id // 3 AS VARCHAR) || '/'
+      END"""
+
+
+@query(
+    "dedup_url_exact",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, source, {_URL_VARIANT_SQL} AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(
+               lower(regexp_extract(regexp_replace(url, '[?#].*$', ''),
+                                    '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1)),
+               '^([a-z][a-z0-9+.-]*://)www\\.', '\\1')
+             || regexp_replace(
+                  regexp_replace(regexp_replace(url, '[?#].*$', ''),
+                                 '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', ''),
+                  '/$', '') AS canon_url
+      FROM u
+    ),
+    rep AS (
+      SELECT canon_url, min(doc_id) AS _rep FROM canon GROUP BY canon_url
+    )
+    SELECT c.doc_id, c.canon_url, (c.doc_id = r._rep) AS is_kept
+    FROM canon c JOIN rep r USING (canon_url)
+    """,
+)
+def dedup_url_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup over planted surface-form variants
+    (tracking params, fragments, case-variant www hosts, trailing
+    slashes — one canonical page per consecutive id-triple): keep the
+    min-doc_id doc per canonical URL; the value hash certifies the
+    canonicalization expression pack and the keep decision row-by-row."""
+    # Spark SQL spells DuckDB's integer-divide and VARCHAR differently;
+    # same planted variants otherwise.
+    variant = (_URL_VARIANT_SQL
+               .replace("doc_id // 3", "doc_id DIV 3")
+               .replace("AS VARCHAR", "AS STRING"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(variant).alias("url"))
+    return dedup_by_canonical_url(docs)

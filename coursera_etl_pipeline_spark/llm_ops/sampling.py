@@ -262,3 +262,60 @@ def sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-layout-independent — none of which df.randomSplit
     guarantees."""
     return split_assign(load_table(spark, sf_dir, "documents"))
+
+
+# --- per-source token budget cap (round 14) ------------------------------------
+#
+# RefinedWeb/Gopher-style DOMAIN capping: no single source (domain,
+# crawl host, data vendor) may contribute more than a fixed token
+# budget to the corpus, so one over-crawled site cannot dominate the
+# mixture. Deterministic rule: docs are admitted in doc_id order
+# until the source's running token total crosses the cap.
+
+SOURCE_TOKEN_CAP = 500
+
+
+def cap_source_tokens(docs: DataFrame,
+                      cap: int = SOURCE_TOKEN_CAP) -> DataFrame:
+    """Keep each source's doc_id-ordered prefix whose cumulative token
+    count stays within `cap` (the doc that crosses the cap is
+    dropped, as are all later docs of that source).
+
+    Scale shape: ONE window partitioned by source — a shuffle on the
+    source key plus an in-partition sort, both bounded by per-domain
+    volume, never a global sort. A pathologically hot domain is
+    exactly the row this operator exists to truncate, and the window
+    still only sorts THAT domain's rows; a two-phase approximate cap
+    (count-then-rate) trades exactness for removing even that sort —
+    recorded alternative, not taken: caps are small by construction
+    (the cap IS the bound on useful work per domain)."""
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (docs
+            .select("doc_id", "source", n_tok.alias("n_tokens"))
+            .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .filter(F.col("cum_tokens") <= cap))
+
+
+@query(
+    "sample_source_token_cap",
+    oracle=f"""
+    WITH cum AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+               OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM cum WHERE cum_tokens <= {SOURCE_TOKEN_CAP}
+    """,
+)
+def sample_source_token_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budget cap: each source contributes its
+    doc_id-ordered prefix of at most SOURCE_TOKEN_CAP tokens — the
+    anti-domination guard every large-corpus mixture applies before
+    computing mixing weights."""
+    return cap_source_tokens(load_table(spark, sf_dir, "documents"))

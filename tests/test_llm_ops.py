@@ -1632,6 +1632,52 @@ def test_quality_bins_semantics(spark):
     assert "Sort " not in plan
 
 
+def test_source_token_cap_semantics(spark):
+    """Docs admit in doc_id order per source; the doc that CROSSES
+    the cap drops (with everything after it), other sources are
+    unaffected, and an exactly-at-cap prefix is kept whole."""
+    from coursera_etl_pipeline_spark.llm_ops.sampling import (
+        cap_source_tokens,
+    )
+
+    def words(n):
+        return " ".join("w" * 1 for _ in range(n))
+
+    docs = spark.createDataFrame(
+        [(0, "a", words(4)), (1, "a", words(4)), (2, "a", words(3)),
+         (3, "a", words(1)),                    # a: 4,8,11>10 -> 0,1 kept
+         (10, "b", words(6)), (11, "b", words(4)),  # b: 6,10 == cap: both
+         (20, "c", words(11))],                     # c: first doc over cap
+        "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in cap_source_tokens(docs, cap=10).collect()}
+    assert sorted(out) == [0, 1, 10, 11]
+    assert out[1].cum_tokens == 8 and out[11].cum_tokens == 10
+
+
+def test_canonical_url_and_dedup(spark):
+    """Canonicalization: query/fragment stripped, host (not path)
+    case-folded, one www. stripped, trailing slash removed; variants
+    of one page collapse to a single kept representative while
+    distinct paths stay distinct."""
+    from coursera_etl_pipeline_spark.llm_ops.dedup import (
+        dedup_by_canonical_url,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "https://Site.Example.org/A/b?utm=1#x"),
+         (1, "https://www.site.example.org/A/b/"),
+         (2, "HTTPS://SITE.EXAMPLE.ORG/A/b"),      # scheme+host folded
+         (3, "https://site.example.org/a/b"),       # path case differs: kept
+         (4, "https://wwwsite.example.org/A/b")],   # no dot: not a www strip
+        "doc_id long, url string")
+    out = {r.doc_id: r for r in dedup_by_canonical_url(docs).collect()}
+    assert out[0].is_kept and not out[1].is_kept and not out[2].is_kept
+    assert out[0].canon_url == "https://site.example.org/A/b"
+    assert out[3].is_kept and out[3].canon_url == "https://site.example.org/a/b"
+    assert out[4].is_kept and out[4].canon_url.startswith(
+        "https://wwwsite.example.org")
+
+
 def test_url_host_filter_semantics(spark):
     """Host extraction handles scheme variants, ports, query strings,
     and path-free URLs; the blocklist anti-join drops by HOST (not
