@@ -702,6 +702,10 @@ def quality_bins(scored: DataFrame,
         *[F.round(F.percentile(score_col, F.lit(p)), 6).alias(f"_c{i}")
           for i, p in enumerate(QUALITY_BIN_PROBS)])
     s = F.col(score_col)
+    # the package's scalar-threshold idiom (q22/q11/q15): broadcast
+    # the O(1) aggregate row cross-wise; allowlisted in plan_audit
+    # because the build side is 1 row by construction (an equi-join
+    # on a literal key folds back to the same BNLJ anyway).
     return (scored.crossJoin(F.broadcast(cuts))
             .select(
                 *scored.columns,

@@ -47,6 +47,9 @@ ALLOWED = {
     ("q11_important_parts", "BroadcastNestedLoopJoin"),    # scalar-threshold broadcast
     ("q15_top_supplier", "BroadcastNestedLoopJoin"),       # max-scalar broadcast
     ("agg_approx_bounds", "BroadcastNestedLoopJoin"),      # O(1) bounds row
+    # quartile cutpoints: broadcast 1-row percentile aggregate (the
+    # scale-correct form of ntile(4) — text.py quality_bins docstring)
+    ("text_quality_binning", "BroadcastNestedLoopJoin"),
     ("agg_approx", "BroadcastNestedLoopJoin"),             # O(1) bounds row
     ("dq_audit_orders", "BroadcastNestedLoopJoin"),        # O(1) stats-row assembly
     ("subquery_scalar", "BroadcastNestedLoopJoin"),        # scalar subquery
