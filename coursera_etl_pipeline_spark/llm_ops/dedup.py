@@ -1379,8 +1379,12 @@ def dedup_paragraph_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def canonical_url(col) -> "F.Column":
     """scheme://host/path normalized: query string and fragment
-    dropped, host lowercased and stripped of one leading 'www.',
-    trailing path '/' removed. Pure built-ins — codegen'd, map-only."""
+    dropped, host lowercased and stripped of every leading 'www.'
+    label, trailing '/' run removed. IDEMPOTENT by construction
+    (canonical(canonical(u)) == canonical(u), pytest-pinned): a
+    non-fixed-point canonicalizer dedups differently when already-
+    canonical URLs are re-ingested. Pure built-ins — codegen'd,
+    map-only."""
     no_q = F.regexp_replace(col, "[?#].*$", "")
     # lowercase ONLY the scheme+host segment; path case is significant.
     # The scheme matches case-insensitively ([a-zA-Z]) — RFC 3986
@@ -1388,8 +1392,12 @@ def canonical_url(col) -> "F.Column":
     host = F.lower(F.regexp_extract(
         no_q, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1))
     path = F.regexp_replace(no_q, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
-    host = F.regexp_replace(host, "^([a-z][a-z0-9+.-]*://)www\\.", "$1")
-    return F.concat(host, F.regexp_replace(path, "/$", ""))
+    # (www\.)+ not www\.: stripping ONE label is not idempotent —
+    # canonical("www.www.x") would differ from its own re-canonical
+    # (pinned by test_canonical_url_idempotent)
+    host = F.regexp_replace(host, "^([a-z][a-z0-9+.-]*://)(www\\.)+", "$1")
+    # /+$ not /$: one-slash stripping is not idempotent on "a//"
+    return F.concat(host, F.regexp_replace(path, "/+$", ""))
 
 
 def dedup_by_canonical_url(docs: DataFrame,
@@ -1434,11 +1442,11 @@ _URL_VARIANT_SQL = """
              regexp_replace(
                lower(regexp_extract(regexp_replace(url, '[?#].*$', ''),
                                     '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1)),
-               '^([a-z][a-z0-9+.-]*://)www\\.', '\\1')
+               '^([a-z][a-z0-9+.-]*://)(www\\.)+', '\\1')
              || regexp_replace(
                   regexp_replace(regexp_replace(url, '[?#].*$', ''),
                                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', ''),
-                  '/$', '') AS canon_url
+                  '/+$', '') AS canon_url
       FROM u
     ),
     rep AS (

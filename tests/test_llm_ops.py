@@ -1678,6 +1678,36 @@ def test_canonical_url_and_dedup(spark):
         "https://wwwsite.example.org")
 
 
+def test_canonical_url_idempotent(spark):
+    """Canonicalization is a FIXED POINT: canonical(canonical(u)) ==
+    canonical(u) over an adversarial URL batch (double-www, query
+    that contains a url, fragment-only, root slash, mixed case,
+    ports, userinfo-ish '@' paths). A non-idempotent canonicalizer
+    dedups differently on re-ingestion — the silent-corruption mode
+    this pins against."""
+    from pyspark.sql import functions as F
+
+    from coursera_etl_pipeline_spark.llm_ops.dedup import canonical_url
+
+    urls = [
+        "https://www.www.example.org/a",          # double www: strip ONE
+        "https://example.org/a?next=https://b.io/c",
+        "https://example.org/#frag",
+        "https://example.org/",
+        "HTTP://WWW.EXAMPLE.ORG",
+        "https://example.org:8080/x/",
+        "ftp://Files.Example.org/pub/",
+        "https://example.org/a@b/c?x#y",
+        "https://example.org/a//",                 # double slash: one strip
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        canonical_url(F.col("url")).alias("c1")).select(
+        "c1", canonical_url(F.col("c1")).alias("c2")).collect()
+    for r in out:
+        assert r.c1 == r.c2, (r.c1, r.c2)
+
+
 def test_url_host_filter_semantics(spark):
     """Host extraction handles scheme variants, ports, query strings,
     and path-free URLs; the blocklist anti-join drops by HOST (not
