@@ -1,4 +1,10 @@
-"""Round-14 q18 sf100 settlement probe (VERDICT r13 item 3).
+"""Round-14 interleaved engine-vs-DuckDB replica probe.
+
+Written for the q18 sf100 settlement (VERDICT r13 item 3) and then
+used as the round's generic instrument: the q1/q3/q5/q10 quiet-window
+refresh, the interval-join K=1000 decade row, and the
+dedup_paragraph_keep_first K=100 row all ran through it (BASELINE §4
+round-14 sections).
 
 q18's standing sf100 figure is the last headline scale row carrying a
 weather-bounded adjudication (~3.3-3.9x from overlapping 69-130 s
