@@ -49,6 +49,13 @@ __all__ = [
     "sample_stratified_hash",
     "text_pack_sequences",
     "resize_images",
+    "dedup_paragraphs_keep_first",
+    "canonical_url",
+    "dedup_by_canonical_url",
+    "url_host_filter",
+    "split_assign",
+    "cap_source_tokens",
+    "quality_bins",
 ]
 
 
@@ -86,6 +93,13 @@ def __getattr__(name):
         "sample_stratified_hash": "llm_ops.sampling",
         "text_pack_sequences": "llm_ops.sampling",
         "resize_images": "llm_ops.multimodal",
+        "dedup_paragraphs_keep_first": "llm_ops.dedup",
+        "canonical_url": "llm_ops.dedup",
+        "dedup_by_canonical_url": "llm_ops.dedup",
+        "url_host_filter": "llm_ops.text",
+        "split_assign": "llm_ops.sampling",
+        "cap_source_tokens": "llm_ops.sampling",
+        "quality_bins": "llm_ops.text",
     }
     if name in homes:
         mod = importlib.import_module(f"{__name__}.{homes[name]}")
