@@ -53,6 +53,15 @@ _EDITED_THIS_ROUND = [
     # re-verified via tools/oracle_check.py, but the aggregation logic
     # changed, so it re-certifies:
     "dedup_substring",
+    # dedup_boilerplate: same conversion applied to the sibling pass
+    # (its dup set now routes through _dup_fingerprints, and its tile
+    # explode through the shared tile_tokens — review r14). Values
+    # provably identical (same equivalence as above; tiler extracted
+    # verbatim), re-verified at all three fixture scales, but the
+    # aggregation logic changed, so it re-certifies. Zero window
+    # cost: it already sits in the r11-stale cohort this round
+    # rotates (the q17-in-r10-cohort precedent from round 13).
+    "dedup_boilerplate",
     # Round-14 carve-outs (files edited, NO forcing — each provably
     # leaves every registered result unchanged):
     #  - streaming/parity.py _move_commit: the finally-sweep now tracks

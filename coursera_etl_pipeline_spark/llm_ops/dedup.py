@@ -1037,33 +1037,43 @@ def dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate(load_table(spark, sf_dir, "documents"))
 
 
-def remove_boilerplate(docs: DataFrame,
-                       chunk_tokens: int = BOILER_TOKENS,
-                       min_docs: int = BOILER_MIN_DOCS) -> DataFrame:
-    """DataFrame core of `dedup_boilerplate` (see its docstring for the
-    plan shape); parameterized for property tests."""
+def tile_tokens(docs: DataFrame, k: int,
+                idx_name: str, tile_name: str) -> DataFrame:
+    """(doc_id, idx, tile) rows: non-overlapping k-token tiles in
+    position order. The ONE tiling expression shared by boilerplate
+    removal and paragraph keep-first (review r14: two verbatim copies
+    of the tile arithmetic would silently diverge under a future
+    boundary fix, and the operators' planted-case contrast relies on
+    the tile shapes being exactly equal)."""
     toks = F.split(F.col("text"), " ")
-    chunks = (
+    return (
         docs.select(
             "doc_id",
             F.posexplode(
                 F.sequence(
                     F.lit(0),
-                    F.floor((F.size(toks) - 1) / chunk_tokens).cast("int"))
-            ).alias("chunk_id", "_k"),
+                    F.floor((F.size(toks) - 1) / k).cast("int"))
+            ).alias(idx_name, "_k"),
             toks.alias("_toks"))
         .select(
-            "doc_id", "chunk_id",
+            "doc_id", idx_name,
             F.array_join(
-                F.slice(F.col("_toks"),
-                        F.col("_k") * chunk_tokens + 1, chunk_tokens), " ")
-            .alias("chunk"))
-        .withColumn("fp", F.md5(F.col("chunk"))))
-    dup = (
-        chunks.groupBy("fp")
-        .agg(F.count_distinct("doc_id").alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("fp", F.lit(1).alias("_dup")))
+                F.slice(F.col("_toks"), F.col("_k") * k + 1, k), " ")
+            .alias(tile_name)))
+
+
+def remove_boilerplate(docs: DataFrame,
+                       chunk_tokens: int = BOILER_TOKENS,
+                       min_docs: int = BOILER_MIN_DOCS) -> DataFrame:
+    """DataFrame core of `dedup_boilerplate` (see its docstring for the
+    plan shape); parameterized for property tests. Round 14: the dup
+    set routes through _dup_fingerprints, so the canonical min_docs=2
+    gets the O(1)-state min/max arm here too (the count_distinct set
+    was the K=1000 memory constant VERDICT r13 item 4 named for the
+    sibling substring pass)."""
+    chunks = (tile_tokens(docs, chunk_tokens, "chunk_id", "chunk")
+              .withColumn("fp", F.md5(F.col("chunk"))))
+    dup = _dup_fingerprints(chunks, min_docs).withColumn("_dup", F.lit(1))
     marked = chunks.join(dup, "fp", "left")
     return (
         marked.groupBy("doc_id").agg(
@@ -1260,22 +1270,7 @@ def paragraphize(docs: DataFrame, para_tokens: int = PARA_TOKENS,
             "doc_id",
             F.posexplode(F.split("text", delimiter))
             .alias("para_id", "para"))
-    toks = F.split(F.col("text"), " ")
-    return (
-        docs.select(
-            "doc_id",
-            F.posexplode(
-                F.sequence(
-                    F.lit(0),
-                    F.floor((F.size(toks) - 1) / para_tokens).cast("int"))
-            ).alias("para_id", "_k"),
-            toks.alias("_toks"))
-        .select(
-            "doc_id", "para_id",
-            F.array_join(
-                F.slice(F.col("_toks"),
-                        F.col("_k") * para_tokens + 1, para_tokens), " ")
-            .alias("para")))
+    return tile_tokens(docs, para_tokens, "para_id", "para")
 
 
 def dedup_paragraphs_keep_first(docs: DataFrame,
@@ -1405,8 +1400,17 @@ def dedup_by_canonical_url(docs: DataFrame,
     """Keep the min-doc_id representative of each canonical URL.
     Scale shape: map-only canonicalization, one hash-aggregate on the
     canonical form (min = O(1) state, map-side partial), equi-join
-    back — never all-pairs, AQE splits hot-URL skew."""
-    keyed = docs.withColumn("canon_url", canonical_url(F.col(url_col)))
+    back — never all-pairs, AQE splits hot-URL skew.
+
+    A NULL url canonicalizes to NULL, and a NULL join key matches
+    nothing — without the per-doc fallback below such docs would
+    silently VANISH from the output (neither kept nor marked dropped
+    — review r14). A doc with no URL has no URL-duplicate evidence,
+    so each is its own group and is kept."""
+    canon = F.coalesce(
+        canonical_url(F.col(url_col)),
+        F.concat(F.lit("__null_url__"), F.col("doc_id").cast("string")))
+    keyed = docs.withColumn("canon_url", canon)
     rep = (keyed.groupBy("canon_url")
            .agg(F.min("doc_id").alias("_rep")))
     return (keyed.join(rep, "canon_url")
@@ -1438,6 +1442,8 @@ _URL_VARIANT_SQL = """
       FROM documents
     ),
     canon AS (
+      -- the engine's NULL-url per-doc fallback is unreachable here
+      -- (the planted variants are never NULL), so the oracle omits it
       SELECT doc_id,
              regexp_replace(
                lower(regexp_extract(regexp_replace(url, '[?#].*$', ''),

@@ -224,6 +224,13 @@ def split_assign(docs: DataFrame, key=None) -> DataFrame:
     sort or RNG (df.randomSplit would both leak duplicates AND change
     under repartitioning)."""
     key = F.md5(F.col("text")) if key is None else key
+    # NULL keys (NULL text, or a NULL cluster id passed as `key`)
+    # would form a NULL-fp group the equi-join back can never match —
+    # the doc would silently get NO split at all (review r14). Fall
+    # back to a per-doc key: a doc with no content carries no
+    # leakage evidence, so it splits independently.
+    key = F.coalesce(
+        key, F.concat(F.lit("__null_key__"), F.col("doc_id").cast("string")))
     keyed = docs.select("doc_id", key.alias("fp"))
     rep = keyed.groupBy("fp").agg(F.min("doc_id").alias("_rep"))
     b = hash_bucket(F.col("_rep"))
@@ -239,7 +246,10 @@ def split_assign(docs: DataFrame, key=None) -> DataFrame:
     "sample_split_leakage_safe",
     oracle=f"""
     WITH keyed AS (
-      SELECT doc_id, md5(text) AS fp FROM documents
+      SELECT doc_id,
+             coalesce(md5(text),
+                      '__null_key__' || CAST(doc_id AS VARCHAR)) AS fp
+      FROM documents
     ),
     rep AS (
       SELECT fp,

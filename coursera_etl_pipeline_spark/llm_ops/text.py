@@ -601,8 +601,11 @@ def scrub_pii(df: DataFrame, text_col: str) -> DataFrame:
 # artifact; url_host_filter() below is the production entry point for
 # corpora that already carry a url column.
 
-URL_HOST_RE = "^[a-z][a-z0-9+.-]*://([^/?#]+)"
-URL_TLD_RE = "\\.([a-z0-9-]+)$"
+URL_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+# TLD = last dot-label of the PORT-STRIPPED, lowercased hostname; the
+# optional :port group keeps 'example.org:8443' -> 'org' (review r14:
+# an end-anchored label regex returned '' for every port-carrying URL)
+URL_TLD_RE = "\\.([a-z0-9-]+)(?::[0-9]+)?$"
 
 # Literal curation lists (tiny, O(1) — static broadcast per the
 # constant-size rule in catalog.gated_broadcast's docstring):
@@ -622,7 +625,11 @@ def url_host_filter(docs: DataFrame, blocked_hosts: DataFrame,
     — so the whole filter is one map stage at 100 TB. LEFT_ANTI and
     LEFT_SEMI never duplicate fact rows (no row-count blowup on list
     duplicates) and prune every list column from the output."""
-    host = F.regexp_extract(F.col(url_col), URL_HOST_RE, 1)
+    # hosts (and schemes) are case-insensitive per RFC 3986: fold the
+    # extracted host so 'BAD.example.org' cannot bypass a lowercase
+    # blocklist entry (review r14 — canonical_url already folds; the
+    # list gate must too)
+    host = F.lower(F.regexp_extract(F.col(url_col), URL_HOST_RE, 1))
     parsed = (docs
               .withColumn("host", host)
               .withColumn("tld", F.regexp_extract("host", URL_TLD_RE, 1)))
@@ -638,13 +645,13 @@ def url_host_filter(docs: DataFrame, blocked_hosts: DataFrame,
     # lists are literal, non-null, duplicate-free).
     oracle=f"""
     WITH u AS (
-      SELECT doc_id, lang, source, n_chars,
+      SELECT doc_id, lang, source,
              'https://' || source || '.example.org/' || lang
                         || '/doc-' || doc_id AS url
       FROM documents
     ),
     parsed AS (
-      SELECT *, regexp_extract(url, '{URL_HOST_RE}', 1) AS host
+      SELECT *, lower(regexp_extract(url, '{URL_HOST_RE}', 1)) AS host
       FROM u
     )
     SELECT doc_id, lang, source, url, host,
@@ -692,14 +699,22 @@ def quality_bins(scored: DataFrame,
                  score_col: str = "quality_score") -> DataFrame:
     """Bin rows into quartiles of `score_col` by exact interpolated
     percentiles (Spark `percentile` == DuckDB `quantile_cont`; both
-    sides round the cutpoints to 6 decimals so a final-ulp
-    interpolation difference cannot flip a boundary row). The 1-row
+    sides round the cutpoints through the identical
+    floor(x*1e6 + 0.5)/1e6 IEEE expression, the half-mode-proof
+    spelling, so an interpolation ulp cannot flip a boundary row). The 1-row
     cutpoint aggregate joins back by broadcast-able cross join; bin
     assignment is a codegen'd CASE. Boundary ties go to the lower bin
     (score <= cutpoint), so counts are n/4 only up to tie mass —
     the documented cost of not sorting the corpus."""
+    # cutpoints rounded via floor(x*1e6 + 0.5)/1e6 — the repo's
+    # half-mode-proof spelling (identical IEEE expression on both
+    # engines), because engine round() half-modes differ and an
+    # interpolated percentile can land exactly on a half at the 7th
+    # decimal (review r14: plain round(x, 6) could flip a boundary
+    # row's bin between engines there)
     cuts = scored.agg(
-        *[F.round(F.percentile(score_col, F.lit(p)), 6).alias(f"_c{i}")
+        *[(F.floor(F.percentile(score_col, F.lit(p)) * 1e6 + 0.5) / 1e6)
+          .alias(f"_c{i}")
           for i, p in enumerate(QUALITY_BIN_PROBS)])
     s = F.col(score_col)
     # the package's scalar-threshold idiom (q22/q11/q15): broadcast
@@ -720,7 +735,8 @@ def quality_bins(scored: DataFrame,
     # The scoring CTE is text_quality_score's oracle verbatim (same
     # certified expressions); cutpoints via quantile_cont — DuckDB's
     # exact interpolated percentile, the same definition as Spark's
-    # percentile() — rounded to 6 on both engines.
+    # percentile() — cutpoints rounded via the half-mode-proof
+    # floor(x*1e6 + 0.5)/1e6 on both engines.
     oracle=f"""
     WITH feats AS (
       SELECT doc_id,
@@ -740,9 +756,9 @@ def quality_bins(scored: DataFrame,
       FROM feats
     ),
     cuts AS (
-      SELECT round(quantile_cont(quality_score, 0.25), 6) AS c0,
-             round(quantile_cont(quality_score, 0.50), 6) AS c1,
-             round(quantile_cont(quality_score, 0.75), 6) AS c2
+      SELECT floor(quantile_cont(quality_score, 0.25) * 1e6 + 0.5) / 1e6 AS c0,
+             floor(quantile_cont(quality_score, 0.50) * 1e6 + 0.5) / 1e6 AS c1,
+             floor(quantile_cont(quality_score, 0.75) * 1e6 + 0.5) / 1e6 AS c2
       FROM scored
     )
     SELECT s.doc_id, s.quality_score,

@@ -1603,9 +1603,11 @@ def test_split_leakage_safe_semantics(spark):
     rows = [(i, f"unique text {i}") for i in range(40)]
     rows += [(100, "duplicated body"), (101, "duplicated body"),
              (102, "duplicated body")]
+    rows += [(200, None), (201, None)]              # NULL text
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r.split for r in split_assign(docs).collect()}
-    assert len(out) == 43
+    assert len(out) == 45                            # NULL docs NOT lost
+    assert 200 in out and 201 in out                 # (review r14)
     assert out[100] == out[101] == out[102]          # leakage-safe
     assert set(out.values()) <= {"train", "val", "test"}
     # stability: reversed input order yields the identical assignment
@@ -1676,6 +1678,14 @@ def test_canonical_url_and_dedup(spark):
     assert out[3].is_kept and out[3].canon_url == "https://site.example.org/a/b"
     assert out[4].is_kept and out[4].canon_url.startswith(
         "https://wwwsite.example.org")
+    # NULL urls are KEPT independently, never silently dropped
+    # (review r14: a NULL join key matches nothing in the equi-join)
+    nulled = spark.createDataFrame(
+        [(0, "https://x.org/a"), (1, None), (2, None)],
+        "doc_id long, url string")
+    nout = {r.doc_id: r for r in dedup_by_canonical_url(nulled).collect()}
+    assert sorted(nout) == [0, 1, 2]
+    assert nout[1].is_kept and nout[2].is_kept
 
 
 def test_canonical_url_idempotent(spark):
@@ -1723,6 +1733,8 @@ def test_url_host_filter_semantics(spark):
             (3, "en", "https://good.example.org:8443"),   # port, no path
             (4, "en", "https://bad.example.org.evil.io/z"),  # NOT blocked:
                                                              # host differs
+            (5, "en", "HTTPS://BAD.Example.ORG/x"),       # blocked: case
+                                                          # cannot bypass
         ],
         "doc_id long, lang string, url string")
     blocked = spark.createDataFrame(
@@ -1734,6 +1746,7 @@ def test_url_host_filter_semantics(spark):
     assert sorted(out) == [0, 3, 4]
     assert out[0].host == "good.example.org" and out[0].tld == "org"
     assert out[3].host == "good.example.org:8443"
+    assert out[3].tld == "org"          # port-robust TLD (review r14)
     assert out[4].host == "bad.example.org.evil.io"
     assert out[4].tld == "io"
 
