@@ -46,43 +46,19 @@ _EDITED_THIS_ROUND = [
     # green rows predate the change, so they outrank everything the history
     # says is current.  Update per round alongside the round's edits.
     #
-    # Round 14. dedup_substring: the min_docs=2 dup-fingerprint aggregate
-    # switched from count_distinct(doc_id) to the O(1)-state
-    # min(doc_id) != max(doc_id) arm (VERDICT r13 item 4). Values are
-    # provably identical (>= 2 distinct ids <=> min != max) and
-    # re-verified via tools/oracle_check.py, but the aggregation logic
-    # changed, so it re-certifies:
-    "dedup_substring",
-    # dedup_boilerplate: same conversion applied to the sibling pass
-    # (its dup set now routes through _dup_fingerprints, and its tile
-    # explode through the shared tile_tokens — review r14). Values
-    # provably identical (same equivalence as above; tiler extracted
-    # verbatim), re-verified at all three fixture scales, but the
-    # aggregation logic changed, so it re-certifies. Zero window
-    # cost: it already sits in the r11-stale cohort this round
-    # rotates (the q17-in-r10-cohort precedent from round 13).
-    "dedup_boilerplate",
-    # Round-14 carve-outs (files edited, NO forcing — each provably
-    # leaves every registered result unchanged):
-    #  - streaming/parity.py _move_commit: the finally-sweep now tracks
-    #    loop success with a local flag instead of sys.exc_info()
-    #    (ADVICE r13) — behavior identical on every clean path (flag
-    #    True <=> no exception in the loop); the change only prevents
-    #    a success-path listdir failure from being swallowed when a
-    #    CALLER is mid-exception, a path no registered query reaches
-    #    (kill-tests cover it).
-    #  - relational.py gate fractions (q3/q5/q7/q17) now DERIVED via
-    #    catalog.eq_fraction from the DOMAIN_NDV stats table (VERDICT
-    #    r13 item 6) instead of hand-pinned constants. Arm selection
-    #    is provably identical: tests/test_catalog.py asserts each
-    #    derived value EQUALS the constant it replaced (0.2/0.2/
-    #    0.08/0.08/0.04), so gated_broadcast receives bit-identical
-    #    arguments at every scale; re-verified by oracle_check on all
-    #    four queries.
-    # (Round-13's twelve forcings all certified green in
-    # CORRECTNESS_r13 and are dropped from this list — keeping them
-    # would burn 12 of the 50 slots re-proving current rows. Their
-    # rationale lives in the r13 git history of this file.)
+    # Round 15. sample_source_token_cap: the round-14 red row (driver
+    # hash FALSE — the oracle's windowed SUM was uncast, so DuckDB
+    # emitted HUGEINT vs Spark's BIGINT; VERDICT r14 item 1). Oracle
+    # now CASTs the windowed SUM to BIGINT, and engine+oracle both
+    # COALESCE NULL-text token counts to 0 (ADVICE r14). Re-verified
+    # via tools/oracle_check.py at all three fixture scales and 0
+    # type_parity_audit flags; it also has no green row at all, so the
+    # forcing costs nothing beyond the slot it would take anyway:
+    "sample_source_token_cap",
+    # (Round-14's two forcings, dedup_substring and dedup_boilerplate,
+    # certified green in CORRECTNESS_r14 and are dropped — keeping them
+    # would burn slots re-proving current rows. Rationale lives in the
+    # r14 git history of this file.)
 ]
 
 

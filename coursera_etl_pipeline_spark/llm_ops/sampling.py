@@ -298,8 +298,13 @@ def cap_source_tokens(docs: DataFrame,
     still only sorts THAT domain's rows; a two-phase approximate cap
     (count-then-rate) trades exactness for removing even that sort —
     recorded alternative, not taken: caps are small by construction
-    (the cap IS the bound on useful work per domain)."""
-    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    (the cap IS the bound on useful work per domain).
+
+    NULL-text docs count zero tokens and stay admitted (ADVICE r14):
+    without the coalesce their NULL cum_tokens fails the <= filter and
+    the doc vanishes — neither kept nor budget-charged — the same
+    silent-row-loss class split_assign/dedup_by_canonical_url fixed."""
+    n_tok = F.coalesce(F.size(F.split("text", " ")), F.lit(0)).cast("bigint")
     w = (Window.partitionBy("source").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (docs
@@ -310,13 +315,20 @@ def cap_source_tokens(docs: DataFrame,
 
 @query(
     "sample_source_token_cap",
+    # The windowed SUM is CAST back to BIGINT: DuckDB types ANY integer
+    # SUM — including windowed — as HUGEINT, which value-matches but
+    # hash-diverges from Spark's BIGINT (the r9 similarity_lsh lesson;
+    # this exact column was the r14 red row). COALESCE mirrors the
+    # engine's NULL-text-counts-zero rule.
     oracle=f"""
     WITH cum AS (
       SELECT doc_id, source,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+             COALESCE(CAST(len(string_split(text, ' ')) AS BIGINT),
+                      0) AS n_tokens,
+             CAST(SUM(COALESCE(CAST(len(string_split(text, ' ')) AS BIGINT),
+                               0))
                OVER (PARTITION BY source ORDER BY doc_id
-                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
       FROM documents
     )
     SELECT doc_id, source, n_tokens, cum_tokens

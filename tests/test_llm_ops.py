@@ -1649,11 +1649,15 @@ def test_source_token_cap_semantics(spark):
         [(0, "a", words(4)), (1, "a", words(4)), (2, "a", words(3)),
          (3, "a", words(1)),                    # a: 4,8,11>10 -> 0,1 kept
          (10, "b", words(6)), (11, "b", words(4)),  # b: 6,10 == cap: both
-         (20, "c", words(11))],                     # c: first doc over cap
+         (20, "c", words(11)),                      # c: first doc over cap
+         (30, "d", None), (31, "d", words(9))],     # d: NULL text = 0 tok
         "doc_id long, source string, text string")
     out = {r.doc_id: r for r in cap_source_tokens(docs, cap=10).collect()}
-    assert sorted(out) == [0, 1, 10, 11]
+    assert sorted(out) == [0, 1, 10, 11, 30, 31]
     assert out[1].cum_tokens == 8 and out[11].cum_tokens == 10
+    # NULL-text docs are zero-token and KEPT, never silently dropped
+    # (ADVICE r14: uncoalesced size(split(NULL)) is NULL -> filtered)
+    assert out[30].n_tokens == 0 and out[31].cum_tokens == 9
 
 
 def test_canonical_url_and_dedup(spark):

@@ -267,24 +267,25 @@ def test_dq_audit_documents_catches_each_violation(spark):
     }
 
 
-def test_type_parity_lattice_on_sum_heavy_queries(spark, sf_dir):
-    """Guard the r9 HUGEINT lesson in-suite: for the queries whose
-    oracles sum integers or decimals (the class where DuckDB silently
-    widens to HUGEINT/DECIMAL while Spark stays BIGINT/DOUBLE), the
-    Spark schema and the DuckDB relation's concrete logical types must
-    land on the same lattice class per column. The full 125-query
-    audit is tools/type_parity_audit.py (run it after editing ANY
-    oracle); this subset keeps the class regression-visible in every
-    pytest run without executing the streamed parities."""
+def test_type_parity_lattice_on_all_queries(spark, sf_dir):
+    """Guard the r9 HUGEINT lesson in-suite, over EVERY registered
+    query (VERDICT r14 item 2): DuckDB silently widens integer SUMs —
+    including windowed ones — to HUGEINT and decimal math to DECIMAL
+    while Spark stays BIGINT/DOUBLE; values match but the driver's
+    hash diverges. The list is COMPUTED from the registry, never
+    hand-maintained — round 14's red row (`sample_source_token_cap`)
+    happened precisely because the new query was missing from the
+    old hardcoded 8-name RISKY subset. The DuckDB side is plan-only;
+    the Spark side is `.dtypes` (plan-only for batch queries; the 17
+    stream_* parities do execute their micro streaming job at
+    sf0.001, the price of making this class structurally
+    impossible)."""
     import duckdb
 
     import __spark_entry__ as entrymod
     from coursera_etl_pipeline_spark.catalog import TABLES, table_path
     from tools.type_parity_audit import duck_class, spark_class
 
-    RISKY = ["q1_pricing_summary", "agg_cube", "agg_stats_pack",
-             "sample_corpus_mix", "similarity_lsh_index_update",
-             "text_pack_sequences", "dedup_exact", "text_token_count"]
     con = duckdb.connect()
     import os
     for t in TABLES:
@@ -293,9 +294,12 @@ def test_type_parity_lattice_on_sum_heavy_queries(spark, sf_dir):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert len(queries) >= 141  # the registry only grows
     bad = []
-    for name in RISKY:
-        stypes = dict(queries[name](spark, sf_dir).dtypes)
+    for name, fn in queries.items():
+        if name not in oracles:  # rows-only entries have no hash gate
+            continue
+        stypes = dict(fn(spark, sf_dir).dtypes)
         rel = con.sql(oracles[name])
         dtypes = dict(zip(rel.columns, [str(t) for t in rel.types]))
         assert set(stypes) == set(dtypes), (name, stypes, dtypes)
