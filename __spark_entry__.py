@@ -55,6 +55,22 @@ _EDITED_THIS_ROUND = [
     # type_parity_audit flags; it also has no green row at all, so the
     # forcing costs nothing beyond the slot it would take anyway:
     "sample_source_token_cap",
+    # Round-15 carve-outs (files edited, NO forcing — each provably
+    # leaves every registered result unchanged):
+    #  - text.URL_HOST_RE hardened to strip userinfo/ports and capture
+    #    IPv6 literals (VERDICT r14 item 8 — the old raw-authority
+    #    capture let 'blocked.org:443' bypass the blocklist). The
+    #    fixture-synthesized URLs carry no userinfo/port/bracket, so
+    #    old and new regex extract IDENTICAL hosts on every row —
+    #    test-asserted over the fixture
+    #    (test_url_host_regex_output_invariant_on_fixture) and
+    #    re-verified by oracle_check at all three scales.
+    #  - dedup_by_canonical_url's NULL-url fallback key now starts
+    #    with '?' (unforgeable: canonicalization strips '?.*' from
+    #    every real URL — ADVICE r14). The registered dedup_url_exact
+    #    plants no NULL urls (its oracle documents the fallback as
+    #    unreachable), so output is unchanged; re-verified at all
+    #    three scales.
     # (Round-14's two forcings, dedup_substring and dedup_boilerplate,
     # certified green in CORRECTNESS_r14 and are dropped — keeping them
     # would burn slots re-proving current rows. Rationale lives in the

@@ -1262,9 +1262,11 @@ PARA_TOKENS = 8
 def paragraphize(docs: DataFrame, para_tokens: int = PARA_TOKENS,
                  delimiter: str | None = None) -> DataFrame:
     """(doc_id, para_id, para) rows. Pluggable split: real corpora
-    paragraphize on a delimiter (e.g. '\\n\\n'); the newline-free
-    fixture uses fixed-token tiling (same tile shape as boilerplate
-    chunks so the two operators' planted-case contrast is exact)."""
+    paragraphize on a delimiter REGEX (F.split semantics — '\\n+' is
+    a blank-line split, but a literal '.' or '||' must be escaped,
+    e.g. re.escape('||'); ADVICE r14); the newline-free fixture uses
+    fixed-token tiling (same tile shape as boilerplate chunks so the
+    two operators' planted-case contrast is exact)."""
     if delimiter is not None:
         return docs.select(
             "doc_id",
@@ -1379,7 +1381,17 @@ def canonical_url(col) -> "F.Column":
     (canonical(canonical(u)) == canonical(u), pytest-pinned): a
     non-fixed-point canonicalizer dedups differently when already-
     canonical URLs are re-ingested. Pure built-ins — codegen'd,
-    map-only."""
+    map-only.
+
+    Userinfo and explicit ports are INTENTIONALLY preserved as
+    distinct pages (ADVICE r14): for dedup, merging 'user@host' or
+    'host:8080' with 'host' over-merges (they can serve different
+    content) and a wrong merge silently loses a document — the
+    conservative direction for a canonicalizer is to keep them
+    apart. Contrast `text.url_host_filter`, where the SAME authority
+    parts must be stripped because under-matching there is a
+    blocklist-evasion hole; each direction is chosen per failure
+    mode."""
     no_q = F.regexp_replace(col, "[?#].*$", "")
     # lowercase ONLY the scheme+host segment; path case is significant.
     # The scheme matches case-insensitively ([a-zA-Z]) — RFC 3986
@@ -1406,10 +1418,15 @@ def dedup_by_canonical_url(docs: DataFrame,
     nothing — without the per-doc fallback below such docs would
     silently VANISH from the output (neither kept nor marked dropped
     — review r14). A doc with no URL has no URL-duplicate evidence,
-    so each is its own group and is kept."""
+    so each is its own group and is kept. The fallback key starts
+    with '?' — a character canonical_url strips unconditionally
+    ([?#].*$ goes first), so NO real URL can canonicalize onto a
+    fallback key (ADVICE r14: the old '__null_url__' prefix was
+    forgeable by a scheme-less url string that passes through
+    canonicalization verbatim)."""
     canon = F.coalesce(
         canonical_url(F.col(url_col)),
-        F.concat(F.lit("__null_url__"), F.col("doc_id").cast("string")))
+        F.concat(F.lit("?null-url:"), F.col("doc_id").cast("string")))
     keyed = docs.withColumn("canon_url", canon)
     rep = (keyed.groupBy("canon_url")
            .agg(F.min("doc_id").alias("_rep")))

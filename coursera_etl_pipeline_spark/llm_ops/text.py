@@ -601,10 +601,20 @@ def scrub_pii(df: DataFrame, text_col: str) -> DataFrame:
 # artifact; url_host_filter() below is the production entry point for
 # corpora that already carry a url column.
 
-URL_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
-# TLD = last dot-label of the PORT-STRIPPED, lowercased hostname; the
-# optional :port group keeps 'example.org:8443' -> 'org' (review r14:
-# an end-anchored label regex returned '' for every port-carrying URL)
+# Host = the authority minus userinfo and port (VERDICT r14 item 8):
+# an optional '<userinfo>@' is skipped, then either a bracketed IPv6
+# literal is captured whole or the reg-name is captured up to the ':'
+# port delimiter. The old '([^/?#]+)' captured the RAW authority, so
+# 'https://blocked.org:443/' or 'https://x@blocked.org/' walked past
+# the blocklist anti-join — a filter-evasion hole (the gate matched
+# 'blocked.org:443' != 'blocked.org'). RE2- and Java-regex compatible
+# (non-capturing group only; the page-host capture stays group 1).
+URL_HOST_RE = ("^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?"
+               "(\\[[^\\]/?#]*\\]|[^/?#:]*)")
+# TLD = last dot-label of the lowercased hostname. The optional :port
+# group is defense-in-depth for callers passing a raw authority —
+# URL_HOST_RE itself now port-strips (review r14: an end-anchored
+# label regex returned '' for every port-carrying URL).
 URL_TLD_RE = "\\.([a-z0-9-]+)(?::[0-9]+)?$"
 
 # Literal curation lists (tiny, O(1) — static broadcast per the

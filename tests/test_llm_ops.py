@@ -1684,12 +1684,18 @@ def test_canonical_url_and_dedup(spark):
         "https://wwwsite.example.org")
     # NULL urls are KEPT independently, never silently dropped
     # (review r14: a NULL join key matches nothing in the equi-join)
+    # — and the per-doc fallback key is UNFORGEABLE (ADVICE r14): it
+    # starts with '?', which canonicalization strips from every real
+    # URL, so even a url string spelled exactly like doc 1's fallback
+    # key cannot group with doc 1's NULL-url group.
     nulled = spark.createDataFrame(
-        [(0, "https://x.org/a"), (1, None), (2, None)],
+        [(0, "https://x.org/a"), (1, None), (2, None),
+         (3, "?null-url:1")],
         "doc_id long, url string")
     nout = {r.doc_id: r for r in dedup_by_canonical_url(nulled).collect()}
-    assert sorted(nout) == [0, 1, 2]
-    assert nout[1].is_kept and nout[2].is_kept
+    assert sorted(nout) == [0, 1, 2, 3]
+    assert nout[1].is_kept and nout[2].is_kept and nout[3].is_kept
+    assert nout[3].canon_url != nout[1].canon_url
 
 
 def test_canonical_url_idempotent(spark):
@@ -1724,9 +1730,11 @@ def test_canonical_url_idempotent(spark):
 
 def test_url_host_filter_semantics(spark):
     """Host extraction handles scheme variants, ports, query strings,
-    and path-free URLs; the blocklist anti-join drops by HOST (not
-    substring), the allowlist semi-join drops by lang, and duplicate
-    list entries never blow up the row count (anti/semi, not inner)."""
+    path-free URLs, userinfo, and IPv6 literals (VERDICT r14 item 8);
+    the blocklist anti-join drops by HOST (not substring) and CANNOT
+    be bypassed by case, an explicit port, or a userinfo prefix; the
+    allowlist semi-join drops by lang; duplicate list entries never
+    blow up the row count (anti/semi, not inner)."""
     from coursera_etl_pipeline_spark.llm_ops.text import url_host_filter
 
     docs = spark.createDataFrame(
@@ -1739,6 +1747,12 @@ def test_url_host_filter_semantics(spark):
                                                              # host differs
             (5, "en", "HTTPS://BAD.Example.ORG/x"),       # blocked: case
                                                           # cannot bypass
+            (6, "en", "https://bad.example.org:443/x"),   # blocked: port
+                                                          # cannot bypass
+            (7, "en", "https://u:p@bad.example.org/x"),   # blocked: userinfo
+                                                          # cannot bypass
+            (8, "en", "https://user@good.example.org:80/a"),  # both at once
+            (9, "en", "https://[2001:DB8::1]:8080/a"),    # IPv6 literal
         ],
         "doc_id long, lang string, url string")
     blocked = spark.createDataFrame(
@@ -1747,12 +1761,40 @@ def test_url_host_filter_semantics(spark):
         [("en",), ("en",), ("de",)], "lang string")
     out = {r.doc_id: r
            for r in url_host_filter(docs, blocked, allowed).collect()}
-    assert sorted(out) == [0, 3, 4]
+    assert sorted(out) == [0, 3, 4, 8, 9]
     assert out[0].host == "good.example.org" and out[0].tld == "org"
-    assert out[3].host == "good.example.org:8443"
+    assert out[3].host == "good.example.org"   # port stripped (r15)
     assert out[3].tld == "org"          # port-robust TLD (review r14)
     assert out[4].host == "bad.example.org.evil.io"
     assert out[4].tld == "io"
+    assert out[8].host == "good.example.org"   # userinfo+port stripped
+    assert out[9].host == "[2001:db8::1]"      # bracketed literal, folded
+    assert out[9].tld == ""                    # no dot-label TLD
+
+
+def test_url_host_regex_output_invariant_on_fixture(spark, sf_dir):
+    """Carve-out proof for the r15 URL_HOST_RE hardening (userinfo/
+    port/IPv6 stripping): the registered `text_url_host_filter` query
+    synthesizes URLs with no userinfo, port, or bracket, so the NEW
+    regex must extract the IDENTICAL host as the old raw-authority
+    regex on EVERY fixture row — which is why the hardened query is
+    not re-forced into the rotation window (__spark_entry__ carve-out
+    rule: output-invariance stated WITH its proof)."""
+    from pyspark.sql import functions as F
+
+    from coursera_etl_pipeline_spark.catalog import load_table
+    from coursera_etl_pipeline_spark.llm_ops.text import URL_HOST_RE
+
+    OLD_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+    docs = (load_table(spark, sf_dir, "documents")
+            .select(F.concat(F.lit("https://"), F.col("source"),
+                             F.lit(".example.org/"), F.col("lang"),
+                             F.lit("/doc-"), F.col("doc_id").cast("string"))
+                    .alias("url")))
+    diverged = docs.filter(
+        F.regexp_extract("url", OLD_RE, 1)
+        != F.regexp_extract("url", URL_HOST_RE, 1)).count()
+    assert diverged == 0
 
 
 def test_pii_scrub_semantics(spark):
