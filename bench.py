@@ -65,6 +65,7 @@ HEADLINE = [
     "dedup_boilerplate",         # repeated-span cut: fp agg + join-back
     "dedup_substring",           # stride-1 suffix-array-shape dedup
     "dedup_paragraph_keep_first",  # argmin-struct fp agg + join-back
+    "text_vocab_topk",           # explode + hash-agg + top-K heap
 ]
 
 
@@ -159,6 +160,34 @@ _exclude(
 _exclude(
     "recall metric re-running an ANN query the headline already times",
     "similarity_ann_recall", "similarity_ivf_recall",
+)
+_exclude(
+    "map-only codegen'd rule expressions (zero shuffle); "
+    "text_quality_score times the zero-shuffle text family",
+    "text_gopher_rules",
+)
+_exclude(
+    "explode + tf-matrix aggregate + broadcast-stats join: a strict "
+    "subset of the headline-timed text_tfidf_top_terms shape (same "
+    "explode, fewer aggregates, no window)",
+    "text_perplexity_proxy", "text_token_entropy",
+)
+_exclude(
+    "shingle explode + O(1)-state argmin agg + equi-join-back shape "
+    "timed by dedup_paragraph_keep_first; the per-doc ratio it adds "
+    "is map-only",
+    "text_ngram_novelty",
+)
+_exclude(
+    "minhash signature pass timed by dedup_minhash_lsh + the rep-agg "
+    "split shape sample_split_leakage_safe's exclusion already covers",
+    "sample_split_minhash",
+)
+_exclude(
+    "|hosts|-row aggregates + broadcast rate join around the "
+    "md5-bucket filter family timed by sample_stratified_hash (same "
+    "reasoning as sample_corpus_mix's exclusion)",
+    "sample_domain_reweight",
 )
 _exclude(
     "narrow per-row quantization map (zero shuffle); no new timing "

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from coursera_etl_pipeline_spark.catalog import load_table
+from coursera_etl_pipeline_spark.llm_ops.text import URL_HOST_RE
 from coursera_etl_pipeline_spark.registry import query
 
 # per-language keep-rate out of 100 (downsample the dominant stratum)
@@ -341,3 +342,241 @@ def sample_source_token_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-domination guard every large-corpus mixture applies before
     computing mixing weights."""
     return cap_source_tokens(load_table(spark, sf_dir, "documents"))
+
+
+# --- MinHash-coherent train/val/test split (round 15) ---------------------------
+#
+# The near-dup-coherent upgrade `split_assign`'s docstring anticipates:
+# instead of grouping by the exact-dup fingerprint md5(text), group by
+# the doc's FULL 16-value minhash signature. Exact duplicates AND
+# high-Jaccard near-duplicates (which collide on all 16 minhashes with
+# probability j^16) land in the same group, so reworded copies of one
+# page cannot straddle the train/test boundary.
+
+
+def split_assign_minhash(docs: DataFrame) -> DataFrame:
+    """Leakage-safe split keyed by the full minhash signature.
+
+    Scale shape: signature computation is the certified linear
+    minhash pass (one shingle explode + one 16-min hash-aggregate);
+    the signature key then rides the same O(1)-state rep aggregate +
+    equi-join-back as `split_assign`. Docs too short to shingle
+    (< 3 tokens; shared `shingles` requires >= n) are filtered out of
+    the signature pass, get NO signature (left join -> NULL key), and
+    fall back to split_assign's per-doc key — split independently,
+    never lost or errored."""
+    from coursera_etl_pipeline_spark.llm_ops.dedup import (
+        NUM_HASHES,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(
+        docs.filter(F.size(F.split("text", " ")) >= 3))
+    sig_key = F.md5(F.concat_ws(
+        ",", *[F.col(f"mh{i}") for i in range(NUM_HASHES)]))
+    keyed = docs.join(
+        sigs.select("doc_id", sig_key.alias("_sig")), "doc_id", "left")
+    return split_assign(keyed, key=F.col("_sig"))
+
+
+def _duck_minhash_sig_sql() -> str:
+    """DuckDB CTEs computing (doc_id, sig): md5 of the comma-joined
+    16-value minhash signature — the oracle mirror of
+    `split_assign_minhash`'s key, built from the same import-time LCG
+    coefficients as `_duck_minhash_oracle`."""
+    from coursera_etl_pipeline_spark.llm_ops.dedup import (
+        M31,
+        _minhash_params,
+    )
+
+    mh_cols = ",\n             ".join(
+        f"MIN(({a} * x + {b}) % {M31}) AS mh{i}"
+        for i, (a, b) in enumerate(_minhash_params()))
+    concat = " || ',' || ".join(
+        f"CAST(mh{i} AS VARCHAR)" for i in range(len(_minhash_params())))
+    return f"""
+    sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                          s -> t[s] || ' ' || t[s+1] || ' ' || t[s+2])) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+    ), xs AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT % {M31} AS x
+      FROM sh
+    ), sig AS (
+      SELECT doc_id, md5({concat}) AS sig
+      FROM (SELECT doc_id,
+             {mh_cols}
+            FROM xs GROUP BY doc_id)
+    )"""
+
+
+@query(
+    "sample_split_minhash",
+    oracle=f"""
+    WITH {_duck_minhash_sig_sql()},
+    keyed AS (
+      SELECT d.doc_id,
+             coalesce(s.sig,
+                      '__null_key__' || CAST(d.doc_id AS VARCHAR)) AS fp
+      FROM documents d LEFT JOIN sig s USING (doc_id)
+    ),
+    rep AS (
+      SELECT fp,
+             ('0x' || substr(md5(CAST(min(doc_id) AS VARCHAR)), 1, 8))
+               ::BIGINT % 100 AS b
+      FROM keyed GROUP BY fp
+    )
+    SELECT k.doc_id,
+           CASE WHEN r.b < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN r.b < {SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM keyed k JOIN rep r USING (fp)
+    """,
+)
+def sample_split_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-signature train/val/test split: near-duplicate groups
+    (identical 16-value minhash signatures) share one split, so
+    reworded copies cannot leak across the boundary — the near-dup
+    upgrade of `sample_split_leakage_safe`."""
+    return split_assign_minhash(load_table(spark, sf_dir, "documents"))
+
+
+# --- temperature-smoothed domain reweighting (round 15) -------------------------
+#
+# The multilingual/DoReMi-style mixture step: downweight dominant
+# domains by sampling hosts proportional to share^alpha (alpha = 0.5
+# here, spelled sqrt — IEEE-correctly-rounded, so cross-engine exact)
+# instead of raw share. Hosts come from the shared URL_HOST_RE parse
+# (text_url_host_filter's extraction), weights are derived from
+# observed token shares — the data-derived cousin of
+# `sample_corpus_mix`'s fixed name-parity weights.
+
+TEMP_MIX_MICRO = 1_000_000_000.0  # sqrt(share) rounded to nano-units
+
+
+def domain_reweight(docs: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host temperature mixture audit: integer weights
+    w = round(sqrt(token_share) * 1e9), the largest feasible mixed
+    corpus c_max = min(tokens/w) (no host oversampled past 100%), the
+    md5-bucket keep-rate that realizes it, and the realized counts.
+
+    Float determinism: sqrt IS correctly rounded (IEEE 754), and the
+    one cross-row float reduction (MIN of identical doubles) is
+    order-free, so no decimal accumulator is needed; the weight is
+    rounded to an exact BIGINT before any arithmetic that feeds the
+    keep decision. GREATEST(w, 1) guards the degenerate sub-ppb host.
+
+    Scale shape: identical to sample_corpus_mix — two |hosts|-key
+    aggregates over one corpus pass each, a 1-row reduction, broadcast
+    joins of the tiny rate table, and a map-side deterministic
+    filter; no corpus-wide data shuffle anywhere."""
+    d = docs.select(
+        F.lower(F.regexp_extract(F.col(url_col), URL_HOST_RE, 1))
+        .alias("host"),
+        "doc_id",
+        F.coalesce(F.size(F.split("text", " ")), F.lit(0)).cast("bigint")
+        .alias("n_tok"))
+    totals = d.groupBy("host").agg(F.sum("n_tok").alias("total_toks"))
+    grand = totals.agg(F.sum("total_toks").alias("_grand"))
+    weighted = (
+        totals.crossJoin(F.broadcast(grand))
+        .select(
+            "host", "total_toks",
+            F.greatest(
+                F.floor(F.sqrt(F.col("total_toks") * 1.0 / F.col("_grand"))
+                        * TEMP_MIX_MICRO + 0.5).cast("bigint"),
+                F.lit(1).cast("bigint")).alias("w")))
+    c_row = weighted.agg(
+        F.min(F.col("total_toks") / F.col("w")).alias("c_max"))
+    rates = (
+        weighted.crossJoin(F.broadcast(c_row))
+        .select(
+            "host", "total_toks", "w",
+            F.least(
+                F.lit(100).cast("bigint"),
+                F.floor(F.lit(100.0) * F.col("c_max") * F.col("w")
+                        / F.col("total_toks")).cast("bigint"))
+            .alias("rate_pct")))
+    kept = (
+        d.join(F.broadcast(rates), "host")
+        .filter(hash_bucket(F.col("doc_id")) < F.col("rate_pct"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("kept_docs"),
+             F.sum("n_tok").alias("kept_toks")))
+    return (
+        rates.join(F.broadcast(kept), "host", "left")
+        .select("host", "total_toks", "w", "rate_pct",
+                F.coalesce("kept_docs", F.lit(0).cast("bigint"))
+                .alias("kept_docs"),
+                F.coalesce("kept_toks", F.lit(0).cast("bigint"))
+                .alias("kept_toks"))
+    )
+
+
+@query(
+    "sample_domain_reweight",
+    # Same URL synthesis as text_url_host_filter; every SUM CAST back
+    # to BIGINT (HUGEINT lesson); sqrt/floor/min/least arithmetic
+    # spelled left-associative identically to the engine.
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id,
+             COALESCE(CAST(len(string_split(text, ' ')) AS BIGINT), 0)
+               AS n_tok,
+             lower(regexp_extract(
+               'https://' || source || '.example.org/' || lang
+                          || '/doc-' || doc_id,
+               '{URL_HOST_RE}', 1)) AS host
+      FROM documents
+    ),
+    totals AS (
+      SELECT host, CAST(SUM(n_tok) AS BIGINT) AS total_toks
+      FROM u GROUP BY host
+    ),
+    grand AS (SELECT CAST(SUM(total_toks) AS BIGINT) AS g FROM totals),
+    weighted AS (
+      SELECT host, total_toks,
+             GREATEST(
+               CAST(floor(sqrt(total_toks * 1.0 / g)
+                          * {TEMP_MIX_MICRO} + 0.5) AS BIGINT),
+               CAST(1 AS BIGINT)) AS w
+      FROM totals, grand
+    ),
+    c AS (SELECT MIN(total_toks / w) AS c_max FROM weighted),
+    rates AS (
+      SELECT host, total_toks, w,
+             LEAST(CAST(100 AS BIGINT),
+                   CAST(floor(100.0 * c_max * w / total_toks) AS BIGINT))
+               AS rate_pct
+      FROM weighted, c
+    ),
+    kept AS (
+      SELECT u.host, COUNT(*) AS kept_docs,
+             CAST(SUM(u.n_tok) AS BIGINT) AS kept_toks
+      FROM u JOIN rates r ON u.host = r.host
+      WHERE ('0x' || substr(md5(CAST(u.doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 100 < r.rate_pct
+      GROUP BY u.host
+    )
+    SELECT r.host, r.total_toks, r.w, r.rate_pct,
+           COALESCE(k.kept_docs, CAST(0 AS BIGINT)) AS kept_docs,
+           COALESCE(k.kept_toks, CAST(0 AS BIGINT)) AS kept_toks
+    FROM rates r LEFT JOIN kept k ON r.host = k.host
+    """,
+)
+def sample_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed domain mixture (share^0.5): parse each
+    doc's host with the shared URL_HOST_RE, derive integer
+    sqrt-share weights, find the largest feasible mixed corpus, and
+    realize it with the deterministic md5-bucket filter — emits the
+    per-host audit (weights, rates, realized counts)."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .withColumn(
+                "url",
+                F.concat(F.lit("https://"), F.col("source"),
+                         F.lit(".example.org/"), F.col("lang"),
+                         F.lit("/doc-"), F.col("doc_id").cast("string"))))
+    return domain_reweight(docs)

@@ -787,3 +787,403 @@ def text_quality_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = text_quality_score(spark, sf_dir).select(
         "doc_id", "quality_score")
     return quality_bins(scored)
+
+
+# --- Gopher/RefinedWeb quality rule pack (round 15) ----------------------------
+#
+# The published document-level rule battery (Rae et al. 2021 "Gopher"
+# §A1.1; Penedo et al. 2023 "RefinedWeb" §3.1): hard keep/drop gates
+# on word count, mean word length, symbol density, alphabetic-word
+# fraction, and stopword evidence. Each rule is emitted as its own
+# flag so the value hash certifies every rule ROW-WISE, not just the
+# final AND.
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_WORD_LEN = 3.0
+GOPHER_MAX_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+_ALNUM_SPACE = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                "abcdefghijklmnopqrstuvwxyz0123456789 ")
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher rule flags + AND verdict over `text_col`.
+
+    Scale shape: every feature is a codegen'd expression over the raw
+    text (split / translate / higher-order filter / array_intersect)
+    — ONE map stage, zero shuffle, zero UDFs; at 100 TB this runs at
+    scan speed like the PII scrub. All flag comparisons are on RAW
+    values (integer counts and int/int IEEE divisions — bit-identical
+    across engines), so no rounding can flip a rule at a boundary."""
+    toks = F.split(text_col, " ")
+    n_words = F.size(toks)
+    chars_no_space = F.length(
+        F.replace(F.col(text_col), F.lit(" "), F.lit("")))
+    mean_word_len = chars_no_space * 1.0 / n_words
+    # symbols = chars outside [A-Za-z0-9 ]; translate DELETES the
+    # listed chars, so what survives is exactly the symbol count
+    # (same translate-not-regex trick as text_quality_score)
+    symbol_ratio = (F.length(F.translate(F.col(text_col), _ALNUM_SPACE, ""))
+                    * 1.0 / n_words)
+    alpha_word_ratio = (
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+        * 1.0 / n_words)
+    n_markers = F.size(F.array_intersect(
+        toks, F.array(*[F.lit(m) for m in EN_MARKERS])))
+    r_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_len = ((mean_word_len >= GOPHER_MIN_WORD_LEN)
+             & (mean_word_len <= GOPHER_MAX_WORD_LEN))
+    r_sym = symbol_ratio < GOPHER_MAX_SYMBOL_RATIO
+    r_alpha = alpha_word_ratio >= GOPHER_MIN_ALPHA_WORD_RATIO
+    r_stop = n_markers >= GOPHER_MIN_STOPWORDS
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_word_ratio.alias("alpha_word_ratio"),
+        n_markers.alias("n_stopword_markers"),
+        r_words.alias("rule_word_count"),
+        r_len.alias("rule_word_len"),
+        r_sym.alias("rule_symbol_ratio"),
+        r_alpha.alias("rule_alpha_words"),
+        r_stop.alias("rule_stopwords"),
+        (r_words & r_len & r_sym & r_alpha & r_stop).alias("keep"))
+
+
+@query(
+    "text_gopher_rules",
+    # Raw-value comparisons only (no round()): every ratio is an
+    # int/int IEEE division, identical on both engines, so the flags
+    # cannot diverge at a boundary. list_intersect/array_intersect
+    # both return DISTINCT matches, so marker counts agree.
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+             length(replace(text, ' ', ''))
+               * 1.0 / len(string_split(text, ' ')) AS mean_word_len,
+             length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+               * 1.0 / len(string_split(text, ' ')) AS symbol_ratio,
+             len(list_filter(string_split(text, ' '),
+                             t -> regexp_matches(t, '[A-Za-z]')))
+               * 1.0 / len(string_split(text, ' ')) AS alpha_word_ratio,
+             CAST(len(list_intersect(string_split(text, ' '),
+                                     ['{_MARKER_SET_SQL}'])) AS INTEGER)
+               AS n_stopword_markers
+      FROM documents
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+           alpha_word_ratio, n_stopword_markers,
+           (n_words >= {GOPHER_MIN_WORDS}
+            AND n_words <= {GOPHER_MAX_WORDS}) AS rule_word_count,
+           (mean_word_len >= {GOPHER_MIN_WORD_LEN}
+            AND mean_word_len <= {GOPHER_MAX_WORD_LEN}) AS rule_word_len,
+           (symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO}) AS rule_symbol_ratio,
+           (alpha_word_ratio >= {GOPHER_MIN_ALPHA_WORD_RATIO})
+             AS rule_alpha_words,
+           (n_stopword_markers >= {GOPHER_MIN_STOPWORDS}) AS rule_stopwords,
+           (n_words >= {GOPHER_MIN_WORDS}
+            AND n_words <= {GOPHER_MAX_WORDS}
+            AND mean_word_len >= {GOPHER_MIN_WORD_LEN}
+            AND mean_word_len <= {GOPHER_MAX_WORD_LEN}
+            AND symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO}
+            AND alpha_word_ratio >= {GOPHER_MIN_ALPHA_WORD_RATIO}
+            AND n_stopword_markers >= {GOPHER_MIN_STOPWORDS}) AS keep
+    FROM feats
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb document quality rule pack: word count in
+    [50, 100000], mean word length in [3, 10], symbol-to-word ratio
+    < 0.1, >= 80% alphabetic words, >= 2 distinct stopword markers —
+    each rule flag plus the AND verdict, certified row-wise. One
+    map-only stage."""
+    return gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
+# --- vocabulary induction: global top-K tokens (round 15) ----------------------
+#
+# Tokenizer/vocab bootstrapping over a corpus: token frequencies, a
+# minimum-count floor, and the global top-K. The scale trap is the
+# final "global top-K": an ORDER BY + LIMIT plans as
+# TakeOrderedAndProject (a fixed-K heap per partition + K-merge on
+# the driver), NEVER a full sort of the vocabulary — pytest asserts
+# the physical plan.
+
+VOCAB_TOPK_K = 20
+VOCAB_MIN_COUNT = 2
+
+
+def vocab_topk(docs: DataFrame, k: int = VOCAB_TOPK_K,
+               min_count: int = VOCAB_MIN_COUNT,
+               text_col: str = "text") -> DataFrame:
+    """Top-`k` corpus tokens by frequency (floor `min_count`), with
+    the deterministic (count DESC, token ASC) tie-break so the
+    truncation boundary is engine-independent.
+
+    Scale shape: one explode (narrow) + one hash-aggregate on token
+    (map-side partial absorbs the Zipf head — the hottest token
+    collapses per-partition before the shuffle) + TakeOrderedAndProject
+    for the top-K. The only shuffle is |vocab|-sized, never
+    corpus-sized; no global sort exists in the plan."""
+    toks = docs.select(F.explode(F.split(text_col, " ")).alias("token"))
+    counts = (toks.groupBy("token")
+              .agg(F.count(F.lit(1)).alias("n_occ"))
+              .filter(F.col("n_occ") >= min_count))
+    return counts.orderBy(F.desc("n_occ"), F.asc("token")).limit(k)
+
+
+@query(
+    "text_vocab_topk",
+    oracle=f"""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    HAVING COUNT(*) >= {VOCAB_MIN_COUNT}
+    ORDER BY n_occ DESC, token
+    LIMIT {VOCAB_TOPK_K}
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction: the corpus's top-20 tokens at min count
+    2, tie-broken (count DESC, token ASC) so the truncated set is
+    deterministic. Plans as explode -> partial hash-agg ->
+    TakeOrderedAndProject — no global sort."""
+    return vocab_topk(load_table(spark, sf_dir, "documents"))
+
+
+# --- unigram-LM perplexity proxy (round 15) -------------------------------------
+#
+# The CCNet/RefinedWeb-style LM quality signal without a neural LM:
+# score each document by its average token log-probability under the
+# corpus's own unigram distribution. Real pipelines use a KenLM
+# n-gram model; the unigram form keeps the exact same pipeline shape
+# (corpus stats pass -> per-token logp lookup -> per-doc average)
+# with an exactly-certifiable result.
+#
+# Float determinism: ln() is evaluated ONCE PER DISTINCT TERM on an
+# identical double input (corpus ratios), rounded half-up to integer
+# MICRO-NATS (the repo's dsum micro-unit pattern) — all per-doc
+# accumulation is then EXACT integer arithmetic, immune to Spark's
+# partition-order-dependent double summation.
+
+LOGP_MICRO = 1_000_000.0
+
+
+def _tf(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, term, f) term frequencies with the per-doc
+    token count carried map-side (no second corpus pass / window)."""
+    return (docs
+            .select("doc_id",
+                    F.size(F.split(text_col, " ")).cast("bigint")
+                    .alias("n_tokens"),
+                    F.explode(F.split(text_col, " ")).alias("term"))
+            .groupBy("doc_id", "n_tokens", "term")
+            .agg(F.count(F.lit(1)).alias("f")))
+
+
+def perplexity_proxy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc average unigram log-probability in exact micro-nats.
+
+    Scale shape: one explode feeds BOTH the tf matrix and the corpus
+    unigram counts (two hash-aggregates, map-side partials); the
+    |vocab|-row logp table joins back onto tf — broadcast-able for
+    real vocabularies (10^5..10^7 rows), an ordinary shuffle join
+    beyond; the per-doc reduce is an exact BIGINT sum. Never a
+    window, never a sort. Perplexity itself is exp(-avg_logp) —
+    monotone, so ranking/filtering uses avg_logp directly and no
+    cross-engine exp() enters the certified output."""
+    tf = _tf(docs, text_col)
+    counts = tf.groupBy("term").agg(F.sum("f").alias("c"))
+    total = counts.agg(F.sum("c").alias("_total"))
+    logp = (counts.crossJoin(F.broadcast(total))
+            .select("term",
+                    F.floor(F.log(F.col("c") * 1.0 / F.col("_total"))
+                            * LOGP_MICRO + 0.5)
+                    .cast("bigint").alias("logp_micro")))
+    per_doc = (tf.join(logp, "term")
+               .groupBy("doc_id", "n_tokens")
+               .agg(F.sum(F.col("f") * F.col("logp_micro"))
+                    .alias("sum_logp_micro")))
+    return per_doc.select(
+        "doc_id", "n_tokens", "sum_logp_micro",
+        ((F.col("sum_logp_micro") * 1.0 / F.col("n_tokens"))
+         / F.lit(LOGP_MICRO)).alias("avg_logp"))
+
+
+@query(
+    "text_perplexity_proxy",
+    # ln() on identical doubles is cross-engine identical here (the
+    # tfidf precedent); its one-per-term rounding to BIGINT micro-nats
+    # makes every downstream sum exact. All SUMs CAST back to BIGINT
+    # (DuckDB HUGEINT, the r9/r14 lesson).
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, n_tokens, term, CAST(COUNT(*) AS BIGINT) AS f
+      FROM toks GROUP BY doc_id, n_tokens, term
+    ),
+    c AS (
+      SELECT term, CAST(SUM(f) AS BIGINT) AS c FROM tf GROUP BY term
+    ),
+    t AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM c),
+    lp AS (
+      SELECT term,
+             CAST(floor(ln(c * 1.0 / total) * {LOGP_MICRO} + 0.5) AS BIGINT)
+               AS logp_micro
+      FROM c, t
+    ),
+    per_doc AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(f * logp_micro) AS BIGINT) AS sum_logp_micro
+      FROM tf JOIN lp USING (term) GROUP BY doc_id, n_tokens
+    )
+    SELECT doc_id, n_tokens, sum_logp_micro,
+           (sum_logp_micro * 1.0 / n_tokens) / {LOGP_MICRO} AS avg_logp
+    FROM per_doc
+    """,
+)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity-proxy scoring: per-doc average token
+    log-probability under the corpus's own unigram distribution, in
+    exact integer micro-nats (ln rounded once per DISTINCT term; all
+    per-doc accumulation is exact BIGINT — order-free)."""
+    return perplexity_proxy(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_token_entropy",
+    # Same micro-nat discipline as the perplexity proxy: ln() once per
+    # (doc, term) on an identical f/n double, rounded to BIGINT, then
+    # exact integer sums.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, n_tokens, term, CAST(COUNT(*) AS BIGINT) AS f
+      FROM toks GROUP BY doc_id, n_tokens, term
+    ),
+    per_doc AS (
+      SELECT doc_id, n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+             CAST(SUM(f * CAST(floor(ln(f * 1.0 / n_tokens) * {LOGP_MICRO}
+                                     + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_plogp_micro
+      FROM tf GROUP BY doc_id, n_tokens
+    )
+    SELECT doc_id, n_tokens, n_distinct_tokens,
+           -((sum_plogp_micro * 1.0 / n_tokens) / {LOGP_MICRO}) AS entropy_nats
+    FROM per_doc
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document unigram entropy H = -sum (f/n) ln(f/n): the
+    token-diversity quality signal (low entropy = templated/repetitive
+    text — complements text_repetition_score's n-gram view). One
+    explode + one (doc, term) hash-aggregate + one per-doc reduce —
+    linear, shuffle-bounded by the tf matrix, never all-pairs; the
+    per-doc sum is exact BIGINT micro-nats (order-free)."""
+    tf = _tf(load_table(spark, sf_dir, "documents"))
+    plogp_micro = (F.col("f")
+                   * F.floor(F.log(F.col("f") * 1.0 / F.col("n_tokens"))
+                             * LOGP_MICRO + 0.5).cast("bigint"))
+    per_doc = (tf.groupBy("doc_id", "n_tokens")
+               .agg(F.count(F.lit(1)).alias("n_distinct_tokens"),
+                    F.sum(plogp_micro).alias("sum_plogp_micro")))
+    return per_doc.select(
+        "doc_id", "n_tokens", "n_distinct_tokens",
+        (-((F.col("sum_plogp_micro") * 1.0 / F.col("n_tokens"))
+           / F.lit(LOGP_MICRO))).alias("entropy_nats"))
+
+
+# --- n-gram novelty scoring (round 15) ------------------------------------------
+#
+# Streaming-curation signal: how much of a document's shingle set is
+# NEW relative to everything ingested before it (doc_id = ingestion
+# order)? Low novelty = the document mostly restates earlier content
+# — the soft-scoring cousin of keep-first dedup (which hard-drops).
+
+NOVELTY_NGRAM_N = 3
+
+
+def ngram_novelty(docs: DataFrame, n: int = NOVELTY_NGRAM_N,
+                  text_col: str = "text") -> DataFrame:
+    """Per-doc novelty = fraction of its DISTINCT n-gram shingles
+    whose globally FIRST occurrence (min doc_id) is this document.
+
+    Scale shape: the same O(1)-state argmin hash-aggregate as
+    paragraph keep-first — min(doc_id) per shingle partial-aggregates
+    map-side (hot boilerplate shingles collapse before the shuffle),
+    then one equi-join back and a per-doc reduce. Docs too short to
+    shingle (< n tokens; shared `shingles` requires >= n) surface
+    with n_shingles=0 and NULL novelty (LEFT join — the round-14
+    no-silent-row-loss convention), never vanish or error."""
+    from coursera_etl_pipeline_spark.llm_ops.dedup import shingles
+
+    long_enough = docs.filter(F.size(F.split(text_col, " ")) >= n)
+    sh = (shingles(long_enough, n=n, text_col=text_col)
+          .select("doc_id", F.explode("_shingles").alias("shingle")))
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("_first"))
+    per_doc = (sh.join(first, "shingle")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_shingles"),
+                    F.count(F.when(F.col("_first") == F.col("doc_id"),
+                                   F.lit(1))).alias("n_novel")))
+    return (docs.select("doc_id").join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_shingles", F.lit(0).cast("bigint"))
+                .alias("n_shingles"),
+                F.coalesce("n_novel", F.lit(0).cast("bigint"))
+                .alias("n_novel"),
+                F.when(F.col("n_shingles") > 0,
+                       F.col("n_novel") * 1.0 / F.col("n_shingles"))
+                .alias("novelty")))
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (SELECT doc_id, {_decontam_ngram_sql(NOVELTY_NGRAM_N)} AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+    ),
+    frst AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    ),
+    per_doc AS (
+      SELECT s.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(COUNT(*) FILTER (WHERE f.first_doc = s.doc_id) AS BIGINT)
+               AS n_novel
+      FROM sh s JOIN frst f USING (shingle) GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_shingles, 0) AS n_shingles,
+           COALESCE(p.n_novel, 0) AS n_novel,
+           CASE WHEN COALESCE(p.n_shingles, 0) > 0
+                THEN p.n_novel * 1.0 / p.n_shingles END AS novelty
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring: per-doc fraction of distinct 3-gram
+    shingles first seen in this document (doc_id as ingestion order) —
+    the soft-scoring complement to keep-first dedup. One argmin
+    hash-aggregate + equi-join back; linear at 100 TB."""
+    return ngram_novelty(load_table(spark, sf_dir, "documents"))

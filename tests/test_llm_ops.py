@@ -1897,3 +1897,188 @@ def test_quantize_recall_floor_and_mean(spark, sf_dir):
     assert len(rows) > 0
     assert all(r.recall >= 0.6 for r in rows)
     assert sum(r.recall for r in rows) / len(rows) >= 0.9
+
+
+# --- round 15: Gopher rules / vocab top-k / LM scores / novelty / splits ------
+
+
+def test_gopher_rules_semantics(spark):
+    """Each rule gate flips on exactly the planted violation while the
+    other four rules stay green, and `keep` is the AND of all five."""
+    from coursera_etl_pipeline_spark.llm_ops.text import gopher_rules
+
+    def doc(words):
+        return " ".join(words)
+
+    rows = [
+        (0, doc(["the", "a"] + ["word"] * 48)),        # passes all five
+        (1, doc(["the", "a"] + ["word"] * 47)),        # 49 words: too few
+        (2, doc(["the", "a"] + ["ab"] * 48)),          # mean word len 2.0
+        (3, doc(["the", "a"] + ["word"] * 42 + ["$$$"] * 6)),  # symbols
+        (4, doc(["the", "a"] + ["word"] * 28 + ["123"] * 20)),  # digit words
+        (5, doc(["the"] + ["word"] * 49)),             # only 1 marker
+    ]
+    out = {r.doc_id: r for r in gopher_rules(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert out[0].keep
+    assert all([out[0].rule_word_count, out[0].rule_word_len,
+                out[0].rule_symbol_ratio, out[0].rule_alpha_words,
+                out[0].rule_stopwords])
+    assert not out[1].rule_word_count and not out[1].keep
+    assert out[1].rule_word_len          # only the planted rule flips
+    assert not out[2].rule_word_len and not out[2].keep
+    assert out[2].mean_word_len == 2.0  # (3+1+2*48)/50
+    assert not out[3].rule_symbol_ratio and not out[3].keep
+    assert out[3].symbol_ratio == 18 / 50 and out[3].rule_alpha_words
+    assert not out[4].rule_alpha_words and not out[4].keep
+    assert out[4].rule_symbol_ratio     # digits are not symbols
+    assert not out[5].rule_stopwords and not out[5].keep
+    assert out[5].n_stopword_markers == 1
+
+
+def test_vocab_topk_semantics_and_plan(spark):
+    """Min-count floor drops singletons, the (count DESC, token ASC)
+    tie-break decides the truncation boundary deterministically, and
+    the physical plan is TakeOrderedAndProject — never a global Sort
+    (the 100 TB point of the operator)."""
+    from coursera_etl_pipeline_spark.llm_ops.text import vocab_topk
+
+    docs = spark.createDataFrame(
+        [(0, "aa aa aa bb cc"), (1, "bb cc dd")],
+        "doc_id long, text string")
+    # counts: aa=3 bb=2 cc=2 dd=1; min_count=2 drops dd
+    top = vocab_topk(docs, k=2, min_count=2)
+    assert [(r.token, r.n_occ) for r in top.collect()] == [("aa", 3), ("bb", 2)]
+    top3 = vocab_topk(docs, k=3, min_count=2).collect()
+    assert [(r.token, r.n_occ) for r in top3] == [
+        ("aa", 3), ("bb", 2), ("cc", 2)]
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+
+
+def test_perplexity_proxy_exact_micro_values(spark):
+    """The certified output equals the hand-computed unigram-LM
+    expectation: logp is rounded ONCE per distinct term to micro-nats
+    and per-doc accumulation is exact integer arithmetic."""
+    import math
+
+    from coursera_etl_pipeline_spark.llm_ops.text import perplexity_proxy
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c")], "doc_id long, text string")
+    # corpus: T=5, c(a)=2, c(b)=2, c(c)=1
+    lp = {t: math.floor(math.log(c / 5) * 1e6 + 0.5)
+          for t, c in {"a": 2, "b": 2, "c": 1}.items()}
+    out = {r.doc_id: r for r in perplexity_proxy(docs).collect()}
+    assert out[0].sum_logp_micro == 2 * lp["a"] + lp["b"]
+    assert out[1].sum_logp_micro == lp["b"] + lp["c"]
+    assert out[0].avg_logp == (out[0].sum_logp_micro * 1.0 / 3) / 1e6
+    assert out[1].n_tokens == 2
+    # the proxy orders docs by LM fit: the all-common-token doc wins
+    assert out[0].avg_logp > out[1].avg_logp
+
+
+def test_token_entropy_semantics(spark):
+    """Uniform tokens hit ln(k), constant docs hit 0, and values are
+    exact micro-nat arithmetic (no float-sum nondeterminism)."""
+    import math
+
+    from coursera_etl_pipeline_spark.llm_ops.text import text_token_entropy  # noqa: F401
+    from coursera_etl_pipeline_spark.registry import QUERIES
+
+    docs = spark.createDataFrame(
+        [(0, "a a b b"), (1, "a b c"), (2, "a a a a")],
+        "doc_id long, text string")
+    docs.createOrReplaceTempView("_entropy_probe")
+    # drive the core expression through the same code path the query
+    # uses by rebuilding it on the probe frame
+    from coursera_etl_pipeline_spark.llm_ops.text import LOGP_MICRO, _tf
+    from pyspark.sql import functions as F
+
+    tf = _tf(docs)
+    plogp = (F.col("f") * F.floor(
+        F.log(F.col("f") * 1.0 / F.col("n_tokens")) * LOGP_MICRO + 0.5)
+        .cast("bigint"))
+    per = (tf.groupBy("doc_id", "n_tokens")
+           .agg(F.sum(plogp).alias("s"))
+           .select("doc_id",
+                   (-((F.col("s") * 1.0 / F.col("n_tokens")) / F.lit(LOGP_MICRO)))
+                   .alias("h")))
+    out = {r.doc_id: r.h for r in per.collect()}
+    assert abs(out[0] - math.log(2)) < 1e-6
+    assert abs(out[1] - math.log(3)) < 1e-6
+    assert out[2] == 0.0
+
+
+def test_ngram_novelty_semantics(spark):
+    """First occurrence scores 1.0, an exact duplicate scores 0.0, a
+    half-overlapping doc scores the overlap fraction, and a doc too
+    short to shingle surfaces with zero shingles and NULL novelty
+    instead of vanishing or erroring."""
+    from coursera_etl_pipeline_spark.llm_ops.text import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [(0, "w1 w2 w3 w4"),        # shingles: w1w2w3, w2w3w4 -> all novel
+         (1, "w1 w2 w3 w4"),        # exact dup -> nothing novel
+         (2, "w2 w3 w4 w5"),        # shares w2w3w4; w3w4w5 is new
+         (3, "x y")],               # 2 tokens: no 3-gram shingles
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in ngram_novelty(docs).collect()}
+    assert len(out) == 4
+    assert out[0].novelty == 1.0 and out[0].n_shingles == 2
+    assert out[1].novelty == 0.0
+    assert out[2].n_novel == 1 and out[2].novelty == 0.5
+    assert out[3].n_shingles == 0 and out[3].novelty is None
+
+
+def test_split_minhash_coherence_and_stability(spark):
+    """Exact duplicates (identical signatures) always share a split,
+    unshingleable docs fall back to per-doc keys (present, never
+    lost), and the assignment is stable under repartitioning."""
+    from coursera_etl_pipeline_spark.llm_ops.sampling import (
+        split_assign_minhash,
+    )
+
+    body = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the wide open field")
+    rows = [(i, f"unique document number {i} with its own words here")
+            for i in range(20)]
+    rows += [(100, body), (101, body), (102, body)]   # exact dups
+    rows += [(200, "xy")]                             # too short to shingle
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.split for r in split_assign_minhash(docs).collect()}
+    assert len(out) == 24
+    assert out[100] == out[101] == out[102]
+    assert 200 in out
+    out2 = {r.doc_id: r.split
+            for r in split_assign_minhash(docs.repartition(7)).collect()}
+    assert out == out2
+
+
+def test_domain_reweight_semantics(spark):
+    """The dominant host is downweighted toward sqrt-share (rate ~33%
+    for a 90/10 corpus), the minority host keeps 100%, rates derive
+    from exact integer weights, and kept counts respect the rates."""
+    import math
+
+    from coursera_etl_pipeline_spark.llm_ops.sampling import domain_reweight
+
+    def words(n):
+        return " ".join(["w"] * n)
+
+    rows = [(i, f"https://big.example.org/p{i}", words(9)) for i in range(10)]
+    rows += [(100 + i, f"https://small.example.org/p{i}", words(5))
+             for i in range(2)]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = {r.host: r for r in domain_reweight(docs).collect()}
+    big, small = out["big.example.org"], out["small.example.org"]
+    assert big.total_toks == 90 and small.total_toks == 10
+    w_big = math.floor(math.sqrt(90 / 100) * 1e9 + 0.5)
+    w_small = math.floor(math.sqrt(10 / 100) * 1e9 + 0.5)
+    assert big.w == w_big and small.w == w_small
+    c_max = min(90 / w_big, 10 / w_small)
+    assert big.rate_pct == min(100, math.floor(100.0 * c_max * w_big / 90))
+    assert small.rate_pct == 100
+    assert big.rate_pct < 40            # sqrt-tempered, not proportional
+    assert big.kept_docs <= 10 and small.kept_docs == 2

@@ -56,6 +56,14 @@ ALLOWED = {
     # broadcast 1-row total_docs aggregate (the oracle's CROSS JOIN n
     # mirrored) replacing a per-plan-construction driver count (r8)
     ("text_tfidf_top_terms", "BroadcastNestedLoopJoin"),
+    # unigram-LM logp table: broadcast 1-row corpus-total aggregate
+    # against the |vocab|-row counts frame (text.py perplexity_proxy
+    # docstring) — same O(1)-row shape as tfidf's total_docs
+    ("text_perplexity_proxy", "BroadcastNestedLoopJoin"),
+    # temperature mixture: broadcast 1-row grand-total and 1-row c_max
+    # aggregates against the |hosts|-row weight table (sampling.py
+    # domain_reweight docstring) — same shape as sample_corpus_mix
+    ("sample_domain_reweight", "BroadcastNestedLoopJoin"),
     # 3-row band table broadcast against the fact scan: the interval
     # predicate is the query's entire point, and the fact side never
     # shuffles (relational.py join_nonequi_range docstring)
