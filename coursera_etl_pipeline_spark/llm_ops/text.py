@@ -818,16 +818,22 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     — ONE map stage, zero shuffle, zero UDFs; at 100 TB this runs at
     scan speed like the PII scrub. All flag comparisons are on RAW
     values (integer counts and int/int IEEE divisions — bit-identical
-    across engines), so no rounding can flip a rule at a boundary."""
-    toks = F.split(text_col, " ")
+    across engines), so no rounding can flip a rule at a boundary.
+
+    NULL text is treated as empty (r15 review): without the coalesce
+    every feature — and therefore every rule flag AND `keep` — would
+    be NULL, and a downstream `filter(keep)` would silently drop the
+    doc with no recorded verdict. Empty text deterministically fails
+    the word-count rule, so such docs get an explicit keep=False."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.split(txt, " ")
     n_words = F.size(toks)
-    chars_no_space = F.length(
-        F.replace(F.col(text_col), F.lit(" "), F.lit("")))
+    chars_no_space = F.length(F.replace(txt, F.lit(" "), F.lit("")))
     mean_word_len = chars_no_space * 1.0 / n_words
     # symbols = chars outside [A-Za-z0-9 ]; translate DELETES the
     # listed chars, so what survives is exactly the symbol count
     # (same translate-not-regex trick as text_quality_score)
-    symbol_ratio = (F.length(F.translate(F.col(text_col), _ALNUM_SPACE, ""))
+    symbol_ratio = (F.length(F.translate(txt, _ALNUM_SPACE, ""))
                     * 1.0 / n_words)
     alpha_word_ratio = (
         F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
@@ -860,7 +866,9 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # Raw-value comparisons only (no round()): every ratio is an
     # int/int IEEE division, identical on both engines, so the flags
     # cannot diverge at a boundary. list_intersect/array_intersect
-    # both return DISTINCT matches, so marker counts agree.
+    # both return DISTINCT matches, so marker counts agree. The inner
+    # coalesce mirrors the engine's NULL-text-as-empty rule (fixture
+    # text is non-null, so the fixture result is unchanged).
     oracle=f"""
     WITH feats AS (
       SELECT doc_id,
@@ -875,7 +883,7 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
              CAST(len(list_intersect(string_split(text, ' '),
                                      ['{_MARKER_SET_SQL}'])) AS INTEGER)
                AS n_stopword_markers
-      FROM documents
+      FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
     )
     SELECT doc_id, n_words, mean_word_len, symbol_ratio,
            alpha_word_ratio, n_stopword_markers,
@@ -997,7 +1005,12 @@ def perplexity_proxy(docs: DataFrame, text_col: str = "text") -> DataFrame:
     beyond; the per-doc reduce is an exact BIGINT sum. Never a
     window, never a sort. Perplexity itself is exp(-avg_logp) —
     monotone, so ranking/filtering uses avg_logp directly and no
-    cross-engine exp() enters the certified output."""
+    cross-engine exp() enters the certified output.
+
+    NULL-text docs never reach the tf matrix (explode of a NULL
+    array emits nothing), so without the final LEFT join back they
+    would silently VANISH from the scoring output — the r14 row-loss
+    class. They surface with n_tokens=0 and NULL scores instead."""
     tf = _tf(docs, text_col)
     counts = tf.groupBy("term").agg(F.sum("f").alias("c"))
     total = counts.agg(F.sum("c").alias("_total"))
@@ -1010,10 +1023,15 @@ def perplexity_proxy(docs: DataFrame, text_col: str = "text") -> DataFrame:
                .groupBy("doc_id", "n_tokens")
                .agg(F.sum(F.col("f") * F.col("logp_micro"))
                     .alias("sum_logp_micro")))
-    return per_doc.select(
+    scored = per_doc.select(
         "doc_id", "n_tokens", "sum_logp_micro",
         ((F.col("sum_logp_micro") * 1.0 / F.col("n_tokens"))
          / F.lit(LOGP_MICRO)).alias("avg_logp"))
+    return (docs.select("doc_id").join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_tokens", F.lit(0).cast("bigint"))
+                    .alias("n_tokens"),
+                    "sum_logp_micro", "avg_logp"))
 
 
 @query(
@@ -1048,9 +1066,11 @@ def perplexity_proxy(docs: DataFrame, text_col: str = "text") -> DataFrame:
              CAST(SUM(f * logp_micro) AS BIGINT) AS sum_logp_micro
       FROM tf JOIN lp USING (term) GROUP BY doc_id, n_tokens
     )
-    SELECT doc_id, n_tokens, sum_logp_micro,
-           (sum_logp_micro * 1.0 / n_tokens) / {LOGP_MICRO} AS avg_logp
-    FROM per_doc
+    SELECT d.doc_id,
+           COALESCE(p.n_tokens, 0) AS n_tokens,
+           p.sum_logp_micro,
+           (p.sum_logp_micro * 1.0 / p.n_tokens) / {LOGP_MICRO} AS avg_logp
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """,
 )
 def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1085,9 +1105,12 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS sum_plogp_micro
       FROM tf GROUP BY doc_id, n_tokens
     )
-    SELECT doc_id, n_tokens, n_distinct_tokens,
-           -((sum_plogp_micro * 1.0 / n_tokens) / {LOGP_MICRO}) AS entropy_nats
-    FROM per_doc
+    SELECT d.doc_id,
+           COALESCE(p.n_tokens, 0) AS n_tokens,
+           COALESCE(p.n_distinct_tokens, 0) AS n_distinct_tokens,
+           -((p.sum_plogp_micro * 1.0 / p.n_tokens) / {LOGP_MICRO})
+             AS entropy_nats
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """,
 )
 def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1097,17 +1120,33 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + one (doc, term) hash-aggregate + one per-doc reduce —
     linear, shuffle-bounded by the tf matrix, never all-pairs; the
     per-doc sum is exact BIGINT micro-nats (order-free)."""
-    tf = _tf(load_table(spark, sf_dir, "documents"))
+    return token_entropy(load_table(spark, sf_dir, "documents"))
+
+
+def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """DataFrame core of `text_token_entropy` — the production entry
+    point for arbitrary corpora. NULL-text docs never reach the tf
+    matrix (explode emits nothing for a NULL array), so the final
+    LEFT join surfaces them with n_tokens=0 and NULL entropy instead
+    of silently dropping them (the r14 row-loss class)."""
+    tf = _tf(docs, text_col)
     plogp_micro = (F.col("f")
                    * F.floor(F.log(F.col("f") * 1.0 / F.col("n_tokens"))
                              * LOGP_MICRO + 0.5).cast("bigint"))
     per_doc = (tf.groupBy("doc_id", "n_tokens")
                .agg(F.count(F.lit(1)).alias("n_distinct_tokens"),
                     F.sum(plogp_micro).alias("sum_plogp_micro")))
-    return per_doc.select(
+    scored = per_doc.select(
         "doc_id", "n_tokens", "n_distinct_tokens",
         (-((F.col("sum_plogp_micro") * 1.0 / F.col("n_tokens"))
            / F.lit(LOGP_MICRO))).alias("entropy_nats"))
+    return (docs.select("doc_id").join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_tokens", F.lit(0).cast("bigint"))
+                    .alias("n_tokens"),
+                    F.coalesce("n_distinct_tokens", F.lit(0).cast("bigint"))
+                    .alias("n_distinct_tokens"),
+                    "entropy_nats"))
 
 
 # --- n-gram novelty scoring (round 15) ------------------------------------------

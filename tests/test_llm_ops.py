@@ -1917,6 +1917,7 @@ def test_gopher_rules_semantics(spark):
         (3, doc(["the", "a"] + ["word"] * 42 + ["$$$"] * 6)),  # symbols
         (4, doc(["the", "a"] + ["word"] * 28 + ["123"] * 20)),  # digit words
         (5, doc(["the"] + ["word"] * 49)),             # only 1 marker
+        (6, None),                                     # NULL text
     ]
     out = {r.doc_id: r for r in gopher_rules(
         spark.createDataFrame(rows, "doc_id long, text string")).collect()}
@@ -1934,6 +1935,10 @@ def test_gopher_rules_semantics(spark):
     assert out[4].rule_symbol_ratio     # digits are not symbols
     assert not out[5].rule_stopwords and not out[5].keep
     assert out[5].n_stopword_markers == 1
+    # NULL text = empty text: an explicit keep=False verdict, not a
+    # NULL that a downstream filter(keep) would silently drop
+    assert out[6].keep is False and out[6].n_words == 1
+    assert out[6].rule_symbol_ratio and not out[6].rule_word_count
 
 
 def test_vocab_topk_semantics_and_plan(spark):
@@ -1966,49 +1971,40 @@ def test_perplexity_proxy_exact_micro_values(spark):
     from coursera_etl_pipeline_spark.llm_ops.text import perplexity_proxy
 
     docs = spark.createDataFrame(
-        [(0, "a a b"), (1, "b c")], "doc_id long, text string")
-    # corpus: T=5, c(a)=2, c(b)=2, c(c)=1
+        [(0, "a a b"), (1, "b c"), (2, None)], "doc_id long, text string")
+    # corpus: T=5, c(a)=2, c(b)=2, c(c)=1 (NULL text contributes nothing)
     lp = {t: math.floor(math.log(c / 5) * 1e6 + 0.5)
           for t, c in {"a": 2, "b": 2, "c": 1}.items()}
     out = {r.doc_id: r for r in perplexity_proxy(docs).collect()}
+    assert len(out) == 3
     assert out[0].sum_logp_micro == 2 * lp["a"] + lp["b"]
     assert out[1].sum_logp_micro == lp["b"] + lp["c"]
     assert out[0].avg_logp == (out[0].sum_logp_micro * 1.0 / 3) / 1e6
     assert out[1].n_tokens == 2
     # the proxy orders docs by LM fit: the all-common-token doc wins
     assert out[0].avg_logp > out[1].avg_logp
+    # NULL-text docs surface unscored, never silently dropped
+    assert out[2].n_tokens == 0 and out[2].avg_logp is None
 
 
 def test_token_entropy_semantics(spark):
-    """Uniform tokens hit ln(k), constant docs hit 0, and values are
-    exact micro-nat arithmetic (no float-sum nondeterminism)."""
+    """Uniform tokens hit ln(k), constant docs hit 0, values are exact
+    micro-nat arithmetic (no float-sum nondeterminism), and NULL-text
+    docs surface with 0 tokens / NULL entropy, never dropped."""
     import math
 
-    from coursera_etl_pipeline_spark.llm_ops.text import text_token_entropy  # noqa: F401
-    from coursera_etl_pipeline_spark.registry import QUERIES
+    from coursera_etl_pipeline_spark.llm_ops.text import token_entropy
 
     docs = spark.createDataFrame(
-        [(0, "a a b b"), (1, "a b c"), (2, "a a a a")],
+        [(0, "a a b b"), (1, "a b c"), (2, "a a a a"), (3, None)],
         "doc_id long, text string")
-    docs.createOrReplaceTempView("_entropy_probe")
-    # drive the core expression through the same code path the query
-    # uses by rebuilding it on the probe frame
-    from coursera_etl_pipeline_spark.llm_ops.text import LOGP_MICRO, _tf
-    from pyspark.sql import functions as F
-
-    tf = _tf(docs)
-    plogp = (F.col("f") * F.floor(
-        F.log(F.col("f") * 1.0 / F.col("n_tokens")) * LOGP_MICRO + 0.5)
-        .cast("bigint"))
-    per = (tf.groupBy("doc_id", "n_tokens")
-           .agg(F.sum(plogp).alias("s"))
-           .select("doc_id",
-                   (-((F.col("s") * 1.0 / F.col("n_tokens")) / F.lit(LOGP_MICRO)))
-                   .alias("h")))
-    out = {r.doc_id: r.h for r in per.collect()}
-    assert abs(out[0] - math.log(2)) < 1e-6
-    assert abs(out[1] - math.log(3)) < 1e-6
-    assert out[2] == 0.0
+    out = {r.doc_id: r for r in token_entropy(docs).collect()}
+    assert len(out) == 4
+    assert abs(out[0].entropy_nats - math.log(2)) < 1e-6
+    assert abs(out[1].entropy_nats - math.log(3)) < 1e-6
+    assert out[2].entropy_nats == 0.0
+    assert out[1].n_distinct_tokens == 3
+    assert out[3].n_tokens == 0 and out[3].entropy_nats is None
 
 
 def test_ngram_novelty_semantics(spark):
