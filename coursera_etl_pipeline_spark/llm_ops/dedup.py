@@ -416,6 +416,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NUM_HASHES = 16
 NUM_BANDS = 4  # 4 rows per band
+# Shingle width every minhash consumer shares. Callers that gate
+# shingleability (shared `shingles` requires >= n tokens or slice
+# throws) must derive their guard from THIS constant, not a literal
+# (r15 review: a hardcoded 3 becomes a runtime crash if the width
+# ever changes).
+MINHASH_SHINGLE_N = 3
 
 
 def _minhash_params() -> list[tuple[int, int]]:
@@ -437,11 +443,11 @@ def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
     return x.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_signatures(df: DataFrame, n: int = 3,
+def minhash_signatures(df: DataFrame, n: int = MINHASH_SHINGLE_N,
                        text_col: str = "text") -> DataFrame:
-    """k=16 minhash values per doc over 3-gram shingles:
-    h_i(x) = (a_i * x + b_i) mod (2^31-1), x = 31-bit shingle hash.
-    One explode + one groupBy — signature computation is linear."""
+    """k=16 minhash values per doc over MINHASH_SHINGLE_N-gram
+    shingles: h_i(x) = (a_i * x + b_i) mod (2^31-1), x = 31-bit
+    shingle hash. One explode + one groupBy — linear."""
     return _signatures_from_shingles(
         shingles(df, n=n, text_col=text_col)
         .select("doc_id", F.explode("_shingles").alias("shingle")))
@@ -490,27 +496,18 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = JACCARD_THRESHOLD,
     return _verify_exact_jaccard(cand, sh_idx, threshold)
 
 
-def _duck_minhash_oracle(cand_where: str = "") -> str:
-    """DuckDB replica of the full minhash-LSH pipeline. The LCG
-    coefficients are fixed at import, so signatures, band buckets, the
-    candidate set, and the verified output are all exact expectations —
-    'probabilistic' describes the recall GUARANTEE, not the result.
-
-    ``cand_where`` optionally narrows the candidate self-join (e.g. the
-    incremental query keeps only pairs touching the new batch)."""
-    params = _minhash_params()
+def _duck_sig_ctes() -> str:
+    """sh/xs/sig CTE block — distinct MINHASH_SHINGLE_N-gram shingles
+    -> 31-bit hash -> 16-column minhash signature — shared by EVERY
+    DuckDB minhash oracle (the LSH pipeline, the incremental variant,
+    and sampling's signature-split). Defined once so an engine-side
+    recipe change cannot leave one consumer's oracle certifying a
+    stale signature (r15 review — the HEAD_FP_TOKENS single-definition
+    rule applied to signatures)."""
     mh_cols = ",\n             ".join(
         f"MIN(({a} * x + {b}) % {M31}) AS mh{i}"
-        for i, (a, b) in enumerate(params))
-    rows_per = NUM_HASHES // NUM_BANDS
-    band_cases = "\n          ".join(
-        "WHEN {b} THEN md5({concat})".format(
-            b=b,
-            concat=" || ',' || ".join(
-                f"CAST(mh{b * rows_per + r} AS VARCHAR)" for r in range(rows_per)))
-        for b in range(NUM_BANDS))
-    return f"""
-    WITH sh AS (
+        for i, (a, b) in enumerate(_minhash_params()))
+    return f"""sh AS (
       SELECT DISTINCT doc_id, shingle
       FROM (SELECT doc_id,
                    unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
@@ -524,7 +521,26 @@ def _duck_minhash_oracle(cand_where: str = "") -> str:
       SELECT doc_id,
              {mh_cols}
       FROM xs GROUP BY doc_id
-    ), banded AS (
+    )"""
+
+
+def _duck_minhash_oracle(cand_where: str = "") -> str:
+    """DuckDB replica of the full minhash-LSH pipeline. The LCG
+    coefficients are fixed at import, so signatures, band buckets, the
+    candidate set, and the verified output are all exact expectations —
+    'probabilistic' describes the recall GUARANTEE, not the result.
+
+    ``cand_where`` optionally narrows the candidate self-join (e.g. the
+    incremental query keeps only pairs touching the new batch)."""
+    rows_per = NUM_HASHES // NUM_BANDS
+    band_cases = "\n          ".join(
+        "WHEN {b} THEN md5({concat})".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"CAST(mh{b * rows_per + r} AS VARCHAR)" for r in range(rows_per)))
+        for b in range(NUM_BANDS))
+    return f"""
+    WITH {_duck_sig_ctes()}, banded AS (
       SELECT doc_id, b.band,
         CASE b.band
           {band_cases}

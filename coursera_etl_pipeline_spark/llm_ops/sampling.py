@@ -361,17 +361,19 @@ def split_assign_minhash(docs: DataFrame) -> DataFrame:
     minhash pass (one shingle explode + one 16-min hash-aggregate);
     the signature key then rides the same O(1)-state rep aggregate +
     equi-join-back as `split_assign`. Docs too short to shingle
-    (< 3 tokens; shared `shingles` requires >= n) are filtered out of
-    the signature pass, get NO signature (left join -> NULL key), and
-    fall back to split_assign's per-doc key — split independently,
-    never lost or errored."""
+    (< MINHASH_SHINGLE_N tokens; shared `shingles` requires >= n —
+    the guard is DERIVED from that constant, r15 review) are filtered
+    out of the signature pass, get NO signature (left join -> NULL
+    key), and fall back to split_assign's per-doc key — split
+    independently, never lost or errored."""
     from coursera_etl_pipeline_spark.llm_ops.dedup import (
+        MINHASH_SHINGLE_N,
         NUM_HASHES,
         minhash_signatures,
     )
 
     sigs = minhash_signatures(
-        docs.filter(F.size(F.split("text", " ")) >= 3))
+        docs.filter(F.size(F.split("text", " ")) >= MINHASH_SHINGLE_N))
     sig_key = F.md5(F.concat_ws(
         ",", *[F.col(f"mh{i}") for i in range(NUM_HASHES)]))
     keyed = docs.join(
@@ -382,34 +384,21 @@ def split_assign_minhash(docs: DataFrame) -> DataFrame:
 def _duck_minhash_sig_sql() -> str:
     """DuckDB CTEs computing (doc_id, sig): md5 of the comma-joined
     16-value minhash signature — the oracle mirror of
-    `split_assign_minhash`'s key, built from the same import-time LCG
-    coefficients as `_duck_minhash_oracle`."""
+    `split_assign_minhash`'s key. The sh/xs/sig block is dedup's
+    SHARED `_duck_sig_ctes` (r15 review: a private copy of the
+    signature recipe could silently drift from the engine it
+    certifies); this wrapper only adds the md5 key."""
     from coursera_etl_pipeline_spark.llm_ops.dedup import (
-        M31,
-        _minhash_params,
+        NUM_HASHES,
+        _duck_sig_ctes,
     )
 
-    mh_cols = ",\n             ".join(
-        f"MIN(({a} * x + {b}) % {M31}) AS mh{i}"
-        for i, (a, b) in enumerate(_minhash_params()))
     concat = " || ',' || ".join(
-        f"CAST(mh{i} AS VARCHAR)" for i in range(len(_minhash_params())))
+        f"CAST(mh{i} AS VARCHAR)" for i in range(NUM_HASHES))
     return f"""
-    sh AS (
-      SELECT DISTINCT doc_id, shingle
-      FROM (SELECT doc_id,
-                   unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
-                          s -> t[s] || ' ' || t[s+1] || ' ' || t[s+2])) AS shingle
-            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
-    ), xs AS (
-      SELECT doc_id,
-             ('0x' || substr(md5(shingle), 1, 8))::BIGINT % {M31} AS x
-      FROM sh
-    ), sig AS (
-      SELECT doc_id, md5({concat}) AS sig
-      FROM (SELECT doc_id,
-             {mh_cols}
-            FROM xs GROUP BY doc_id)
+    {_duck_sig_ctes()},
+    sigkey AS (
+      SELECT doc_id, md5({concat}) AS sig FROM sig
     )"""
 
 
@@ -421,7 +410,7 @@ def _duck_minhash_sig_sql() -> str:
       SELECT d.doc_id,
              coalesce(s.sig,
                       '__null_key__' || CAST(d.doc_id AS VARCHAR)) AS fp
-      FROM documents d LEFT JOIN sig s USING (doc_id)
+      FROM documents d LEFT JOIN sigkey s USING (doc_id)
     ),
     rep AS (
       SELECT fp,
@@ -468,14 +457,29 @@ def domain_reweight(docs: DataFrame, url_col: str = "url") -> DataFrame:
     order-free, so no decimal accumulator is needed; the weight is
     rounded to an exact BIGINT before any arithmetic that feeds the
     keep decision. GREATEST(w, 1) guards the degenerate sub-ppb host.
+    The rate is spelled 100.0 * (c_max / (total/w)) — dividing FIRST
+    — so the BINDING host (whose total/w IS the c_max double, min()
+    returns an element) computes c_max/c_max = exactly 1.0 and lands
+    on exactly 100. Both the original multiply-out form
+    (100*c_max*w/total) AND the half-fixed (100*c_max)/(total/w)
+    round one ulp below 100 on real inputs and floor the feasible
+    maximum to 99 — the second failure was caught by the planted
+    test, not by inspection (r15 review + test iteration).
+
+    NULL-url docs get the unforgeable '/null-host/' group ('/' cannot
+    appear in a host capture): without the coalesce their tokens
+    would still be charged into the grand total while the rate
+    equi-join back silently dropped every such doc — kept=0 at
+    rate=100, the r14 NULL-join-key row-loss class (r15 review).
 
     Scale shape: identical to sample_corpus_mix — two |hosts|-key
     aggregates over one corpus pass each, a 1-row reduction, broadcast
     joins of the tiny rate table, and a map-side deterministic
     filter; no corpus-wide data shuffle anywhere."""
     d = docs.select(
-        F.lower(F.regexp_extract(F.col(url_col), URL_HOST_RE, 1))
-        .alias("host"),
+        F.coalesce(
+            F.lower(F.regexp_extract(F.col(url_col), URL_HOST_RE, 1)),
+            F.lit("/null-host/")).alias("host"),
         "doc_id",
         F.coalesce(F.size(F.split("text", " ")), F.lit(0)).cast("bigint")
         .alias("n_tok"))
@@ -489,16 +493,21 @@ def domain_reweight(docs: DataFrame, url_col: str = "url") -> DataFrame:
                 F.floor(F.sqrt(F.col("total_toks") * 1.0 / F.col("_grand"))
                         * TEMP_MIX_MICRO + 0.5).cast("bigint"),
                 F.lit(1).cast("bigint")).alias("w")))
+    # total_toks * 1.0 / w spelled IDENTICALLY here and in the rate
+    # denominator below: the binding host's denominator is then the
+    # very double min() returned, making its rate exactly 100.0
     c_row = weighted.agg(
-        F.min(F.col("total_toks") / F.col("w")).alias("c_max"))
+        F.min(F.col("total_toks") * 1.0 / F.col("w")).alias("c_max"))
     rates = (
         weighted.crossJoin(F.broadcast(c_row))
         .select(
             "host", "total_toks", "w",
             F.least(
                 F.lit(100).cast("bigint"),
-                F.floor(F.lit(100.0) * F.col("c_max") * F.col("w")
-                        / F.col("total_toks")).cast("bigint"))
+                F.floor(F.lit(100.0)
+                        * (F.col("c_max")
+                           / (F.col("total_toks") * 1.0 / F.col("w"))))
+                .cast("bigint"))
             .alias("rate_pct")))
     kept = (
         d.join(F.broadcast(rates), "host")
@@ -526,10 +535,10 @@ def domain_reweight(docs: DataFrame, url_col: str = "url") -> DataFrame:
       SELECT doc_id,
              COALESCE(CAST(len(string_split(text, ' ')) AS BIGINT), 0)
                AS n_tok,
-             lower(regexp_extract(
+             COALESCE(lower(regexp_extract(
                'https://' || source || '.example.org/' || lang
                           || '/doc-' || doc_id,
-               '{URL_HOST_RE}', 1)) AS host
+               '{URL_HOST_RE}', 1)), '/null-host/') AS host
       FROM documents
     ),
     totals AS (
@@ -545,12 +554,12 @@ def domain_reweight(docs: DataFrame, url_col: str = "url") -> DataFrame:
                CAST(1 AS BIGINT)) AS w
       FROM totals, grand
     ),
-    c AS (SELECT MIN(total_toks / w) AS c_max FROM weighted),
+    c AS (SELECT MIN(total_toks * 1.0 / w) AS c_max FROM weighted),
     rates AS (
       SELECT host, total_toks, w,
              LEAST(CAST(100 AS BIGINT),
-                   CAST(floor(100.0 * c_max * w / total_toks) AS BIGINT))
-               AS rate_pct
+                   CAST(floor(100.0 * (c_max / (total_toks * 1.0 / w)))
+                        AS BIGINT)) AS rate_pct
       FROM weighted, c
     ),
     kept AS (

@@ -607,10 +607,16 @@ def scrub_pii(df: DataFrame, text_col: str) -> DataFrame:
 # port delimiter. The old '([^/?#]+)' captured the RAW authority, so
 # 'https://blocked.org:443/' or 'https://x@blocked.org/' walked past
 # the blocklist anti-join — a filter-evasion hole (the gate matched
-# 'blocked.org:443' != 'blocked.org'). RE2- and Java-regex compatible
-# (non-capturing group only; the page-host capture stays group 1).
-URL_HOST_RE = ("^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?"
-               "(\\[[^\\]/?#]*\\]|[^/?#:]*)")
+# 'blocked.org:443' != 'blocked.org'). The userinfo class is
+# '[^/?#]*@' (GREEDY through the LAST '@' before the path), not
+# '[^/?#@]*@': WHATWG clients treat everything before the last '@'
+# as userinfo, so 'https://a@b@blocked.org/x' fetches blocked.org —
+# with the first-@ form the capture would read 'b@blocked.org' and
+# walk past the blocklist (r15 review catch). RE2- and Java-regex
+# compatible (non-capturing group only; the host capture stays
+# group 1).
+URL_HOST_RE = ("^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?"
+               "(\\[[^\\]/?#]*\\]|[^/?#:@]*)")
 # TLD = last dot-label of the lowercased hostname. The optional :port
 # group is defense-in-depth for callers passing a raw authority —
 # URL_HOST_RE itself now port-strips (review r14: an end-anchored
@@ -1010,9 +1016,18 @@ def perplexity_proxy(docs: DataFrame, text_col: str = "text") -> DataFrame:
     NULL-text docs never reach the tf matrix (explode of a NULL
     array emits nothing), so without the final LEFT join back they
     would silently VANISH from the scoring output — the r14 row-loss
-    class. They surface with n_tokens=0 and NULL scores instead."""
-    tf = _tf(docs, text_col)
-    counts = tf.groupBy("term").agg(F.sum("f").alias("c"))
+    class. They surface with n_tokens=0 and NULL scores instead.
+
+    tf is MATERIALIZED (the tfidf precedent, text.py tf matrix): it
+    feeds both the per-doc reduce and the vocab counts, and counts
+    itself feeds both the total and the logp table — unmaterialized,
+    the corpus explode ran three times per query (r15 review: 3
+    Generate nodes, 0 ReusedExchange in the executed plan)."""
+    from coursera_etl_pipeline_spark.llm_ops.dedup import _materialize
+
+    tf = _materialize(_tf(docs, text_col))
+    counts = _materialize(
+        tf.groupBy("term").agg(F.sum("f").alias("c")))
     total = counts.agg(F.sum("c").alias("_total"))
     logp = (counts.crossJoin(F.broadcast(total))
             .select("term",

@@ -2054,8 +2054,12 @@ def test_split_minhash_coherence_and_stability(spark):
 
 def test_domain_reweight_semantics(spark):
     """The dominant host is downweighted toward sqrt-share (rate ~33%
-    for a 90/10 corpus), the minority host keeps 100%, rates derive
-    from exact integer weights, and kept counts respect the rates."""
+    for a 90/10 corpus), the minority (binding) host keeps EXACTLY
+    100% (the r15 rate spelling divides c_max by the very double
+    min() returned), rates derive from exact integer weights, kept
+    counts respect the rates, and NULL-url docs form their own
+    unforgeable '/null-host/' group instead of being charged into
+    the totals and then silently dropped by the rate join."""
     import math
 
     from coursera_etl_pipeline_spark.llm_ops.sampling import domain_reweight
@@ -2066,15 +2070,26 @@ def test_domain_reweight_semantics(spark):
     rows = [(i, f"https://big.example.org/p{i}", words(9)) for i in range(10)]
     rows += [(100 + i, f"https://small.example.org/p{i}", words(5))
              for i in range(2)]
+    rows += [(200, None, words(4))]
     docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
     out = {r.host: r for r in domain_reweight(docs).collect()}
     big, small = out["big.example.org"], out["small.example.org"]
     assert big.total_toks == 90 and small.total_toks == 10
-    w_big = math.floor(math.sqrt(90 / 100) * 1e9 + 0.5)
-    w_small = math.floor(math.sqrt(10 / 100) * 1e9 + 0.5)
+    w_big = math.floor(math.sqrt(90 / 104) * 1e9 + 0.5)
+    w_small = math.floor(math.sqrt(10 / 104) * 1e9 + 0.5)
     assert big.w == w_big and small.w == w_small
-    c_max = min(90 / w_big, 10 / w_small)
-    assert big.rate_pct == min(100, math.floor(100.0 * c_max * w_big / 90))
-    assert small.rate_pct == 100
+    c_max = min(90 * 1.0 / w_big, 10 * 1.0 / w_small,
+                4 * 1.0 / math.floor(math.sqrt(4 / 104) * 1e9 + 0.5))
+    assert big.rate_pct == min(
+        100, math.floor(100.0 * (c_max / (90 * 1.0 / w_big))))
     assert big.rate_pct < 40            # sqrt-tempered, not proportional
-    assert big.kept_docs <= 10 and small.kept_docs == 2
+    assert big.kept_docs <= 10
+    # NULL-url docs: their own rated group, never silently dropped.
+    # Here the 4-token null-host group is also the BINDING host
+    # (smallest total/w), so its rate is exactly 100 by construction
+    # and its doc is kept — under the old multiply-out spelling an
+    # IEEE ulp could floor this to 99, and under the old NULL join
+    # key the doc was charged into the totals yet never kept
+    nh = out["/null-host/"]
+    assert nh.total_toks == 4
+    assert nh.rate_pct == 100 and nh.kept_docs == 1
