@@ -1185,12 +1185,22 @@ def ngram_novelty(docs: DataFrame, n: int = NOVELTY_NGRAM_N,
     then one equi-join back and a per-doc reduce. Docs too short to
     shingle (< n tokens; shared `shingles` requires >= n) surface
     with n_shingles=0 and NULL novelty (LEFT join — the round-14
-    no-silent-row-loss convention), never vanish or error."""
-    from coursera_etl_pipeline_spark.llm_ops.dedup import shingles
+    no-silent-row-loss convention), never vanish or error.
+
+    The shingle stream is MATERIALIZED: it feeds both the argmin
+    aggregate and the join-back probe — unmaterialized, the corpus
+    shingle explode ran twice (K=100 probe: 13.2 s -> 6.0 s after;
+    the same multi-consumer recompute class the r15 review caught in
+    perplexity_proxy)."""
+    from coursera_etl_pipeline_spark.llm_ops.dedup import (
+        _materialize,
+        shingles,
+    )
 
     long_enough = docs.filter(F.size(F.split(text_col, " ")) >= n)
-    sh = (shingles(long_enough, n=n, text_col=text_col)
-          .select("doc_id", F.explode("_shingles").alias("shingle")))
+    sh = _materialize(
+        shingles(long_enough, n=n, text_col=text_col)
+        .select("doc_id", F.explode("_shingles").alias("shingle")))
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("_first"))
     per_doc = (sh.join(first, "shingle")
                .groupBy("doc_id")
