@@ -71,6 +71,14 @@ _EDITED_THIS_ROUND = [
     #    plants no NULL urls (its oracle documents the fallback as
     #    unreachable), so output is unchanged; re-verified at all
     #    three scales.
+    #  - dedup.py's DuckDB minhash sh/xs/sig CTE block extracted into
+    #    the shared _duck_sig_ctes (r15 review item 4): the refactor
+    #    is proven BYTE-IDENTICAL — _duck_minhash_oracle's generated
+    #    SQL hashes equal before/after (md5 55cdd832/e85a3fd3 for the
+    #    bare and cand_where forms) — so dedup_minhash_lsh /
+    #    dedup_incremental_minhash / dedup_index_* outputs cannot
+    #    have changed; minhash_signatures' default n now names
+    #    MINHASH_SHINGLE_N, same value 3.
     # (Round-14's two forcings, dedup_substring and dedup_boilerplate,
     # certified green in CORRECTNESS_r14 and are dropped — keeping them
     # would burn slots re-proving current rows. Rationale lives in the

@@ -2093,3 +2093,23 @@ def test_domain_reweight_semantics(spark):
     nh = out["/null-host/"]
     assert nh.total_toks == 4
     assert nh.rate_pct == 100 and nh.kept_docs == 1
+
+
+def test_materialized_scoring_plans_cache_the_explode(spark, sf_dir):
+    """Regression guard for the r15 review's multi-consumer recompute
+    class: perplexity's tf matrix and novelty's shingle stream are
+    _materialize'd (persist), so every consumer reads the cache via
+    InMemoryTableScan and the corpus explode computes ONCE — before
+    the fix it ran 3x (perplexity) / 2x (novelty) per query, which
+    only showed up as a 4x growth-row anomaly at 10x data. (The
+    Generate text still APPEARS inside the InMemoryRelation's cached-
+    plan description; the boundary node is what proves single
+    computation.)"""
+    from coursera_etl_pipeline_spark.registry import QUERIES
+
+    for name in ("text_perplexity_proxy", "text_ngram_novelty"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, (
+            f"{name}: no cache boundary in the final plan — the "
+            "materialize fix regressed (multi-consumer recompute class)")
