@@ -589,3 +589,60 @@ def sample_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.lit(".example.org/"), F.col("lang"),
                          F.lit("/doc-"), F.col("doc_id").cast("string"))))
     return domain_reweight(docs)
+
+
+# --- curriculum quality-mix sampling (round-16 opener, pre-built r15) ----------
+#
+# Same pre-build rationale as clusters.minhash_keep_representative:
+# implementation + oracle land in r15, the @query registration is
+# deferred to r16 by the verify-window math (COVERAGE.md round-15
+# note). The pytest certifies oracle parity locally until then.
+
+# keep-rate per quality quartile, descending with quality: the top
+# tier is kept whole, the bottom quarter is sampled at 25% — the
+# standard curriculum/quality-weighted mixture.
+QUALITY_MIX_RATES = {0: 25, 1: 50, 2: 75, 3: 100}
+
+
+def quality_mix(binned: DataFrame) -> DataFrame:
+    """Per-bin curriculum sampling audit over a (doc_id, quality_bin)
+    frame: apply the bin's keep-rate as the deterministic md5-bucket
+    filter and emit (quality_bin, rate_pct, total_docs, kept_docs).
+
+    Scale shape: the bin CASE and bucket filter are map-side; the
+    audit is one 4-key hash-aggregate — nothing shuffles corpus rows
+    beyond what quality_bins itself certified."""
+    rate = F.coalesce(
+        *[F.when(F.col("quality_bin") == b, F.lit(r))
+          for b, r in QUALITY_MIX_RATES.items()]).cast("bigint")
+    kept = hash_bucket(F.col("doc_id")) < F.col("rate_pct")
+    return (binned
+            .withColumn("rate_pct", rate)
+            .groupBy("quality_bin", "rate_pct")
+            .agg(F.count(F.lit(1)).alias("total_docs"),
+                 F.count(F.when(kept, F.lit(1))).alias("kept_docs")))
+
+
+def r16_quality_mix_oracle() -> str:
+    """DuckDB oracle for the r16 registration: the certified
+    text_quality_binning oracle nests as one CTE (zero duplication —
+    the binning recipe cannot drift), then the same CASE rates,
+    bucket filter, and 4-row audit."""
+    from coursera_etl_pipeline_spark.registry import ORACLE
+
+    cases = " ".join(f"WHEN {b} THEN {r}"
+                     for b, r in QUALITY_MIX_RATES.items())
+    return f"""
+    WITH binned AS ({ORACLE['text_quality_binning']}),
+    rated AS (
+      SELECT doc_id, quality_bin,
+             CAST(CASE quality_bin {cases} END AS BIGINT) AS rate_pct
+      FROM binned
+    )
+    SELECT quality_bin, rate_pct,
+           CAST(COUNT(*) AS BIGINT) AS total_docs,
+           CAST(COUNT(*) FILTER (
+             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 100 < rate_pct) AS BIGINT) AS kept_docs
+    FROM rated GROUP BY quality_bin, rate_pct
+    """

@@ -2113,3 +2113,92 @@ def test_materialized_scoring_plans_cache_the_explode(spark, sf_dir):
         assert "InMemoryTableScan" in plan, (
             f"{name}: no cache boundary in the final plan — the "
             "materialize fix regressed (multi-consumer recompute class)")
+
+
+# --- round-16 openers, pre-built in r15 (registration deferred by the
+# verify-window math — COVERAGE.md round-15 note). Each test certifies
+# engine-vs-DuckDB value parity locally until the driver takes over.
+
+
+def _duck_parity(spark_df, oracle_sql, sf_dir):
+    """oracle_check's comparison, in-suite: same row count, same
+    column set, same order-insensitive normalized values."""
+    import os
+
+    import duckdb
+
+    from coursera_etl_pipeline_spark.catalog import TABLES, table_path
+    from tools.oracle_check import norm_rows
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = table_path(sf_dir, t)
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    rel = con.sql(oracle_sql)
+    d_cols, d_rows = rel.columns, rel.fetchall()
+    assert sorted(s_cols) == sorted(d_cols), (s_cols, d_cols)
+    sc, sr = norm_rows(s_cols, s_rows)
+    dc, dr = norm_rows(d_cols, d_rows)
+    assert len(sr) == len(dr), (len(sr), len(dr))
+    assert sr == dr
+
+
+def test_r16_minhash_keep_representative(spark, sf_dir):
+    """End-to-end near-dup verdict: exact dups share a component and
+    only the min id is kept, singletons keep themselves, every doc
+    surfaces; plus full value parity against the composed DuckDB
+    oracle on the fixture."""
+    from coursera_etl_pipeline_spark.llm_ops.clusters import (
+        minhash_keep_representative,
+        r16_minhash_keep_representative_oracle,
+    )
+
+    body = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the wide open field all day long")
+    rows = [(i, f"totally unique document number {i} speaking of "
+                f"subject {i} alone") for i in range(6)]
+    rows += [(100, body), (101, body), (102, body)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in minhash_keep_representative(docs).collect()}
+    assert len(out) == 9
+    assert out[100].component == out[101].component == out[102].component == 100
+    assert out[100].is_kept and not out[101].is_kept and not out[102].is_kept
+    assert all(out[i].is_kept and out[i].component == i for i in range(6))
+
+    from coursera_etl_pipeline_spark.catalog import load_table
+    _duck_parity(
+        minhash_keep_representative(load_table(spark, sf_dir, "documents")),
+        r16_minhash_keep_representative_oracle(), sf_dir)
+
+
+def test_r16_quality_mix(spark, sf_dir):
+    """Curriculum rates attach to the right bins, kept counts respect
+    the md5-bucket filter, totals cover every doc; plus full value
+    parity against the composed DuckDB oracle on the fixture."""
+    from coursera_etl_pipeline_spark.llm_ops.sampling import (
+        QUALITY_MIX_RATES,
+        quality_mix,
+        r16_quality_mix_oracle,
+    )
+    from coursera_etl_pipeline_spark.llm_ops.text import quality_bins
+
+    scored = spark.createDataFrame(
+        [(i, s / 10.0) for i, s in enumerate(range(1, 21))],
+        "doc_id long, quality_score double")
+    audit = {r.quality_bin: r for r in quality_mix(
+        quality_bins(scored).select("doc_id", "quality_bin")).collect()}
+    assert set(audit) == {0, 1, 2, 3}
+    assert all(audit[b].rate_pct == r for b, r in QUALITY_MIX_RATES.items())
+    assert sum(r.total_docs for r in audit.values()) == 20
+    assert all(r.kept_docs <= r.total_docs for r in audit.values())
+    assert audit[3].kept_docs == audit[3].total_docs  # top tier kept whole
+
+    from coursera_etl_pipeline_spark.llm_ops.text import text_quality_binning
+
+    binned = text_quality_binning(spark, sf_dir).select(
+        "doc_id", "quality_bin")
+    _duck_parity(quality_mix(binned), r16_quality_mix_oracle(), sf_dir)
