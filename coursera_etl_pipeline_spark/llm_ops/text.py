@@ -1191,7 +1191,14 @@ def ngram_novelty(docs: DataFrame, n: int = NOVELTY_NGRAM_N,
     aggregate and the join-back probe — unmaterialized, the corpus
     shingle explode ran twice (K=100 probe: 13.2 s -> 6.0 s after;
     the same multi-consumer recompute class the r15 review caught in
-    perplexity_proxy)."""
+    perplexity_proxy). Shingles are then reduced to 60-BIT md5-prefix
+    FINGERPRINTS before the aggregate (the text_fingerprint fp_int /
+    minhash 31-bit-shingle idiom): the argmin shuffle and join-back
+    move one BIGINT instead of a ~50-byte string — interleaved A/B at
+    K=100: 3.4 s -> 1.45 s, flipping the DuckDB ratio from 2.6x to
+    below 1. Collisions (~n^2/2^61) merge two shingles' first-seen
+    evidence; novelty is a heuristic score, and the oracle applies
+    the identical fingerprint, so certification is exact."""
     from coursera_etl_pipeline_spark.llm_ops.dedup import (
         _materialize,
         shingles,
@@ -1200,7 +1207,10 @@ def ngram_novelty(docs: DataFrame, n: int = NOVELTY_NGRAM_N,
     long_enough = docs.filter(F.size(F.split(text_col, " ")) >= n)
     sh = _materialize(
         shingles(long_enough, n=n, text_col=text_col)
-        .select("doc_id", F.explode("_shingles").alias("shingle")))
+        .select("doc_id", F.explode("_shingles").alias("shingle"))
+        .select("doc_id",
+                F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+                .cast("bigint").alias("shingle")))
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("_first"))
     per_doc = (sh.join(first, "shingle")
                .groupBy("doc_id")
@@ -1221,11 +1231,19 @@ def ngram_novelty(docs: DataFrame, n: int = NOVELTY_NGRAM_N,
 
 @query(
     "text_ngram_novelty",
+    # fp = the engine's identical 60-bit md5-prefix fingerprint
+    # (text_fingerprint's fp_int idiom), so first-seen evidence
+    # merges identically under the (negligible) collision measure.
+    # DISTINCT runs on the STRING shingles FIRST, then hashes —
+    # mirroring the engine's array_distinct-then-hash order exactly.
     oracle=f"""
     WITH sh AS (
-      SELECT DISTINCT doc_id, shingle
-      FROM (SELECT doc_id, {_decontam_ngram_sql(NOVELTY_NGRAM_N)} AS shingle
-            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle
+      FROM (SELECT DISTINCT doc_id, shingle
+            FROM (SELECT doc_id, {_decontam_ngram_sql(NOVELTY_NGRAM_N)} AS shingle
+                  FROM (SELECT doc_id, string_split(text, ' ') AS t
+                        FROM documents)))
     ),
     frst AS (
       SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
