@@ -1509,3 +1509,52 @@ def dedup_url_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.expr(variant).alias("url"))
     return dedup_by_canonical_url(docs)
+
+
+# --- soft dedup weighting (registration queued behind the r16 openers;
+# see COVERAGE.md round-15 band note) ------------------------------------------
+#
+# Down-WEIGHT duplicates instead of dropping them (the "soft
+# deduplication" alternative in the public literature: a document
+# duplicated n times trains at 1/n weight, so the corpus keeps its
+# coverage but stops over-counting boilerplate). The weight is exact
+# integer micro-units so the certified output carries no float sum.
+
+
+def soft_dedup_weights(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_copies, weight_micro): per-doc training weight
+    1/n_copies of its exact content fingerprint, in micro-units.
+
+    Scale shape: the dedup_exact aggregate (one partial-aggregated
+    shuffle on a 128-bit key, O(1) state per group) + one equi-join
+    back; the weight is map-side arithmetic. NULL text fingerprints
+    to md5('') via the same normalization both engines share — NULL
+    and empty docs form one group and get a weight like every other
+    row (no silent row loss)."""
+    fp = F.md5(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))))
+    keyed = docs.select("doc_id", fp.alias("content_fp"))
+    counts = (keyed.groupBy("content_fp")
+              .agg(F.count(F.lit(1)).alias("n_copies")))
+    return (keyed.join(counts, "content_fp")
+            .select("doc_id", "n_copies",
+                    F.floor(1_000_000.0 / F.col("n_copies") + 0.5)
+                    .cast("bigint").alias("weight_micro")))
+
+
+def r17_dedup_soft_weight_oracle() -> str:
+    """DuckDB oracle for the deferred registration: same fingerprint
+    group count and the same floor(1e6/n + 0.5) micro-weight."""
+    return """
+    WITH keyed AS (
+      SELECT doc_id, md5(lower(trim(COALESCE(text, '')))) AS content_fp
+      FROM documents
+    ),
+    counts AS (
+      SELECT content_fp, CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM keyed GROUP BY content_fp
+    )
+    SELECT k.doc_id, c.n_copies,
+           CAST(floor(1000000.0 / c.n_copies + 0.5) AS BIGINT)
+             AS weight_micro
+    FROM keyed k JOIN counts c USING (content_fp)
+    """

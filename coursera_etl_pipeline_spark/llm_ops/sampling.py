@@ -646,3 +646,246 @@ def r16_quality_mix_oracle() -> str:
                    ::BIGINT % 100 < rate_pct) AS BIGINT) AS kept_docs
     FROM rated GROUP BY quality_bin, rate_pct
     """
+
+
+# --- DSIR importance weights (registration queued behind the r16
+# openers: the 100-150 registry band has exactly 2 free slots, both
+# taken by minhash_keep_representative and quality_mix — landing this
+# needs the band/currency-bound revision documented in COVERAGE.md's
+# round-15 note. Implementation + oracle + parity test are complete.)
+#
+# Data Selection via Importance Resampling (Xie et al. 2023, public):
+# score each raw document by how target-like its hashed n-gram feature
+# distribution is — sum over the doc's hashed-bigram features of
+# log(p_target(feature) / p_raw(feature)), both distributions add-1
+# smoothed over a fixed feature-hash space. High-weight docs are the
+# ones importance resampling would keep.
+
+DSIR_BUCKETS = 256          # hashed feature space (production: 10k+)
+DSIR_TARGET_LANG = "en"     # fixture proxy for the target corpus
+
+
+def dsir_importance(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc DSIR importance weight in exact integer micro-nats.
+
+    Scale shape: one corpus bigram explode collapses immediately to
+    per-(doc, bucket) counts (the feature space is FIXED at
+    DSIR_BUCKETS, so the aggregate's state is bounded and map-side
+    partials do almost all the work); the bucket log-ratio table is
+    DSIR_BUCKETS rows — broadcast by construction; per-doc
+    accumulation is an exact BIGINT sum (order-free, the dsum
+    discipline). Never a window, never a sort, nothing all-pairs.
+
+    The per-(doc, bucket) frame is MATERIALIZED: it feeds the raw
+    counts, the target counts, and the per-doc join-back probe (the
+    perplexity/novelty multi-consumer recompute lesson, r15).
+
+    ln() parity: the log argument is spelled IDENTICALLY in both
+    engines — (ct+1)*1.0/(T+B) over (cr+1)*1.0/(R+B), all-BIGINT
+    inputs, IEEE division — and is rounded ONCE per bucket to BIGINT
+    micro-nats (the tfidf/perplexity precedent), so every downstream
+    sum is exact.
+
+    Docs with <2 tokens (or NULL text) have no bigram features; they
+    surface with n_feats=0 and NULL weight via the LEFT join back —
+    the r14 no-silent-row-loss convention — never vanish or error."""
+    from coursera_etl_pipeline_spark.llm_ops.dedup import _materialize
+    from coursera_etl_pipeline_spark.llm_ops.text import LOGP_MICRO
+
+    toks = F.col("_toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
+                           F.element_at(toks, i + 1)))
+    bg = _materialize(
+        docs
+        # two tokens minimum — also keeps sequence(1, size-1) ascending
+        # (sequence(1, 0) would default to step -1 and emit [1, 0])
+        .filter(F.size(F.split(text_col, " ")) >= 2)
+        .withColumn("_toks", F.split(text_col, " "))
+        .select("doc_id", "lang", F.explode(grams).alias("gram"))
+        .select("doc_id", "lang",
+                (F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+                 .cast("bigint") % DSIR_BUCKETS).alias("bucket"))
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("f")))
+    raw = bg.groupBy("bucket").agg(F.sum("f").alias("cr"))
+    tgt = (bg.filter(F.col("lang") == DSIR_TARGET_LANG)
+           .groupBy("bucket").agg(F.sum("f").alias("ct")))
+    counts = (raw.join(tgt, "bucket", "left")
+              .select("bucket", "cr",
+                      F.coalesce("ct", F.lit(0).cast("bigint")).alias("ct")))
+    tot = counts.agg(F.sum("cr").alias("_r"), F.sum("ct").alias("_t"))
+    lr = (counts.crossJoin(F.broadcast(tot))
+          .select("bucket",
+                  F.floor(F.log(
+                      ((F.col("ct") + 1) * 1.0
+                       / (F.col("_t") + DSIR_BUCKETS))
+                      / ((F.col("cr") + 1) * 1.0
+                         / (F.col("_r") + DSIR_BUCKETS)))
+                      * LOGP_MICRO + 0.5)
+                  .cast("bigint").alias("lr_micro")))
+    per_doc = (bg.join(F.broadcast(lr), "bucket")
+               .groupBy("doc_id")
+               .agg(F.sum("f").alias("n_feats"),
+                    F.sum(F.col("f") * F.col("lr_micro"))
+                    .alias("weight_micro")))
+    scored = per_doc.select(
+        "doc_id", "n_feats", "weight_micro",
+        ((F.col("weight_micro") * 1.0 / F.col("n_feats"))
+         / F.lit(LOGP_MICRO)).alias("avg_logratio"))
+    return (docs.select("doc_id").join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_feats", F.lit(0).cast("bigint"))
+                    .alias("n_feats"),
+                    "weight_micro", "avg_logratio"))
+
+
+def r17_dsir_importance_oracle() -> str:
+    """DuckDB oracle for the deferred registration: same hashed-bigram
+    buckets, same add-1 smoothed log-ratio rounded once per bucket,
+    same exact BIGINT per-doc sum, same LEFT-join surfacing. Every SUM
+    CASTs back to BIGINT (DuckDB HUGEINT, the r9/r14 lesson); text
+    COALESCEs to '' so NULL-text docs take the same no-features path
+    as the engine's size>=2 filter."""
+    from coursera_etl_pipeline_spark.llm_ops.text import (
+        LOGP_MICRO,
+        _decontam_ngram_sql,
+    )
+
+    return f"""
+    WITH bg AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(gram), 1, 8))::BIGINT % {DSIR_BUCKETS}
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT doc_id, lang, {_decontam_ngram_sql(2)} AS gram
+            FROM (SELECT doc_id, lang,
+                         string_split(COALESCE(text, ''), ' ') AS t
+                  FROM documents))
+      GROUP BY doc_id, lang, bucket
+    ),
+    raw AS (
+      SELECT bucket, CAST(SUM(f) AS BIGINT) AS cr FROM bg GROUP BY bucket
+    ),
+    tgt AS (
+      SELECT bucket, CAST(SUM(f) AS BIGINT) AS ct
+      FROM bg WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket
+    ),
+    counts AS (
+      SELECT r.bucket, r.cr, COALESCE(g.ct, 0) AS ct
+      FROM raw r LEFT JOIN tgt g USING (bucket)
+    ),
+    tot AS (
+      SELECT CAST(SUM(cr) AS BIGINT) AS r, CAST(SUM(ct) AS BIGINT) AS t
+      FROM counts
+    ),
+    lr AS (
+      SELECT bucket,
+             CAST(floor(ln(((ct + 1) * 1.0 / (t + {DSIR_BUCKETS}))
+                          / ((cr + 1) * 1.0 / (r + {DSIR_BUCKETS})))
+                        * {LOGP_MICRO} + 0.5) AS BIGINT) AS lr_micro
+      FROM counts, tot
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(f) AS BIGINT) AS n_feats,
+             CAST(SUM(f * lr_micro) AS BIGINT) AS weight_micro
+      FROM bg JOIN lr USING (bucket) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_feats, 0) AS n_feats,
+           p.weight_micro,
+           (p.weight_micro * 1.0 / p.n_feats) / {LOGP_MICRO} AS avg_logratio
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+# --- token-budget epoch planning (same deferred-registration queue) ---
+#
+# Data-constrained scaling (Muennighoff et al. 2023, public): when the
+# token budget exceeds what a source can supply once, repeat the
+# source up to a diminishing-returns cap (~4 epochs) rather than
+# over-weighting the big sources. This operator emits the per-source
+# plan: available tokens, uniform target share, the (milli-)epoch
+# count that realizes it under the cap, and the realized token count.
+
+EPOCH_BUDGET_TOKENS = 200_000   # fixture-scaled total budget
+EPOCH_CAP_MILLI = 4_000         # max 4.0 epochs of any one source
+
+
+def epoch_plan(docs: DataFrame,
+               budget: int = EPOCH_BUDGET_TOKENS,
+               cap_milli: int = EPOCH_CAP_MILLI) -> DataFrame:
+    """Per-source epoch plan under a global token budget.
+
+    Scale shape: ONE per-source hash-aggregate over a single corpus
+    pass (map-side partials do the heavy lifting; |sources| keys),
+    a 1-row source-count reduction broadcast back (the established
+    scalar-threshold crossJoin idiom), then pure map arithmetic —
+    no window, no sort, no corpus-row shuffle beyond the aggregate.
+
+    Arithmetic parity: token counts are exact BIGINTs; the two
+    divisions (budget share, epoch ratio) are IEEE doubles spelled
+    identically in both engines and floored once; every product stays
+    far below 2^53 so the double path is exact."""
+    avail = (docs
+             .select("source",
+                     F.coalesce(F.size(F.split("text", " ")),
+                                F.lit(0)).cast("bigint").alias("n_tok"))
+             .groupBy("source")
+             .agg(F.sum("n_tok").alias("available_toks")))
+    nsrc = avail.agg(F.count(F.lit(1)).alias("_nsrc"))
+    planned = (avail.crossJoin(F.broadcast(nsrc))
+               .select("source", "available_toks",
+                       F.floor(F.lit(budget) * 1.0 / F.col("_nsrc"))
+                       .cast("bigint").alias("target_toks")))
+    # GREATEST(avail, 1) guards the degenerate all-NULL-text source
+    # (the domain_reweight w>=1 precedent) — the cap bounds its epochs
+    epochs = F.least(
+        F.lit(cap_milli).cast("bigint"),
+        F.floor(F.col("target_toks") * 1000.0
+                / F.greatest(F.col("available_toks"),
+                             F.lit(1).cast("bigint")))
+        .cast("bigint"))
+    return (planned
+            .withColumn("epochs_milli", epochs)
+            .withColumn("realized_toks",
+                        F.floor(F.col("available_toks")
+                                * F.col("epochs_milli") / 1000.0)
+                        .cast("bigint"))
+            .withColumn("capped", F.col("epochs_milli") == cap_milli))
+
+
+def r17_sample_epoch_plan_oracle() -> str:
+    """DuckDB oracle for the deferred registration: same one
+    aggregate, same 1-row source count, same floored IEEE divisions,
+    every SUM cast to BIGINT."""
+    return f"""
+    WITH avail AS (
+      SELECT source,
+             CAST(SUM(COALESCE(len(string_split(text, ' ')), 0)) AS BIGINT)
+               AS available_toks
+      FROM documents GROUP BY source
+    ),
+    nsrc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM avail),
+    planned AS (
+      SELECT source, available_toks,
+             CAST(floor({EPOCH_BUDGET_TOKENS} * 1.0 / n) AS BIGINT)
+               AS target_toks
+      FROM avail, nsrc
+    ),
+    e AS (
+      SELECT source, available_toks, target_toks,
+             LEAST(CAST({EPOCH_CAP_MILLI} AS BIGINT),
+                   CAST(floor(target_toks * 1000.0
+                              / GREATEST(available_toks, 1))
+                        AS BIGINT)) AS epochs_milli
+      FROM planned
+    )
+    SELECT source, available_toks, target_toks, epochs_milli,
+           CAST(floor(available_toks * epochs_milli / 1000.0) AS BIGINT)
+             AS realized_toks,
+           epochs_milli = {EPOCH_CAP_MILLI} AS capped
+    FROM e
+    """

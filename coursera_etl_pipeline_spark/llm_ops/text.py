@@ -1269,3 +1269,82 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the soft-scoring complement to keep-first dedup. One argmin
     hash-aggregate + equi-join back; linear at 100 TB."""
     return ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+# --- C4 heuristic rule pack (registration queued behind the r16 openers;
+# see COVERAGE.md round-15 band note) ------------------------------------------
+#
+# The C4 cleaning battery (Raffel et al. 2020, public) complements the
+# Gopher pack above: boilerplate/code/placeholder detection rather
+# than statistical text shape. Doc-level adaptation of the published
+# line-level rules (the fixture corpus is newline-free; production
+# callers explode lines first and reuse the same flags).
+
+C4_MIN_WORDS = 5
+C4_POLICY_PHRASES = ("cookie policy", "privacy policy", "terms of use")
+
+
+def c4_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document C4 rule flags + AND verdict: >= 5 words, no
+    'lorem ipsum' placeholder, no curly brace (code leak), no
+    cookie/privacy/terms boilerplate phrase, and terminal
+    punctuation (. ! ? ") at the end of the trimmed text.
+
+    Scale shape: like gopher_rules — ONE map stage of codegen'd
+    string expressions (split/instr/substring), zero shuffle, zero
+    UDFs; runs at scan speed at 100 TB. NULL text is treated as
+    empty (explicit keep=False via the word-count rule — the r15
+    no-NULL-verdict convention)."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    low = F.lower(txt)
+    n_words = F.size(F.split(txt, " "))
+    last_char = F.substring(F.trim(txt), -1, 1)
+    r_words = n_words >= C4_MIN_WORDS
+    r_lorem = F.instr(low, "lorem ipsum") == 0
+    r_brace = F.instr(txt, "{") == 0
+    r_policy = None
+    for p in C4_POLICY_PHRASES:
+        flag = F.instr(low, p) == 0
+        r_policy = flag if r_policy is None else (r_policy & flag)
+    r_punct = last_char.isin(".", "!", "?", '"')
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        r_words.alias("rule_min_words"),
+        r_lorem.alias("rule_no_lorem"),
+        r_brace.alias("rule_no_brace"),
+        r_policy.alias("rule_no_policy"),
+        r_punct.alias("rule_terminal_punct"),
+        (r_words & r_lorem & r_brace & r_policy & r_punct).alias("keep"))
+
+
+def r17_text_c4_rules_oracle() -> str:
+    """DuckDB oracle for the deferred registration: same flags over
+    the same NULL-as-empty text; position()=0 mirrors instr()=0, and
+    the terminal-punct check reads the same trimmed last char."""
+    phrases = " AND ".join(
+        f"position('{p}' IN low) = 0" for p in C4_POLICY_PHRASES)
+    return f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+             lower(text) AS low,
+             text,
+             CASE WHEN length(trim(text)) > 0
+                  THEN substr(trim(text), length(trim(text)), 1)
+                  ELSE '' END AS last_char
+      FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
+    )
+    SELECT doc_id, n_words,
+           (n_words >= {C4_MIN_WORDS}) AS rule_min_words,
+           (position('lorem ipsum' IN low) = 0) AS rule_no_lorem,
+           (position('{{' IN text) = 0) AS rule_no_brace,
+           ({phrases}) AS rule_no_policy,
+           (last_char IN ('.', '!', '?', '"')) AS rule_terminal_punct,
+           (n_words >= {C4_MIN_WORDS}
+            AND position('lorem ipsum' IN low) = 0
+            AND position('{{' IN text) = 0
+            AND {phrases}
+            AND last_char IN ('.', '!', '?', '"')) AS keep
+    FROM feats
+    """

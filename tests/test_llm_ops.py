@@ -2202,3 +2202,142 @@ def test_r16_quality_mix(spark, sf_dir):
     binned = text_quality_binning(spark, sf_dir).select(
         "doc_id", "quality_bin")
     _duck_parity(quality_mix(binned), r16_quality_mix_oracle(), sf_dir)
+
+
+# --- deferred-registration pre-builds, round-15 extended session
+# (queued behind the two r16 openers — the 100-150 registry band has
+# exactly 2 free slots; COVERAGE.md round-15 band note). Same local
+# certification discipline: planted semantics + full fixture value
+# parity against the composed DuckDB oracle.
+
+
+def test_r17_dsir_importance(spark, sf_dir):
+    """Target-like docs score higher than off-target docs; short/NULL
+    docs surface with zero features and NULL weight (never vanish);
+    plus full value parity on the fixture."""
+    from coursera_etl_pipeline_spark.llm_ops.sampling import (
+        dsir_importance,
+        r17_dsir_importance_oracle,
+    )
+
+    en = "the model trains on the clean corpus and the loss falls"
+    de = "das modell lernt auf dem korpus und der verlust sinkt ab"
+    rows = ([(i, en, "en") for i in range(4)]
+            + [(10 + i, de, "de") for i in range(4)]
+            + [(20, en, "de"),       # en-shaped text labeled de:
+               (21, "solo", "de"),   # 1 token -> no bigrams
+               (22, None, "de")])    # NULL text -> no bigrams
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in dsir_importance(docs).collect()}
+    assert len(out) == 11
+    # bigrams drawn from the target distribution outweigh off-target
+    assert out[0].avg_logratio > out[10].avg_logratio
+    # the en-shaped doc scores like the en docs regardless of label
+    assert abs(out[20].avg_logratio - out[0].avg_logratio) < 1e-9
+    for short in (21, 22):
+        assert out[short].n_feats == 0
+        assert out[short].weight_micro is None
+        assert out[short].avg_logratio is None
+
+    from coursera_etl_pipeline_spark.catalog import load_table
+    _duck_parity(
+        dsir_importance(load_table(spark, sf_dir, "documents")),
+        r17_dsir_importance_oracle(), sf_dir)
+
+
+def test_r17_sample_epoch_plan(spark, sf_dir):
+    """Hand-computed plan: a scarce source hits the 4-epoch cap, an
+    abundant one realizes its target exactly; plus fixture parity."""
+    from coursera_etl_pipeline_spark.llm_ops.sampling import (
+        epoch_plan,
+        r17_sample_epoch_plan_oracle,
+    )
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    docs = spark.createDataFrame(
+        [(0, words(100), "scarce"), (1, words(1000), "rich")],
+        "doc_id long, text string, source string")
+    out = {r.source: r for r in
+           epoch_plan(docs, budget=1000, cap_milli=4000).collect()}
+    # target = floor(1000 / 2) = 500 tokens per source
+    assert out["scarce"].target_toks == 500
+    # scarce: 500/100 = 5.0 epochs -> capped at 4.0, realizes 400
+    assert out["scarce"].epochs_milli == 4000
+    assert out["scarce"].capped
+    assert out["scarce"].realized_toks == 400
+    # rich: 500/1000 = 0.5 epochs, realizes exactly the 500 target
+    assert out["rich"].epochs_milli == 500
+    assert not out["rich"].capped
+    assert out["rich"].realized_toks == 500
+
+    from coursera_etl_pipeline_spark.catalog import load_table
+    _duck_parity(
+        epoch_plan(load_table(spark, sf_dir, "documents")),
+        r17_sample_epoch_plan_oracle(), sf_dir)
+
+
+def test_r17_soft_dedup_weights(spark, sf_dir):
+    """1/n_copies micro-weights: triplicate docs weigh 333333, unique
+    docs 1000000, NULL and empty text share one fingerprint group;
+    plus fixture parity."""
+    from coursera_etl_pipeline_spark.llm_ops.dedup import (
+        r17_dedup_soft_weight_oracle,
+        soft_dedup_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "same text"), (1, "same text"), (2, "same text"),
+         (3, "unique text"), (4, None), (5, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in soft_dedup_weights(docs).collect()}
+    assert len(out) == 6
+    for i in range(3):
+        assert out[i].n_copies == 3 and out[i].weight_micro == 333333
+    assert out[3].n_copies == 1 and out[3].weight_micro == 1_000_000
+    # NULL normalizes to '' — one group of two, no silent row loss
+    assert out[4].n_copies == 2 and out[5].n_copies == 2
+
+    from coursera_etl_pipeline_spark.catalog import load_table
+    _duck_parity(
+        soft_dedup_weights(load_table(spark, sf_dir, "documents")),
+        r17_dedup_soft_weight_oracle(), sf_dir)
+
+
+def test_r17_c4_rules(spark, sf_dir):
+    """One violation per rule flips exactly that flag (the gopher-pack
+    planted pattern); NULL text gets an explicit keep=False; plus
+    fixture parity."""
+    from coursera_etl_pipeline_spark.llm_ops.text import (
+        c4_rules,
+        r17_text_c4_rules_oracle,
+    )
+
+    good = "this page has plenty of words and it ends properly."
+    docs = spark.createDataFrame(
+        [(0, good),
+         (1, "too short."),                              # < 5 words
+         (2, good[:-1] + " with lorem ipsum filler."),   # placeholder
+         (3, good[:-1] + " with code { inside }."),      # brace
+         (4, good[:-1] + " and our cookie policy too."),  # boilerplate
+         (5, good[:-1]),                                 # no terminal punct
+         (6, None)],                                     # NULL text
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_rules(docs).collect()}
+    assert out[0].keep
+    assert not out[1].rule_min_words and not out[1].keep
+    assert not out[2].rule_no_lorem and not out[2].keep
+    assert not out[3].rule_no_brace and not out[3].keep
+    assert not out[4].rule_no_policy and not out[4].keep
+    assert not out[5].rule_terminal_punct and not out[5].keep
+    assert out[6].keep is False and not out[6].rule_min_words
+    # every planted violation flips ONLY its own flag
+    assert out[2].rule_min_words and out[2].rule_no_brace \
+        and out[2].rule_no_policy and out[2].rule_terminal_punct
+
+    from coursera_etl_pipeline_spark.catalog import load_table
+    _duck_parity(
+        c4_rules(load_table(spark, sf_dir, "documents")),
+        r17_text_c4_rules_oracle(), sf_dir)
