@@ -828,13 +828,22 @@ def epoch_plan(docs: DataFrame,
     Arithmetic parity: token counts are exact BIGINTs; the two
     divisions (budget share, epoch ratio) are IEEE doubles spelled
     identically in both engines and floored once; every product stays
-    far below 2^53 so the double path is exact."""
-    avail = (docs
-             .select("source",
-                     F.coalesce(F.size(F.split("text", " ")),
-                                F.lit(0)).cast("bigint").alias("n_tok"))
-             .groupBy("source")
-             .agg(F.sum("n_tok").alias("available_toks")))
+    far below 2^53 so the double path is exact.
+
+    `avail` is MATERIALIZED (|sources| rows): it feeds both the plan
+    rows and the 1-row source-count reduction — unmaterialized, the
+    scalar count's branch re-ran the full corpus scan + aggregate
+    (the perplexity/novelty multi-consumer recompute class, caught
+    by explain during the r15 extended-session growth probe)."""
+    from coursera_etl_pipeline_spark.llm_ops.dedup import _materialize
+
+    avail = _materialize(
+        docs
+        .select("source",
+                F.coalesce(F.size(F.split("text", " ")),
+                           F.lit(0)).cast("bigint").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("available_toks")))
     nsrc = avail.agg(F.count(F.lit(1)).alias("_nsrc"))
     planned = (avail.crossJoin(F.broadcast(nsrc))
                .select("source", "available_toks",
