@@ -109,6 +109,15 @@ ALLOWED = {
     # corpus mix: the 1-row c_max feasibility scalar broadcast onto
     # the |sources|-row rate table (sampling.sample_corpus_mix)
     ("sample_corpus_mix", "BroadcastNestedLoopJoin"),
+    # pre-staged for the deferred-registration queue (COVERAGE.md
+    # round-15 note; names fixed here so registration can't drift):
+    # DSIR's 1-row corpus-totals broadcast onto the DSIR_BUCKETS-row
+    # log-ratio table, and epoch planning's 1-row source-count
+    # broadcast — both the same O(1)-row shape as tfidf/perplexity.
+    # Verified r15 extended session: these are the ONLY flagged nodes
+    # in any pre-built plan (soft_dedup_weights / c4_rules are clean).
+    ("sample_dsir_importance", "BroadcastNestedLoopJoin"),
+    ("sample_epoch_plan", "BroadcastNestedLoopJoin"),
 }
 
 NODES = (
