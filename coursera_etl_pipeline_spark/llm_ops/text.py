@@ -1348,3 +1348,76 @@ def r17_text_c4_rules_oracle() -> str:
             AND last_char IN ('.', '!', '?', '"')) AS keep
     FROM feats
     """
+
+
+# --- CCNet perplexity bucketing (same deferred-registration queue) ---
+#
+# CCNet (Wenzek et al. 2020, public): partition the corpus into
+# head/middle/tail tertiles of LM perplexity — the standard coarse
+# quality split that downstream pipelines sample from differentially.
+# Composes the certified perplexity proxy: lower perplexity = higher
+# avg_logp = 'head'.
+
+CCNET_PROBS = (1 / 3, 2 / 3)
+
+
+def ccnet_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, avg_logp, ppl_bucket): head/middle/tail tertiles of
+    the unigram-LM perplexity proxy; unscorable docs (no tokens)
+    surface as 'unscored', never vanish.
+
+    Scale shape: perplexity_proxy's certified plan + ONE 2-number
+    exact-percentile aggregate broadcast back (the quality_bins
+    idiom — the scale-correct form of ntile(3)'s global sort) + a
+    map-side CASE. The scored frame is MATERIALIZED: it feeds both
+    the cutpoint aggregate and the bucket-assignment join (the
+    multi-consumer recompute class).
+
+    Cutpoints round through the half-mode-proof floor(x*1e6+0.5)/1e6
+    on both engines; tertile boundaries use the same <=-lower-bucket
+    tie rule as quality_bins (here: <= cutpoint buckets AWAY from
+    head, since avg_logp sorts head-last)."""
+    from coursera_etl_pipeline_spark.llm_ops.dedup import _materialize
+
+    scored = _materialize(
+        perplexity_proxy(docs, text_col=text_col)
+        .select("doc_id", "avg_logp"))
+    has = scored.filter(F.col("avg_logp").isNotNull())
+    cuts = has.agg(
+        *[(F.floor(F.percentile("avg_logp", F.lit(p)) * 1e6 + 0.5) / 1e6)
+          .alias(f"_c{i}")
+          for i, p in enumerate(CCNET_PROBS)])
+    a = F.col("avg_logp")
+    return (scored.crossJoin(F.broadcast(cuts))
+            .select("doc_id", "avg_logp",
+                    F.when(a.isNull(), F.lit("unscored"))
+                    .when(a <= F.col("_c0"), F.lit("tail"))
+                    .when(a <= F.col("_c1"), F.lit("middle"))
+                    .otherwise(F.lit("head")).alias("ppl_bucket")))
+
+
+def r17_text_ccnet_bucket_oracle() -> str:
+    """DuckDB oracle for the deferred registration: the certified
+    text_perplexity_proxy oracle nests as one CTE (zero duplication),
+    then the same quantile_cont cutpoints (half-mode-proof rounding)
+    and the same CASE."""
+    from coursera_etl_pipeline_spark.registry import ORACLE
+
+    p0, p1 = CCNET_PROBS
+    return f"""
+    WITH px AS ({ORACLE['text_perplexity_proxy']}),
+    scored AS (
+      SELECT doc_id, avg_logp FROM px
+    ),
+    cuts AS (
+      SELECT floor(quantile_cont(avg_logp, {p0}) * 1e6 + 0.5) / 1e6 AS c0,
+             floor(quantile_cont(avg_logp, {p1}) * 1e6 + 0.5) / 1e6 AS c1
+      FROM scored WHERE avg_logp IS NOT NULL
+    )
+    SELECT s.doc_id, s.avg_logp,
+           CASE WHEN s.avg_logp IS NULL THEN 'unscored'
+                WHEN s.avg_logp <= c.c0 THEN 'tail'
+                WHEN s.avg_logp <= c.c1 THEN 'middle'
+                ELSE 'head' END AS ppl_bucket
+    FROM scored s, cuts c
+    """

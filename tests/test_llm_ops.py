@@ -2341,3 +2341,33 @@ def test_r17_c4_rules(spark, sf_dir):
     _duck_parity(
         c4_rules(load_table(spark, sf_dir, "documents")),
         r17_text_c4_rules_oracle(), sf_dir)
+
+
+def test_r17_ccnet_buckets(spark, sf_dir):
+    """Tertile membership follows the perplexity proxy (common-word
+    docs are head, rare-word docs are tail), unscorable docs surface
+    as 'unscored'; plus full value parity on the fixture."""
+    from coursera_etl_pipeline_spark.llm_ops.text import (
+        ccnet_buckets,
+        r17_text_ccnet_bucket_oracle,
+    )
+
+    common = "the the the the the the"      # highest avg logp
+    mid = "the the the mid mid mid"
+    rare = " ".join(f"rare{i}" for i in range(6))  # lowest avg logp
+    rows = ([(i, common) for i in range(3)]
+            + [(10 + i, mid) for i in range(3)]
+            + [(20 + i, rare + f" only{i}") for i in range(3)]
+            + [(30, None)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in ccnet_buckets(docs).collect()}
+    assert len(out) == 10
+    assert all(out[i].ppl_bucket == "head" for i in range(3))
+    assert all(out[10 + i].ppl_bucket == "middle" for i in range(3))
+    assert all(out[20 + i].ppl_bucket == "tail" for i in range(3))
+    assert out[30].ppl_bucket == "unscored" and out[30].avg_logp is None
+
+    from coursera_etl_pipeline_spark.catalog import load_table
+    _duck_parity(
+        ccnet_buckets(load_table(spark, sf_dir, "documents")),
+        r17_text_ccnet_bucket_oracle(), sf_dir)

@@ -118,6 +118,10 @@ ALLOWED = {
     # in any pre-built plan (soft_dedup_weights / c4_rules are clean).
     ("sample_dsir_importance", "BroadcastNestedLoopJoin"),
     ("sample_epoch_plan", "BroadcastNestedLoopJoin"),
+    # CCNet bucketing: the 2-number tertile-cutpoint aggregate
+    # broadcast back — quality_bins' exact idiom, plus the nested
+    # perplexity plan's own allowlisted 1-row totals broadcast
+    ("text_ccnet_bucket", "BroadcastNestedLoopJoin"),
 }
 
 NODES = (
