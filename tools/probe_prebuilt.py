@@ -38,7 +38,9 @@ def _prebuilt():
     )
     from coursera_etl_pipeline_spark.llm_ops.text import (
         c4_rules,
+        ccnet_buckets,
         r17_text_c4_rules_oracle,
+        r17_text_ccnet_bucket_oracle,
     )
 
     return {
@@ -47,6 +49,7 @@ def _prebuilt():
         "dedup_soft_weight": (soft_dedup_weights,
                               r17_dedup_soft_weight_oracle()),
         "text_c4_rules": (c4_rules, r17_text_c4_rules_oracle()),
+        "text_ccnet_bucket": (ccnet_buckets, r17_text_ccnet_bucket_oracle()),
     }
 
 
