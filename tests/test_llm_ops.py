@@ -2371,3 +2371,51 @@ def test_r17_ccnet_buckets(spark, sf_dir):
     _duck_parity(
         ccnet_buckets(load_table(spark, sf_dir, "documents")),
         r17_text_ccnet_bucket_oracle(), sf_dir)
+
+
+def test_soft_dedup_weight_mass_property(spark):
+    """Property: for RANDOM duplicate topologies, every copy of a
+    fingerprint group carries the same weight, the group's total
+    weight mass is 1.0 up to the documented floor(1e6/n + 0.5)
+    rounding (|n * w - 1e6| <= n/2), and every input row surfaces.
+    Deterministic, derandomized hypothesis (3 examples keeps the
+    Spark round-trips bounded)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from coursera_etl_pipeline_spark.llm_ops.dedup import soft_dedup_weights
+
+    @settings(max_examples=3, deadline=None, derandomize=True,
+              suppress_health_check=list(HealthCheck))
+    @given(groups=st.lists(st.integers(0, 3), min_size=1, max_size=12))
+    def check(groups):
+        docs = spark.createDataFrame(
+            [(i, f"group text {g}") for i, g in enumerate(groups)],
+            "doc_id long, text string")
+        rows = soft_dedup_weights(docs).collect()
+        assert len(rows) == len(groups)
+        by_doc = {r.doc_id: r for r in rows}
+        from collections import Counter
+        sizes = Counter(groups)
+        for i, g in enumerate(groups):
+            r = by_doc[i]
+            n = sizes[g]
+            assert r.n_copies == n
+            assert abs(n * r.weight_micro - 1_000_000) <= n / 2
+
+    check()
+
+
+def test_dsir_importance_stable_under_repartitioning(spark):
+    """The DSIR weights are exact BIGINT sums over per-bucket rounded
+    log-ratios, so the output must be IDENTICAL (not just close)
+    under any input partitioning — the determinism contract every
+    sampling operator in this package carries."""
+    from coursera_etl_pipeline_spark.llm_ops.sampling import dsir_importance
+
+    rows = [(i, f"tok{i % 7} tok{(i + 1) % 5} tok{(i + 2) % 3} end{i % 2}",
+             "en" if i % 3 == 0 else "de") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    a = sorted(map(tuple, dsir_importance(docs.repartition(1)).collect()))
+    b = sorted(map(tuple, dsir_importance(docs.repartition(8)).collect()))
+    assert a == b
