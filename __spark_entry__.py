@@ -83,6 +83,14 @@ _EDITED_THIS_ROUND = [
     # certified green in CORRECTNESS_r14 and are dropped — keeping them
     # would burn slots re-proving current rows. Rationale lives in the
     # r14 git history of this file.)
+    #
+    # Round-15 extended-session carve-outs (files edited, NO forcing):
+    # llm_ops/{sampling,text,dedup}.py gained the five PRE-BUILT
+    # deferred-registration operators (COVERAGE.md round-15 queue) —
+    # purely ADDITIVE diffs (new functions + oracle builders only; no
+    # registered query's expression changed), re-proven by a full
+    # 148/148 oracle_check at sf0.01 run AFTER the additions this
+    # session, plus triple-scale parity on each new core.
 ]
 
 
