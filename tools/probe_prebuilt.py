@@ -70,6 +70,11 @@ def main() -> None:
         con = duckdb.connect()
         con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet("
                     f"'{os.path.join(dest, 'documents.parquet')}')")
+    elif k == 1000:
+        from tools.scale_point_sf100 import build_1000x
+
+        dest = build_1000x(spark)
+        con = _duck_con(dest)
     else:
         dest = build_scaled(spark, k, dest=f"/tmp/spark_graft_bench_{k}x",
                             reuse=True)
