@@ -46,51 +46,29 @@ _EDITED_THIS_ROUND = [
     # green rows predate the change, so they outrank everything the history
     # says is current.  Update per round alongside the round's edits.
     #
-    # Round 15. sample_source_token_cap: the round-14 red row (driver
-    # hash FALSE — the oracle's windowed SUM was uncast, so DuckDB
-    # emitted HUGEINT vs Spark's BIGINT; VERDICT r14 item 1). Oracle
-    # now CASTs the windowed SUM to BIGINT, and engine+oracle both
-    # COALESCE NULL-text token counts to 0 (ADVICE r14). Re-verified
-    # via tools/oracle_check.py at all three fixture scales and 0
-    # type_parity_audit flags; it also has no green row at all, so the
-    # forcing costs nothing beyond the slot it would take anyway:
-    "sample_source_token_cap",
-    # Round-15 carve-outs (files edited, NO forcing — each provably
-    # leaves every registered result unchanged):
-    #  - text.URL_HOST_RE hardened to strip userinfo/ports and capture
-    #    IPv6 literals (VERDICT r14 item 8 — the old raw-authority
-    #    capture let 'blocked.org:443' bypass the blocklist). The
-    #    fixture-synthesized URLs carry no userinfo/port/bracket, so
-    #    old and new regex extract IDENTICAL hosts on every row —
-    #    test-asserted over the fixture
-    #    (test_url_host_regex_output_invariant_on_fixture) and
-    #    re-verified by oracle_check at all three scales.
-    #  - dedup_by_canonical_url's NULL-url fallback key now starts
-    #    with '?' (unforgeable: canonicalization strips '?.*' from
-    #    every real URL — ADVICE r14). The registered dedup_url_exact
-    #    plants no NULL urls (its oracle documents the fallback as
-    #    unreachable), so output is unchanged; re-verified at all
-    #    three scales.
-    #  - dedup.py's DuckDB minhash sh/xs/sig CTE block extracted into
-    #    the shared _duck_sig_ctes (r15 review item 4): the refactor
-    #    is proven BYTE-IDENTICAL — _duck_minhash_oracle's generated
-    #    SQL hashes equal before/after (md5 55cdd832/e85a3fd3 for the
-    #    bare and cand_where forms) — so dedup_minhash_lsh /
-    #    dedup_incremental_minhash / dedup_index_* outputs cannot
-    #    have changed; minhash_signatures' default n now names
-    #    MINHASH_SHINGLE_N, same value 3.
-    # (Round-14's two forcings, dedup_substring and dedup_boilerplate,
-    # certified green in CORRECTNESS_r14 and are dropped — keeping them
-    # would burn slots re-proving current rows. Rationale lives in the
-    # r14 git history of this file.)
+    # Round 16: EMPTY — no forcing needed. The round registers the
+    # seven PRE-BUILT operators from the COVERAGE.md round-15 queue
+    # (dedup_minhash_keep_representative, sample_quality_mix,
+    # sample_dsir_importance, sample_epoch_plan, dedup_soft_weight,
+    # text_c4_rules, text_ccnet_bucket); they have no green rows at
+    # all, so the computed rotation already puts them first.
     #
-    # Round-15 extended-session carve-outs (files edited, NO forcing):
-    # llm_ops/{sampling,text,dedup}.py gained the five PRE-BUILT
-    # deferred-registration operators (COVERAGE.md round-15 queue) —
-    # purely ADDITIVE diffs (new functions + oracle builders only; no
-    # registered query's expression changed), re-proven by a full
-    # 148/148 oracle_check at sf0.01 run AFTER the additions this
-    # session, plus triple-scale parity on each new core.
+    # Round-16 carve-outs (files edited, NO forcing — each provably
+    # leaves every REGISTERED result unchanged):
+    #  - llm_ops/{clusters,sampling,dedup,text}.py gained only the
+    #    seven @query wrapper functions binding the r15-landed cores
+    #    to the fixture tables — purely ADDITIVE diffs; no certified
+    #    query's expression changed.
+    #  - text.r17_text_c4_rules_oracle now ''-escapes
+    #    C4_POLICY_PHRASES when interpolating them into SQL literals
+    #    (ADVICE r15). Every current phrase is quote-free, so the
+    #    generated SQL is byte-identical (test-asserted:
+    #    test_c4_policy_phrase_escaping); text_c4_rules has no green
+    #    row yet anyway.
+    # (Round-15's forcing, sample_source_token_cap, certified green in
+    # CORRECTNESS_r15 and is dropped — keeping it would burn a slot
+    # re-proving a current row. Rationale for the r15 carve-outs lives
+    # in the r15 git history of this file.)
 ]
 
 

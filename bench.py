@@ -66,6 +66,9 @@ HEADLINE = [
     "dedup_substring",           # stride-1 suffix-array-shape dedup
     "dedup_paragraph_keep_first",  # argmin-struct fp agg + join-back
     "text_vocab_topk",           # explode + hash-agg + top-K heap
+    "dedup_minhash_keep_representative",  # end-to-end dedup verdict:
+    # LSH pairs + star-contraction components + LEFT join-back — the
+    # only headline row that times the iterative components loop
 ]
 
 
@@ -193,6 +196,43 @@ _exclude(
     "narrow per-row quantization map (zero shuffle); no new timing "
     "signal beyond the scan-speed text/map family",
     "similarity_quantize_int8",
+)
+_exclude(
+    "re-runs the text_quality_score -> binning chain (binning is "
+    "itself excluded as a re-run) and adds only the md5-bucket "
+    "filter family timed by sample_stratified_hash + a 4-row audit",
+    "sample_quality_mix",
+)
+_exclude(
+    "bigram explode + FIXED-256-bucket hash-agg + broadcast log-ratio "
+    "join: the explode/tf-aggregate family timed by "
+    "text_tfidf_top_terms (same shuffle shape, bounded agg state); "
+    "its cold/warm materialize contract is recorded in BASELINE §4",
+    "sample_dsir_importance",
+)
+_exclude(
+    "|sources|-row aggregate + 1-row broadcast count + map "
+    "arithmetic; the per-source aggregate family timed by "
+    "sample_domain_reweight's exclusion reasoning (sample_corpus_mix)",
+    "sample_epoch_plan",
+)
+_exclude(
+    "fingerprint count-aggregate + equi-join-back shape timed by "
+    "dedup_paragraph_keep_first; the 1/n micro-weight it adds is "
+    "map-only",
+    "dedup_soft_weight",
+)
+_exclude(
+    "map-only codegen'd rule expressions (zero shuffle); "
+    "text_quality_score times the zero-shuffle text family (same "
+    "reasoning as text_gopher_rules)",
+    "text_c4_rules",
+)
+_exclude(
+    "re-runs the excluded text_perplexity_proxy (explode/tf family "
+    "timed by text_tfidf_top_terms) and adds a 2-number percentile "
+    "aggregate + broadcast CASE (text_quality_binning's reasoning)",
+    "text_ccnet_bucket",
 )
 _exclude(
     "recall metric re-running the brute-force shape "

@@ -276,3 +276,15 @@ def r16_minhash_keep_representative_oracle() -> str:
            (d.doc_id = COALESCE(l.component, d.doc_id)) AS is_kept
     FROM documents d LEFT JOIN labels l USING (doc_id)
     """
+
+
+@query("dedup_minhash_keep_representative",
+       oracle=r16_minhash_keep_representative_oracle())
+def dedup_minhash_keep_representative(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Registered round 16 (the pre-built r16 opener — COVERAGE.md
+    round-15 note): the end-to-end near-dup dedup verdict a corpus
+    user actually calls. Core, oracle, and parity pytest
+    (test_r16_minhash_keep_representative) landed in r15; this wrapper
+    only binds the fixture table."""
+    return minhash_keep_representative(load_table(spark, sf_dir, "documents"))

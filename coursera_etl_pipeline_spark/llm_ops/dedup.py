@@ -1558,3 +1558,13 @@ def r17_dedup_soft_weight_oracle() -> str:
              AS weight_micro
     FROM keyed k JOIN counts c USING (content_fp)
     """
+
+
+@query("dedup_soft_weight", oracle=r17_dedup_soft_weight_oracle())
+def dedup_soft_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered round 16 under the pre-staged plan_audit name
+    (COVERAGE.md round-15 queue): soft dedup — 1/n_copies
+    down-weighting instead of dropping. Core, oracle, parity pytest
+    (test_r17_soft_dedup_weights), and the weight-mass conservation
+    property test landed in the r15 extended session."""
+    return soft_dedup_weights(load_table(spark, sf_dir, "documents"))

@@ -648,11 +648,22 @@ def r16_quality_mix_oracle() -> str:
     """
 
 
-# --- DSIR importance weights (registration queued behind the r16
-# openers: the 100-150 registry band has exactly 2 free slots, both
-# taken by minhash_keep_representative and quality_mix — landing this
-# needs the band/currency-bound revision documented in COVERAGE.md's
-# round-15 note. Implementation + oracle + parity test are complete.)
+@query("sample_quality_mix", oracle=r16_quality_mix_oracle())
+def sample_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered round 16 (the pre-built r16 opener — COVERAGE.md
+    round-15 note): curriculum sampling over the certified quality
+    tiers. Core, oracle, and parity pytest (test_r16_quality_mix)
+    landed in r15; this wrapper only binds the certified binning."""
+    from coursera_etl_pipeline_spark.llm_ops.text import text_quality_binning
+
+    binned = text_quality_binning(spark, sf_dir).select(
+        "doc_id", "quality_bin")
+    return quality_mix(binned)
+
+
+# --- DSIR importance weights (registered round 16 together with the
+# 100-160 band revision — COVERAGE.md round-15 queue note; cores,
+# oracles, and parity tests landed in the r15 extended session.)
 #
 # Data Selection via Importance Resampling (Xie et al. 2023, public):
 # score each raw document by how target-like its hashed n-gram feature
@@ -678,7 +689,15 @@ def dsir_importance(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     The per-(doc, bucket) frame is MATERIALIZED: it feeds the raw
     counts, the target counts, and the per-doc join-back probe (the
-    perplexity/novelty multi-consumer recompute lesson, r15).
+    perplexity/novelty multi-consumer recompute lesson, r15). The
+    frame is TRIMMED before the persist (VERDICT r15 item 6 — the
+    K=100 cold path paid a one-time 106-134 s persist before settling
+    at 2.6-3.5 s warm): `lang` is folded to the 1-byte boolean
+    `is_tgt` at aggregation time — the string column existed only to
+    feed the target filter, and dropping it cuts the persisted row to
+    (bigint, boolean, bigint, bigint). The warm/cold contract stands
+    regardless: the first action pays the full corpus explode once;
+    every later consumer reads the persisted frame (BASELINE §4).
 
     ln() parity: the log argument is spelled IDENTICALLY in both
     engines — (ct+1)*1.0/(T+B) over (cr+1)*1.0/(R+B), all-BIGINT
@@ -703,14 +722,19 @@ def dsir_importance(docs: DataFrame, text_col: str = "text") -> DataFrame:
         # (sequence(1, 0) would default to step -1 and emit [1, 0])
         .filter(F.size(F.split(text_col, " ")) >= 2)
         .withColumn("_toks", F.split(text_col, " "))
-        .select("doc_id", "lang", F.explode(grams).alias("gram"))
-        .select("doc_id", "lang",
+        .select("doc_id",
+                # coalesce: NULL lang is non-target, not a third group
+                # (one persisted group per (doc, bucket) side, max two)
+                F.coalesce(F.col("lang") == DSIR_TARGET_LANG,
+                           F.lit(False)).alias("is_tgt"),
+                F.explode(grams).alias("gram"))
+        .select("doc_id", "is_tgt",
                 (F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
                  .cast("bigint") % DSIR_BUCKETS).alias("bucket"))
-        .groupBy("doc_id", "lang", "bucket")
+        .groupBy("doc_id", "is_tgt", "bucket")
         .agg(F.count(F.lit(1)).alias("f")))
     raw = bg.groupBy("bucket").agg(F.sum("f").alias("cr"))
-    tgt = (bg.filter(F.col("lang") == DSIR_TARGET_LANG)
+    tgt = (bg.filter(F.col("is_tgt"))
            .groupBy("bucket").agg(F.sum("f").alias("ct")))
     counts = (raw.join(tgt, "bucket", "left")
               .select("bucket", "cr",
@@ -801,7 +825,16 @@ def r17_dsir_importance_oracle() -> str:
     """
 
 
-# --- token-budget epoch planning (same deferred-registration queue) ---
+@query("sample_dsir_importance", oracle=r17_dsir_importance_oracle())
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered round 16 under the pre-staged plan_audit name
+    (COVERAGE.md round-15 queue): DSIR importance weights over the
+    fixture corpus. Core, oracle, and parity pytest
+    (test_r17_dsir_importance) landed in the r15 extended session."""
+    return dsir_importance(load_table(spark, sf_dir, "documents"))
+
+
+# --- token-budget epoch planning (same r16-registered queue) ---
 #
 # Data-constrained scaling (Muennighoff et al. 2023, public): when the
 # token budget exceeds what a source can supply once, repeat the
@@ -898,3 +931,12 @@ def r17_sample_epoch_plan_oracle() -> str:
            epochs_milli = {EPOCH_CAP_MILLI} AS capped
     FROM e
     """
+
+
+@query("sample_epoch_plan", oracle=r17_sample_epoch_plan_oracle())
+def sample_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered round 16 under the pre-staged plan_audit name
+    (COVERAGE.md round-15 queue): data-constrained epoch planning over
+    the fixture corpus. Core, oracle, and parity pytest
+    (test_r17_sample_epoch_plan) landed in the r15 extended session."""
+    return epoch_plan(load_table(spark, sf_dir, "documents"))

@@ -1322,8 +1322,10 @@ def r17_text_c4_rules_oracle() -> str:
     """DuckDB oracle for the deferred registration: same flags over
     the same NULL-as-empty text; position()=0 mirrors instr()=0, and
     the terminal-punct check reads the same trimmed last char."""
-    phrases = " AND ".join(
-        f"position('{p}' IN low) = 0" for p in C4_POLICY_PHRASES)
+    # '' -escape the phrases (ADVICE r15): a future phrase containing a
+    # single quote must not silently produce invalid oracle SQL.
+    esc = [p.replace("'", "''") for p in C4_POLICY_PHRASES]
+    phrases = " AND ".join(f"position('{p}' IN low) = 0" for p in esc)
     return f"""
     WITH feats AS (
       SELECT doc_id,
@@ -1350,7 +1352,16 @@ def r17_text_c4_rules_oracle() -> str:
     """
 
 
-# --- CCNet perplexity bucketing (same deferred-registration queue) ---
+@query("text_c4_rules", oracle=r17_text_c4_rules_oracle())
+def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered round 16 under the pre-staged plan_audit name
+    (COVERAGE.md round-15 queue): the C4 cleaning battery over the
+    fixture corpus. Core, oracle, and parity pytest
+    (test_r17_c4_rules) landed in the r15 extended session."""
+    return c4_rules(load_table(spark, sf_dir, "documents"))
+
+
+# --- CCNet perplexity bucketing (same r16-registered queue) ---
 #
 # CCNet (Wenzek et al. 2020, public): partition the corpus into
 # head/middle/tail tertiles of LM perplexity — the standard coarse
@@ -1421,3 +1432,12 @@ def r17_text_ccnet_bucket_oracle() -> str:
                 ELSE 'head' END AS ppl_bucket
     FROM scored s, cuts c
     """
+
+
+@query("text_ccnet_bucket", oracle=r17_text_ccnet_bucket_oracle())
+def text_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered round 16 under the pre-staged plan_audit name
+    (COVERAGE.md round-15 queue): CCNet head/middle/tail perplexity
+    tertiles over the fixture corpus. Core, oracle, and parity pytest
+    (test_r17_ccnet_buckets) landed in the r15 extended session."""
+    return ccnet_buckets(load_table(spark, sf_dir, "documents"))

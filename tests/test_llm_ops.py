@@ -2343,6 +2343,42 @@ def test_r17_c4_rules(spark, sf_dir):
         r17_text_c4_rules_oracle(), sf_dir)
 
 
+def test_c4_policy_phrase_escaping(spark, monkeypatch):
+    """The c4 oracle ''-escapes policy phrases into its SQL literals
+    (ADVICE r15). Two halves: every CURRENT phrase is quote-free, so
+    the r16 escaping change is provably byte-neutral on the generated
+    oracle; and a phrase that DOES carry a quote yields valid DuckDB
+    SQL whose verdict matches the engine on a planted doc."""
+    import duckdb
+
+    from coursera_etl_pipeline_spark.llm_ops import text as textmod
+
+    assert all("'" not in p for p in textmod.C4_POLICY_PHRASES)
+
+    quoted = "don't sell my information"
+    monkeypatch.setattr(textmod, "C4_POLICY_PHRASES",
+                        textmod.C4_POLICY_PHRASES + (quoted,))
+    sql = textmod.r17_text_c4_rules_oracle()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM (VALUES "
+                "(0, 'this page has plenty of words and it ends "
+                "properly.'), "
+                f"(1, 'a long enough page saying {quoted.replace(chr(39), chr(39) * 2)} here.')"
+                ") AS t(doc_id, text)")
+    rows = {r[0]: r for r in con.sql(sql).fetchall()}
+    cols = con.sql(sql).columns
+    keep, no_policy = cols.index("keep"), cols.index("rule_no_policy")
+    assert rows[0][keep] and rows[0][no_policy]
+    assert not rows[1][no_policy] and not rows[1][keep]
+
+    out = {r.doc_id: r for r in textmod.c4_rules(
+        spark.createDataFrame(
+            [(0, "this page has plenty of words and it ends properly."),
+             (1, f"a long enough page saying {quoted} here.")],
+            "doc_id long, text string")).collect()}
+    assert out[0].keep and not out[1].rule_no_policy and not out[1].keep
+
+
 def test_r17_ccnet_buckets(spark, sf_dir):
     """Tertile membership follows the perplexity proxy (common-word
     docs are head, rare-word docs are tail), unscorable docs surface

@@ -316,10 +316,15 @@ def test_type_parity_lattice_on_prebuilt_queue(spark, sf_dir):
     round-15 queue): their value-parity tests stringify cells exactly
     like oracle_check does, which is how the r14 HUGEINT red row
     slipped through, so the type gate must cover them BEFORE their
-    registration round, not after."""
+    registration round, not after. Skips (rather than vacuously
+    passes) when the queue is empty — round 16 drained the r15 queue
+    into the registry, where test_type_parity_lattice_on_all_queries
+    takes over; the gate re-arms the moment a new pre-build lands in
+    tools/probe_prebuilt._prebuilt."""
     import os
 
     import duckdb
+    import pytest
 
     from coursera_etl_pipeline_spark.catalog import (
         TABLES,
@@ -329,6 +334,8 @@ def test_type_parity_lattice_on_prebuilt_queue(spark, sf_dir):
     from tools.probe_prebuilt import _prebuilt
     from tools.type_parity_audit import duck_class, spark_class
 
+    if not _prebuilt():
+        pytest.skip("deferred-registration queue is empty (drained r16)")
     con = duckdb.connect()
     for t in TABLES:
         p = table_path(sf_dir, t)

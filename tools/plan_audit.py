@@ -122,6 +122,10 @@ ALLOWED = {
     # broadcast back — quality_bins' exact idiom, plus the nested
     # perplexity plan's own allowlisted 1-row totals broadcast
     ("text_ccnet_bucket", "BroadcastNestedLoopJoin"),
+    # curriculum quality mix: inherits text_quality_binning's 3-number
+    # percentile-cutpoint broadcast (the scalar-threshold idiom); the
+    # mix itself adds only a map-side filter + 4-row audit aggregate
+    ("sample_quality_mix", "BroadcastNestedLoopJoin"),
 }
 
 NODES = (

@@ -8,7 +8,17 @@ functions and their oracle builders, with the identical protocol
 DuckDB side, K-fold replica via scale_probe.build_scaled).
 
 Usage: python tools/probe_prebuilt.py K SAMPLES [name ...]
-Names default to all four; prints one JSON line like quiet_probe.
+Names default to every queued operator (the _prebuilt dict is the
+source of truth — ADVICE r15 caught a stale hand-written count here);
+prints one JSON line like quiet_probe.
+
+Round 16 drained the queue: all five r15 pre-builds registered
+(sample_dsir_importance, sample_epoch_plan, dedup_soft_weight,
+text_c4_rules, text_ccnet_bucket), so they now ride tools/quiet_probe
+under their registry names and _prebuilt() is empty until the next
+deferred-registration batch lands. The harness stays: the pre-build
+discipline (core + oracle + parity test a round ahead of
+registration) is how every r15/r16 operator shipped.
 """
 
 from __future__ import annotations
@@ -26,31 +36,14 @@ from coursera_etl_pipeline_spark.session import get_spark  # noqa: E402
 
 
 def _prebuilt():
-    from coursera_etl_pipeline_spark.llm_ops.dedup import (
-        r17_dedup_soft_weight_oracle,
-        soft_dedup_weights,
-    )
-    from coursera_etl_pipeline_spark.llm_ops.sampling import (
-        dsir_importance,
-        epoch_plan,
-        r17_dsir_importance_oracle,
-        r17_sample_epoch_plan_oracle,
-    )
-    from coursera_etl_pipeline_spark.llm_ops.text import (
-        c4_rules,
-        ccnet_buckets,
-        r17_text_c4_rules_oracle,
-        r17_text_ccnet_bucket_oracle,
-    )
+    """name -> (core_fn_over_documents_df, oracle_sql) for every
+    PRE-BUILT operator not yet registered. Keys MUST be the pinned
+    future registry names (ADVICE r15: a diverging probe key breaks
+    provenance against plan_audit and the BASELINE.md rows).
 
-    return {
-        "dsir_importance": (dsir_importance, r17_dsir_importance_oracle()),
-        "sample_epoch_plan": (epoch_plan, r17_sample_epoch_plan_oracle()),
-        "dedup_soft_weight": (soft_dedup_weights,
-                              r17_dedup_soft_weight_oracle()),
-        "text_c4_rules": (c4_rules, r17_text_c4_rules_oracle()),
-        "text_ccnet_bucket": (ccnet_buckets, r17_text_ccnet_bucket_oracle()),
-    }
+    Empty since round 16 drained the r15 queue into the registry;
+    stage the next deferred-registration batch here."""
+    return {}
 
 
 def main() -> None:
