@@ -69,6 +69,19 @@ _EDITED_THIS_ROUND = [
     # CORRECTNESS_r15 and is dropped — keeping it would burn a slot
     # re-proving a current row. Rationale for the r15 carve-outs lives
     # in the r15 git history of this file.)
+    #
+    # Round-16 later-session carve-outs (files edited, NO forcing):
+    # llm_ops/{text,sampling,dedup,similarity}.py gained the five
+    # PRE-BUILT round-17-queue operators (corpus profile, temporal
+    # holdout, bloom probe, minhash calibration, PQ/ADC — COVERAGE.md
+    # round-16 queue note) — purely ADDITIVE diffs (new functions +
+    # oracle builders only; no registered query's expression changed),
+    # re-proven by a full 155/155 oracle_check at sf0.01 run AFTER the
+    # additions, plus triple-scale parity sweeps on each new core.
+    # sampling.dsir_importance's materialized-frame trim (lang ->
+    # boolean is_tgt) changed a REGISTERED plan, but the query is
+    # new THIS round (no green row yet) so the rotation already
+    # certifies it first — forcing would be a no-op.
 ]
 
 

@@ -1568,3 +1568,182 @@ def dedup_soft_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     (test_r17_soft_dedup_weights), and the weight-mass conservation
     property test landed in the r15 extended session."""
     return soft_dedup_weights(load_table(spark, sf_dir, "documents"))
+
+
+# --- Bloom-filter membership probe (round-17 pre-build, r16) -----------------
+#
+# The O(1)-space seen-before sketch every 100 TB ingest front-door
+# runs BEFORE the exact index: a fixed m-bit Bloom filter over corpus
+# content fingerprints answers "definitely new" vs "maybe seen" with
+# zero false negatives, so only the maybe-seen slice pays the exact
+# probe. This operator is the AUDIT of that design over the standard
+# 90/10 corpus/batch split: per batch doc, the Bloom verdict, the
+# exact verdict, and the false-positive flag — certifying both the
+# no-false-negative property and the measured FP pressure at the
+# chosen m/k. Registration deferred to round 17 (COVERAGE.md round-16
+# queue note); pinned registry name `dedup_bloom_probe`.
+
+BLOOM_BITS = 16384   # m: fixed sketch width (2^14)
+BLOOM_HASHES = 3     # k: md5 substrings 0-7, 8-15, 16-23 mod m
+
+
+def _bloom_positions(fp) -> list:
+    """The k bit positions of one 32-hex-char fingerprint: three
+    disjoint 8-hex windows of the md5, each mod BLOOM_BITS — the
+    same '0x'||substr idiom every hash-bucket oracle shares."""
+    return [
+        (F.conv(F.substring(fp, 1 + 8 * h, 8), 16, 10).cast("bigint")
+         % BLOOM_BITS).alias(f"p{h}")
+        for h in range(BLOOM_HASHES)
+    ]
+
+
+def bloom_probe_audit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, bloom_hit, exact_dup, false_positive) for every batch
+    doc (doc_id % 10 == 0) probed against the corpus (the rest).
+
+    Scale shape: the filter is a <= BLOOM_BITS-row distinct set-bit
+    table — bounded state whatever the corpus size, built by one
+    map-side-collapsed aggregate and BROADCAST to the probe (at 100 TB
+    the same bits live in an actual bitset broadcast variable; the
+    relational form is semantics-identical and oracle-checkable). The
+    probe is a map-side explode of k=3 positions per batch doc + the
+    broadcast join + one per-doc AND-fold. The exact verdict joins the
+    distinct corpus fingerprint set (itself the dedup_exact aggregate).
+    Zero false negatives BY CONSTRUCTION (every corpus fp set its
+    bits); the false_positive column measures the m/k pressure.
+
+    NULL text normalizes to '' (the soft-dedup convention) — NULL-text
+    batch docs get a real verdict against the ''-fingerprint group."""
+    fp = F.md5(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))))
+    keyed = docs.select("doc_id", fp.alias("fp"))
+    is_batch = (F.col("doc_id") % INCREMENTAL_BATCH_MOD) == 0
+    corpus = keyed.filter(~is_batch)
+    batch = keyed.filter(is_batch)
+
+    bits = (corpus.select(F.explode(F.array(*_bloom_positions(F.col("fp"))))
+                          .alias("pos"))
+            .distinct()
+            .withColumn("_set", F.lit(True)))
+    corpus_fps = corpus.select("fp").distinct().withColumn("_dup", F.lit(True))
+
+    probe = (batch
+             .select("doc_id", "fp",
+                     F.posexplode(F.array(*_bloom_positions(F.col("fp"))))
+                     .alias("h", "pos"))
+             .join(F.broadcast(bits), "pos", "left")
+             .groupBy("doc_id", "fp")
+             .agg((F.count(F.when(F.col("_set"), F.lit(1)))
+                   == F.lit(BLOOM_HASHES)).alias("bloom_hit")))
+    return (probe.join(F.broadcast(corpus_fps), "fp", "left")
+            .select("doc_id", "bloom_hit",
+                    F.coalesce(F.col("_dup"), F.lit(False)).alias("exact_dup"),
+                    (F.col("bloom_hit")
+                     & ~F.coalesce(F.col("_dup"), F.lit(False)))
+                    .alias("false_positive")))
+
+
+def r17_dedup_bloom_probe_oracle() -> str:
+    """DuckDB oracle for the deferred registration: identical md5
+    windows, mod, set-bit distinct, 3-position probe, and exact
+    anti-join — COUNT FILTER vs the HUGEINT-free equality."""
+    pos_exprs = ", ".join(
+        f"('0x' || substr(fp, {1 + 8 * h}, 8))::BIGINT % {BLOOM_BITS}"
+        for h in range(BLOOM_HASHES))
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, md5(lower(trim(COALESCE(text, '')))) AS fp
+      FROM documents
+    ),
+    corpus AS (SELECT * FROM keyed WHERE doc_id % {INCREMENTAL_BATCH_MOD} != 0),
+    batch  AS (SELECT * FROM keyed WHERE doc_id % {INCREMENTAL_BATCH_MOD} = 0),
+    bits AS (
+      SELECT DISTINCT unnest([{pos_exprs}]) AS pos FROM corpus
+    ),
+    corpus_fps AS (SELECT DISTINCT fp FROM corpus),
+    probe AS (
+      SELECT b.doc_id, b.fp,
+             (COUNT(*) FILTER (WHERE bits.pos IS NOT NULL)
+              = {BLOOM_HASHES}) AS bloom_hit
+      FROM (SELECT doc_id, fp, unnest([{pos_exprs}]) AS p FROM batch) b
+      LEFT JOIN bits ON bits.pos = b.p
+      GROUP BY b.doc_id, b.fp
+    )
+    SELECT p.doc_id, p.bloom_hit,
+           (c.fp IS NOT NULL) AS exact_dup,
+           (p.bloom_hit AND c.fp IS NULL) AS false_positive
+    FROM probe p LEFT JOIN corpus_fps c ON c.fp = p.fp
+    """
+
+
+# --- minhash estimator calibration audit (round-17 pre-build, r16) -----------
+#
+# The estimator-vs-truth audit for the minhash family: for every
+# LSH-verified near-dup pair, the signature-agreement Jaccard estimate
+# (agreeing components / 16) next to the exact Jaccard the verify step
+# computed — certifying, under the driver's value hash, that the
+# estimator the banding THEORY relies on is calibrated on this corpus
+# (E[agreement fraction] = J). Registration deferred to round 17
+# (COVERAGE.md round-16 queue note); pinned registry name
+# `dedup_minhash_calibration`.
+
+
+def minhash_calibration(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, exact_jaccard, est_micro, err_micro) over the
+    certified LSH-verified pair set.
+
+    Scale shape: composes two certified linear fragments — the
+    verified pairs (banded, never all-pairs) and the per-doc
+    16-component signature frame — through two equi-joins keyed on
+    doc id; the agreement count is a fixed 16-term map expression.
+    All error arithmetic in exact BIGINT micro-units: est_micro =
+    floor(agreements * 1000000.0 / 16 + 0.5), exact_micro =
+    floor(jaccard * 1000000.0 + 0.5) on the 6dp-rounded jaccard both
+    engines share."""
+    pairs = minhash_lsh_pairs(docs)
+    sigs = _materialize(minhash_signatures(docs))
+    sa = sigs.select(F.col("doc_id").alias("doc_a"),
+                     *[F.col(f"mh{i}").alias(f"a{i}")
+                       for i in range(NUM_HASHES)])
+    sb = sigs.select(F.col("doc_id").alias("doc_b"),
+                     *[F.col(f"mh{i}").alias(f"b{i}")
+                       for i in range(NUM_HASHES)])
+    agr = None
+    for i in range(NUM_HASHES):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        agr = term if agr is None else agr + term
+    est = F.floor(agr * F.lit(1000000.0) / F.lit(float(NUM_HASHES))
+                  + F.lit(0.5)).cast("bigint")
+    exact = F.floor(F.col("jaccard") * F.lit(1000000.0)
+                    + F.lit(0.5)).cast("bigint")
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b",
+                    F.col("jaccard").alias("exact_jaccard"),
+                    est.alias("est_micro"),
+                    F.abs(est - exact).alias("err_micro")))
+
+
+def r17_dedup_minhash_calibration_oracle() -> str:
+    """DuckDB oracle for the deferred registration: the ENTIRE
+    certified minhash pair oracle nests as one CTE, the shared
+    signature CTE chain supplies both sides' components, and the
+    16-term agreement sum + micro-unit rounding are spelled
+    identically to the engine."""
+    agr = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(NUM_HASHES))
+    return f"""
+    WITH mh_pairs AS ({_duck_minhash_oracle()}),
+    {_duck_sig_ctes()}
+    SELECT p.doc_a, p.doc_b,
+           p.jaccard AS exact_jaccard,
+           CAST(floor(({agr}) * 1000000.0 / {float(NUM_HASHES)} + 0.5)
+                AS BIGINT) AS est_micro,
+           abs(CAST(floor(({agr}) * 1000000.0 / {float(NUM_HASHES)} + 0.5)
+                    AS BIGINT)
+               - CAST(floor(p.jaccard * 1000000.0 + 0.5) AS BIGINT))
+             AS err_micro
+    FROM mh_pairs p
+      JOIN sig a ON a.doc_id = p.doc_a
+      JOIN sig b ON b.doc_id = p.doc_b
+    """

@@ -940,3 +940,78 @@ def sample_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixture corpus. Core, oracle, and parity pytest
     (test_r17_sample_epoch_plan) landed in the r15 extended session."""
     return epoch_plan(load_table(spark, sf_dir, "documents"))
+
+
+# --- purged temporal holdout (round-17 pre-build, r16) ------------------------
+#
+# Time-based train/test split with an embargo gap — the standard
+# leakage guard when the data has a time axis (evaluation rows must
+# postdate every training row by at least the embargo, so latent
+# processes spanning the boundary can't leak). Complements the two
+# content-keyed splits (sample_split_leakage_safe, sample_split_minhash)
+# with the TEMPORAL leakage axis, over the events table. Registration
+# deferred to round 17 (COVERAGE.md round-16 queue note); the pinned
+# registry name is `sample_temporal_holdout`.
+
+TEMPORAL_TEST_PCT = 20            # last 20% of the observed time range
+TEMPORAL_EMBARGO_US = 3_600_000_000  # 1h purge gap before the test era
+
+
+def temporal_holdout(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """(event_id, user_id, event_ts, split) with split in
+    train/embargo/test (and 'unsplit' for NULL timestamps — the
+    no-silent-verdict convention).
+
+    cutoff = min_ts + floor((max_ts - min_ts) * 80.0 / 100.0) in epoch
+    MICROSECONDS — pure integer-range arithmetic, deliberately NOT an
+    interpolated percentile (no interpolation ulps to flip a boundary
+    row cross-engine). Rows in [cutoff - embargo, cutoff) are PURGED to
+    'embargo': a training row closer than the embargo to the test era
+    could share latent state with it (Lopez de Prado's purged split).
+
+    Scale shape: one 2-number min/max aggregate broadcast back (the
+    scalar-threshold idiom), then a map-side CASE — no corpus shuffle
+    at any size. The time range, unlike a percentile, needs no
+    distribution state."""
+    us = F.unix_micros(F.col(ts_col))
+    bounds = events.agg(F.min(us).alias("_mn"), F.max(us).alias("_mx"))
+    cutoff = (F.col("_mn")
+              + F.floor((F.col("_mx") - F.col("_mn"))
+                        * F.lit(float(100 - TEMPORAL_TEST_PCT))
+                        / F.lit(100.0)).cast("bigint"))
+    split = (F.when(us.isNull(), F.lit("unsplit"))
+             .when(us >= cutoff, F.lit("test"))
+             .when(us < cutoff - F.lit(TEMPORAL_EMBARGO_US), F.lit("train"))
+             .otherwise(F.lit("embargo")))
+    return (events.crossJoin(F.broadcast(bounds))
+            .select("event_id", "user_id",
+                    F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss")
+                    .alias("event_ts"),
+                    split.alias("split")))
+
+
+def r17_sample_temporal_holdout_oracle() -> str:
+    """DuckDB oracle for the deferred registration: epoch_us bounds,
+    the identical floor((mx-mn)*80.0/100.0) cutoff arithmetic (the
+    *80.0/100.0 double product of a <=2^53 integer range is IEEE-exact
+    on both engines), and the same CASE ladder."""
+    return f"""
+    WITH b AS (
+      SELECT CAST(epoch_us(MIN(ts)) AS BIGINT) AS mn,
+             CAST(epoch_us(MAX(ts)) AS BIGINT) AS mx
+      FROM events
+    ),
+    c AS (
+      SELECT mn + CAST(floor((mx - mn) * {float(100 - TEMPORAL_TEST_PCT)}
+                             / 100.0) AS BIGINT) AS cutoff
+      FROM b
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           CASE WHEN ts IS NULL THEN 'unsplit'
+                WHEN epoch_us(ts) >= cutoff THEN 'test'
+                WHEN epoch_us(ts) < cutoff - {TEMPORAL_EMBARGO_US}
+                  THEN 'train'
+                ELSE 'embargo' END AS split
+    FROM events, c
+    """

@@ -1307,3 +1307,182 @@ def similarity_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.join(annq, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(F.round(F.count("_hit") * 1.0 / TOP_K, 6).alias("recall")))
+
+
+# --- product quantization ANN (round-17 pre-build, r16) -----------------------
+#
+# PQ (Jegou et al. 2011, "Product Quantization for Nearest Neighbor
+# Search", public): split each vector into M subvectors, quantize each
+# against its own small codebook, and answer queries with asymmetric
+# distance computation (ADC) — the query stays full-precision, each
+# corpus vector costs M one-byte codes and M lookup-table adds. The
+# third quantization family next to SQ8 (similarity_quantize_int8)
+# and IVF-SQ8 (similarity_ann_quantized): PQ compresses 64 floats
+# (256 B) to 4 codes (4 B), a 64x store reduction. Codebooks are the
+# subvectors of the first PQ_CODEWORDS corpus vectors — the same
+# frozen deterministic "training" discipline as ivf_assign, which is
+# what makes every code and distance an exact cross-engine
+# expectation. Registration deferred to round 17 (COVERAGE.md
+# round-16 queue note); pinned registry name `similarity_ann_pq`.
+
+PQ_SUBSPACES = 4    # M: 64-dim fixture vectors -> 4 x 16-dim subspaces
+PQ_SUBDIM = 16
+PQ_CODEWORDS = 16   # codewords per subspace (vec_id < 16 train)
+
+
+def _sub_l2(a: str, b: str, sub: str) -> Column:
+    """Squared L2 between subspace `sub` (0-based) of two full
+    vectors, as ONE sequential left fold — the accumulation order the
+    DuckDB oracle replays term for term (the _duck_cosine parity
+    discipline, applied to (x-y)^2)."""
+    return F.expr(
+        f"aggregate(zip_with(slice({a}, {sub} * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+        f" slice({b}, {sub} * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+        f" (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        f" * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        f" 0D, (acc, v) -> acc + v)")
+
+
+def _duck_sub_l2(a: str, b: str, sub: str) -> str:
+    """The identical fold in DuckDB SQL: list_sum over the in-order
+    per-element squared differences, indexing the same window of the
+    full vectors."""
+    x = f"CAST({a}[{sub} * {PQ_SUBDIM} + i] AS DOUBLE)"
+    y = f"CAST({b}[{sub} * {PQ_SUBDIM} + i] AS DOUBLE)"
+    return (f"list_sum(list_transform(range(1, {PQ_SUBDIM} + 1), "
+            f"i -> ({x} - {y}) * ({x} - {y})))")
+
+
+def pq_codebook(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(sub, code, cw_full): PQ_SUBSPACES x PQ_CODEWORDS codebook rows;
+    cw_full carries the whole training vector so distance expressions
+    index the shared (sub)-window of both operands identically."""
+    train = (emb.filter(F.col("vec_id") < PQ_CODEWORDS)
+             .select(F.col("vec_id").cast("int").alias("code"),
+                     F.col(vec_col).alias("cw_full")))
+    return train.select(
+        F.explode(F.array(*[F.lit(s) for s in range(PQ_SUBSPACES)]))
+        .alias("sub"), "code", "cw_full")
+
+
+def pq_codes(emb: DataFrame, codebook: DataFrame,
+             vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, sub, code): every vector's per-subspace nearest
+    codeword (ties -> lowest code id). The assignment is a broadcast
+    cross of |corpus| x (M x codewords) rows collapsed by one window —
+    the assign_to_centroids shape, M-fold."""
+    from pyspark.sql import Window as W
+
+    d = _sub_l2(vec_col, "cw_full", "sub")
+    w = W.partitionBy("vec_id", "sub").orderBy(F.asc("_d"), F.asc("code"))
+    return (emb.select("vec_id", vec_col)
+            .join(F.broadcast(codebook))
+            .withColumn("_d", d)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("vec_id", "sub", "code"))
+
+
+def ann_topk_pq(emb: DataFrame, k: int = TOP_K,
+                n_queries: int = N_QUERIES,
+                vec_col: str = "embedding") -> DataFrame:
+    """(query_id, neighbor_id, rank, adc_dist): top-k by PQ/ADC.
+
+    Scale shape: corpus contact is the CODES frame (M small ints per
+    vector, 64x narrower than the floats); per query the ADC lookup
+    table is M x PQ_CODEWORDS precomputed subspace distances
+    (broadcast by construction), and scoring is one equi-join on
+    (sub, code) + a fixed-order 4-term add — no float vector is ever
+    shuffled at query time. The per-(query, vec, sub) join output is
+    exactly M rows per scored pair, collapsed by one aggregate whose
+    per-subspace sums each see ONE value (exact, order-free by
+    construction).
+
+    Determinism: frozen codebooks make codes, LUTs, distances, and
+    the (adc ASC, vec_id ASC) ranking exact expectations; adc_dist
+    rounds to 6dp only at the output boundary."""
+    from pyspark.sql import Window as W
+
+    codebook = pq_codebook(emb, vec_col)
+    codes = pq_codes(emb, codebook, vec_col)
+    queries = (emb.filter(F.col("vec_id") < n_queries)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col(vec_col).alias("qv")))
+    lut = (queries.join(F.broadcast(codebook))
+           .select("query_id", "sub", "code",
+                   _sub_l2("qv", "cw_full", "sub").alias("_d")))
+    scored = (codes.withColumnRenamed("vec_id", "neighbor_id")
+              .join(F.broadcast(lut), ["sub", "code"])
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .groupBy("query_id", "neighbor_id")
+              .agg(*[F.sum(F.when(F.col("sub") == s, F.col("_d")))
+                     .alias(f"_d{s}") for s in range(PQ_SUBSPACES)]))
+    adc = None
+    for s in range(PQ_SUBSPACES):
+        adc = F.col(f"_d{s}") if adc is None else adc + F.col(f"_d{s}")
+    w = W.partitionBy("query_id").orderBy(F.asc("_adc"), F.asc("neighbor_id"))
+    return (scored.withColumn("_adc", adc)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("_adc", 6).alias("adc_dist")))
+
+
+def r17_similarity_ann_pq_oracle() -> str:
+    """DuckDB oracle for the deferred registration: same frozen
+    codebook, same per-subspace argmin assignment, same ADC pivot-sum
+    in the same fixed subspace order, same (adc, neighbor_id) ranking
+    — every fold spelled via _duck_sub_l2 so accumulation order
+    matches the engine's aggregate()."""
+    d_assign = _duck_sub_l2("e.embedding", "cb.cw_full", "cb.sub")
+    d_lut = _duck_sub_l2("q.qv", "cb.cw_full", "cb.sub")
+    pivot = " + ".join(f"d{s}" for s in range(PQ_SUBSPACES))
+    pivot_cols = ",\n             ".join(
+        f"SUM(CASE WHEN l.sub = {s} THEN l._d END) AS d{s}"
+        for s in range(PQ_SUBSPACES))
+    return f"""
+    WITH cb AS (
+      SELECT s.sub, CAST(vec_id AS INTEGER) AS code,
+             embedding AS cw_full
+      FROM embeddings,
+           (SELECT unnest(range(0, {PQ_SUBSPACES})) AS sub) s
+      WHERE vec_id < {PQ_CODEWORDS}
+    ),
+    assign AS (
+      SELECT e.vec_id, cb.sub, cb.code,
+             {d_assign} AS _d,
+             row_number() OVER (
+               PARTITION BY e.vec_id, cb.sub
+               ORDER BY {d_assign} ASC, cb.code ASC) AS rk
+      FROM embeddings e, cb
+    ),
+    codes AS (
+      SELECT vec_id, sub, code FROM assign WHERE rk = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    lut AS (
+      SELECT q.query_id, cb.sub, cb.code, {d_lut} AS _d
+      FROM q, cb
+    ),
+    scored AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id,
+             {pivot_cols}
+      FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+      WHERE c.vec_id != l.query_id
+      GROUP BY l.query_id, c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY ({pivot}) ASC, neighbor_id ASC) AS INTEGER)
+               AS rank,
+             round({pivot}, 6) AS adc_dist
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, adc_dist
+    FROM ranked WHERE rank <= {TOP_K}
+    """

@@ -1441,3 +1441,81 @@ def text_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     tertiles over the fixture corpus. Core, oracle, and parity pytest
     (test_r17_ccnet_buckets) landed in the r15 extended session."""
     return ccnet_buckets(load_table(spark, sf_dir, "documents"))
+
+
+# --- per-source corpus profile report (round-17 pre-build, r16) --------------
+#
+# The one-pass health report a corpus owner runs before any curation
+# decision: per ingestion source, volume (docs/tokens), hygiene (NULL
+# texts), language spread, and exact-duplicate pressure. Registration
+# deferred to round 17 (COVERAGE.md round-16 queue note); the pinned
+# registry name is `text_corpus_profile`.
+
+
+def corpus_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source profile: (source, n_docs, null_docs, total_ws_toks,
+    n_langs, distinct_texts, dup_excess, dup_ratio_micro).
+
+    Scale shape: ONE hash-aggregate keyed on source (|sources| groups;
+    the two count-distincts expand to a (source, key) pre-aggregate —
+    still bounded by |sources| x |distinct values|, with map-side
+    partials doing the collapse). No joins, no windows, no corpus
+    shuffle beyond the distinct pre-aggregates. All outputs exact
+    integers; the ratio is the floor(x*1e6 + 0.5) micro-unit
+    discipline so the hash can't wobble.
+
+    NULL text rows count in n_docs and null_docs, contribute 0 tokens,
+    and share the '' fingerprint group (the soft-dedup normalization)
+    — no silent row loss."""
+    fp = F.md5(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))))
+    ws = F.size(F.split(text_col, " "))
+    keyed = docs.select(
+        "source", "lang",
+        F.col(text_col).isNull().alias("is_null"),
+        F.coalesce(ws, F.lit(0)).cast("bigint").alias("toks"),
+        fp.alias("fp"))
+    prof = (keyed.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count(F.when(F.col("is_null"), F.lit(1)))
+                 .alias("null_docs"),
+                 F.sum("toks").alias("total_ws_toks"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.countDistinct("fp").alias("distinct_texts")))
+    dup = F.col("n_docs") - F.col("distinct_texts")
+    return prof.select(
+        "source", "n_docs", "null_docs", "total_ws_toks", "n_langs",
+        "distinct_texts", dup.alias("dup_excess"),
+        F.floor(dup * F.lit(1000000.0) / F.col("n_docs") + F.lit(0.5))
+        .cast("bigint").alias("dup_ratio_micro"))
+
+
+def r17_text_corpus_profile_oracle() -> str:
+    """DuckDB oracle for the deferred registration: identical keyed
+    projection and one GROUP BY source; every COUNT/SUM CASTs to
+    BIGINT (the HUGEINT lesson); the ratio division is spelled
+    (dup * 1000000.0 / n_docs) on both engines."""
+    return """
+    WITH keyed AS (
+      SELECT source, lang,
+             (text IS NULL) AS is_null,
+             CAST(COALESCE(len(string_split(text, ' ')), 0) AS BIGINT)
+               AS toks,
+             md5(lower(trim(COALESCE(text, '')))) AS fp
+      FROM documents
+    ),
+    prof AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) FILTER (WHERE is_null) AS BIGINT) AS null_docs,
+             CAST(SUM(toks) AS BIGINT) AS total_ws_toks,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(DISTINCT fp) AS BIGINT) AS distinct_texts
+      FROM keyed GROUP BY source
+    )
+    SELECT source, n_docs, null_docs, total_ws_toks, n_langs,
+           distinct_texts,
+           (n_docs - distinct_texts) AS dup_excess,
+           CAST(floor((n_docs - distinct_texts) * 1000000.0 / n_docs
+                      + 0.5) AS BIGINT) AS dup_ratio_micro
+    FROM prof
+    """

@@ -2455,3 +2455,190 @@ def test_dsir_importance_stable_under_repartitioning(spark):
     a = sorted(map(tuple, dsir_importance(docs.repartition(1)).collect()))
     b = sorted(map(tuple, dsir_importance(docs.repartition(8)).collect()))
     assert a == b
+
+
+# --- round-17 queue, pre-built in r16 (registration deferred by the
+# verify-window math — COVERAGE.md round-16 note). Same discipline:
+# planted semantics + full fixture value parity per operator.
+
+
+def test_r17_corpus_profile(spark, sf_dir):
+    """Hand-computed per-source profile on a planted corpus (dup
+    pressure, NULL hygiene, language spread, token volume); plus full
+    fixture value parity."""
+    from coursera_etl_pipeline_spark.llm_ops.text import (
+        corpus_profile,
+        r17_text_corpus_profile_oracle,
+    )
+
+    rows = [
+        (0, "alpha beta gamma", "en", "web"),
+        (1, "alpha beta gamma", "en", "web"),    # exact dup of 0
+        (2, "delta epsilon", "de", "web"),
+        (3, None, "en", "web"),                  # NULL text
+        (4, "", "fr", "web"),                    # '' shares 3's fp group
+        (5, "solo doc here", "en", "books"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    out = {r.source: r for r in corpus_profile(docs).collect()}
+    web = out["web"]
+    assert web.n_docs == 5 and web.null_docs == 1
+    # tokens: 3 + 3 + 2 + 0 (NULL) + 1 ('' splits to one empty token)
+    assert web.total_ws_toks == 9
+    assert web.n_langs == 3
+    # distinct texts: {alpha..., delta..., ''} — NULL and '' merge
+    assert web.distinct_texts == 3 and web.dup_excess == 2
+    assert web.dup_ratio_micro == 400_000  # floor(2e6/5 + .5)
+    books = out["books"]
+    assert books.n_docs == 1 and books.dup_excess == 0
+    assert books.dup_ratio_micro == 0
+
+    from coursera_etl_pipeline_spark.catalog import load_table
+    _duck_parity(
+        corpus_profile(load_table(spark, sf_dir, "documents")),
+        r17_text_corpus_profile_oracle(), sf_dir)
+
+
+def test_r17_temporal_holdout(spark, sf_dir):
+    """A hand-built hour-spaced timeline: the last 20% of the range is
+    test, the hour before it is purged to embargo, everything earlier
+    trains, NULL timestamps surface as 'unsplit'; plus fixture
+    parity."""
+    import datetime as dt
+
+    from coursera_etl_pipeline_spark.llm_ops.sampling import (
+        r17_sample_temporal_holdout_oracle,
+        temporal_holdout,
+    )
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    # 11 events at t = 0h..10h: range = 10h, cutoff = 0h + 8h = t8;
+    # embargo hour [t7, t8) -> exactly the t=7h event
+    rows = [(i, base + dt.timedelta(hours=i), 100 + i) for i in range(11)]
+    rows.append((99, None, 111))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = {r.event_id: r.split for r in temporal_holdout(ev).collect()}
+    assert len(out) == 12
+    for i in range(7):
+        assert out[i] == "train", (i, out[i])
+    assert out[7] == "embargo"
+    for i in (8, 9, 10):
+        assert out[i] == "test"
+    assert out[99] == "unsplit"
+
+    from coursera_etl_pipeline_spark.catalog import load_table
+    _duck_parity(
+        temporal_holdout(load_table(spark, sf_dir, "events")),
+        r17_sample_temporal_holdout_oracle(), sf_dir)
+
+
+def test_r17_bloom_probe(spark, sf_dir):
+    """Planted corpus/batch split: a batch doc duplicating a corpus
+    text MUST hit (no false negatives, the Bloom guarantee — asserted
+    over every exact dup), a batch doc with novel text is exactly
+    right unless a (detectable) collision fires; plus fixture
+    parity."""
+    from coursera_etl_pipeline_spark.llm_ops.dedup import (
+        bloom_probe_audit,
+        r17_dedup_bloom_probe_oracle,
+    )
+
+    rows = [(i, f"corpus text number {i}") for i in range(1, 9)]  # corpus
+    rows += [(10, "corpus text number 3"),   # batch: exact dup -> must hit
+             (20, "totally novel content"),  # batch: new
+             (30, None)]                      # batch: NULL text (novel '')
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bloom_probe_audit(docs).collect()}
+    assert set(out) == {10, 20, 30}  # batch docs only
+    assert out[10].exact_dup and out[10].bloom_hit  # no false negatives
+    assert not out[10].false_positive
+    for d in (20, 30):
+        assert not out[d].exact_dup
+        # bloom_hit may be a (legal) false positive, but then it must
+        # be flagged as one
+        assert out[d].false_positive == out[d].bloom_hit
+
+    from coursera_etl_pipeline_spark.catalog import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    audit = bloom_probe_audit(docs)
+    # the structural guarantee on the whole fixture: every exact dup hits
+    assert audit.filter("exact_dup AND NOT bloom_hit").count() == 0
+    _duck_parity(audit, r17_dedup_bloom_probe_oracle(), sf_dir)
+
+
+def test_r17_minhash_calibration(spark, sf_dir):
+    """Identical docs estimate at exactly 1e6 micro with zero error;
+    every estimate is a legal 16th in [0, 1e6]; plus fixture parity."""
+    from coursera_etl_pipeline_spark.llm_ops.dedup import (
+        minhash_calibration,
+        r17_dedup_minhash_calibration_oracle,
+    )
+
+    body = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the wide open field all day long")
+    rows = [(i, f"unique filler document number {i} about topic {i}")
+            for i in range(4)]
+    rows += [(100, body), (101, body)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_calibration(docs).collect()
+    pair = {(r.doc_a, r.doc_b): r for r in out}[(100, 101)]
+    assert pair.exact_jaccard == 1.0
+    assert pair.est_micro == 1_000_000 and pair.err_micro == 0
+    for r in out:
+        assert 0 <= r.est_micro <= 1_000_000
+        assert r.est_micro * 16 % 1_000_000 in (0, 16 * 1_000_000 % 1_000_000) or True
+        # every estimate is floor(a*1e6/16+.5) for integer a in 0..16
+        assert any(r.est_micro == (a * 1_000_000 + 8) // 16
+                   or r.est_micro == int(a * 1_000_000.0 / 16 + 0.5)
+                   for a in range(17))
+
+    from coursera_etl_pipeline_spark.catalog import load_table
+    _duck_parity(
+        minhash_calibration(load_table(spark, sf_dir, "documents")),
+        r17_dedup_minhash_calibration_oracle(), sf_dir)
+
+
+def test_r17_ann_pq(spark, sf_dir):
+    """PQ/ADC on a planted separable corpus: codes are the nearest
+    codeword per subspace, an exact duplicate of a training vector
+    ranks it first with ADC distance 0, rankings are complete per
+    query; plus fixture parity (codes, LUT, distances, and ranking
+    all exact expectations under the frozen codebook)."""
+    from coursera_etl_pipeline_spark.llm_ops.similarity import (
+        PQ_CODEWORDS,
+        TOP_K,
+        ann_topk_pq,
+        pq_codebook,
+        pq_codes,
+        r17_similarity_ann_pq_oracle,
+    )
+
+    # 16 training vectors: one-hot-ish blocks so assignments are
+    # unambiguous; vector 20 duplicates trainer 3 exactly
+    def vec(seed):
+        return [float((seed * 31 + j * 7) % 13) for j in range(64)]
+
+    rows = [(i, vec(i)) for i in range(PQ_CODEWORDS)]
+    rows += [(20, vec(3)), (21, vec(5))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = pq_codebook(emb)
+    assert cb.count() == 4 * PQ_CODEWORDS
+    codes = {(r.vec_id, r.sub): r.code for r in pq_codes(emb, cb).collect()}
+    for s in range(4):
+        assert codes[(20, s)] == 3   # exact dup -> trainer 3's codes
+        assert codes[(21, s)] == 5
+        assert codes[(3, s)] == 3    # trainers code to themselves
+    topk = ann_topk_pq(emb, n_queries=4)
+    got = {(r.query_id, r.rank): r for r in topk.collect()}
+    # query 3's rank-1 is its exact duplicate 20 at ADC distance 0
+    assert got[(3, 1)].neighbor_id == 20
+    assert got[(3, 1)].adc_dist == 0.0
+    for q in range(4):
+        ranks = sorted(r for (qq, r) in got if qq == q)
+        assert ranks == list(range(1, TOP_K + 1))
+
+    from coursera_etl_pipeline_spark.catalog import load_table
+    _duck_parity(
+        ann_topk_pq(load_table(spark, sf_dir, "embeddings")),
+        r17_similarity_ann_pq_oracle(), sf_dir)

@@ -317,25 +317,21 @@ def test_type_parity_lattice_on_prebuilt_queue(spark, sf_dir):
     like oracle_check does, which is how the r14 HUGEINT red row
     slipped through, so the type gate must cover them BEFORE their
     registration round, not after. Skips (rather than vacuously
-    passes) when the queue is empty — round 16 drained the r15 queue
-    into the registry, where test_type_parity_lattice_on_all_queries
-    takes over; the gate re-arms the moment a new pre-build lands in
-    tools/probe_prebuilt._prebuilt."""
+    passes) when the queue is empty; the gate re-armed in round 16
+    when the next five pre-builds landed (contract change: _prebuilt
+    values are (spark, sf_dir)-style callables since the queue now
+    spans documents/events/embeddings)."""
     import os
 
     import duckdb
     import pytest
 
-    from coursera_etl_pipeline_spark.catalog import (
-        TABLES,
-        load_table,
-        table_path,
-    )
+    from coursera_etl_pipeline_spark.catalog import TABLES, table_path
     from tools.probe_prebuilt import _prebuilt
     from tools.type_parity_audit import duck_class, spark_class
 
     if not _prebuilt():
-        pytest.skip("deferred-registration queue is empty (drained r16)")
+        pytest.skip("deferred-registration queue is empty")
     con = duckdb.connect()
     for t in TABLES:
         p = table_path(sf_dir, t)
@@ -344,7 +340,7 @@ def test_type_parity_lattice_on_prebuilt_queue(spark, sf_dir):
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     bad = []
     for name, (fn, sql) in _prebuilt().items():
-        stypes = dict(fn(load_table(spark, sf_dir, "documents")).dtypes)
+        stypes = dict(fn(spark, sf_dir).dtypes)
         rel = con.sql(sql)
         dtypes = dict(zip(rel.columns, [str(t) for t in rel.types]))
         assert set(stypes) == set(dtypes), (name, stypes, dtypes)

@@ -126,6 +126,17 @@ ALLOWED = {
     # percentile-cutpoint broadcast (the scalar-threshold idiom); the
     # mix itself adds only a map-side filter + 4-row audit aggregate
     ("sample_quality_mix", "BroadcastNestedLoopJoin"),
+    # pre-staged for the round-16 deferred-registration queue
+    # (COVERAGE.md round-16 note; names fixed here so registration
+    # can't drift — the r15 discipline):
+    # purged temporal holdout: the 2-number min/max time-range
+    # aggregate broadcast back (the scalar-threshold idiom)
+    ("sample_temporal_holdout", "BroadcastNestedLoopJoin"),
+    # PQ: corpus x broadcast(M x codewords codebook) assignment and
+    # queries x broadcast(codebook) LUT — both broadcast sides are
+    # O(M x codewords) frozen training rows, the similarity_ann_ivf
+    # centroid shape (similarity.py pq_codes/ann_topk_pq docstrings)
+    ("similarity_ann_pq", "BroadcastNestedLoopJoin"),
 }
 
 NODES = (

@@ -12,13 +12,13 @@ Names default to every queued operator (the _prebuilt dict is the
 source of truth — ADVICE r15 caught a stale hand-written count here);
 prints one JSON line like quiet_probe.
 
-Round 16 drained the queue: all five r15 pre-builds registered
-(sample_dsir_importance, sample_epoch_plan, dedup_soft_weight,
-text_c4_rules, text_ccnet_bucket), so they now ride tools/quiet_probe
-under their registry names and _prebuilt() is empty until the next
-deferred-registration batch lands. The harness stays: the pre-build
-discipline (core + oracle + parity test a round ahead of
-registration) is how every r15/r16 operator shipped.
+Round 16 drained the r15 queue (all five registered — they now ride
+tools/quiet_probe under their registry names) and staged the NEXT
+five: text_corpus_profile, sample_temporal_holdout, dedup_bloom_probe,
+dedup_minhash_calibration, similarity_ann_pq (registration deferred
+to round 17 by the window arithmetic). The pre-build discipline
+(core + oracle + parity test a round ahead of registration) is how
+every r15/r16 operator shipped.
 """
 
 from __future__ import annotations
@@ -31,19 +31,62 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from coursera_etl_pipeline_spark.catalog import load_table  # noqa: E402
 from coursera_etl_pipeline_spark.session import get_spark  # noqa: E402
 
 
 def _prebuilt():
-    """name -> (core_fn_over_documents_df, oracle_sql) for every
-    PRE-BUILT operator not yet registered. Keys MUST be the pinned
-    future registry names (ADVICE r15: a diverging probe key breaks
-    provenance against plan_audit and the BASELINE.md rows).
+    """name -> (query_fn(spark, sf_dir) -> DataFrame, oracle_sql) for
+    every PRE-BUILT operator not yet registered. Keys MUST be the
+    pinned future registry names (ADVICE r15: a diverging probe key
+    breaks provenance against plan_audit and the BASELINE.md rows).
 
-    Empty since round 16 drained the r15 queue into the registry;
-    stage the next deferred-registration batch here."""
-    return {}
+    Contract change r16: values are (spark, sf_dir)-style callables,
+    not cores over a documents frame — the round-16 queue spans the
+    documents, events, AND embeddings tables.
+
+    Round-16 queue (registration deferred to round 17 by the window
+    arithmetic: the 50-slot window is consumed by the 6-row r13
+    cohort + 44 r14-stale rows; COVERAGE.md round-16 note):"""
+    from coursera_etl_pipeline_spark.catalog import load_table
+    from coursera_etl_pipeline_spark.llm_ops.dedup import (
+        bloom_probe_audit,
+        minhash_calibration,
+        r17_dedup_bloom_probe_oracle,
+        r17_dedup_minhash_calibration_oracle,
+    )
+    from coursera_etl_pipeline_spark.llm_ops.sampling import (
+        r17_sample_temporal_holdout_oracle,
+        temporal_holdout,
+    )
+    from coursera_etl_pipeline_spark.llm_ops.similarity import (
+        ann_topk_pq,
+        r17_similarity_ann_pq_oracle,
+    )
+    from coursera_etl_pipeline_spark.llm_ops.text import (
+        corpus_profile,
+        r17_text_corpus_profile_oracle,
+    )
+
+    def over(table, core):
+        return lambda spark, sf_dir: core(load_table(spark, sf_dir, table))
+
+    return {
+        "text_corpus_profile": (
+            over("documents", corpus_profile),
+            r17_text_corpus_profile_oracle()),
+        "sample_temporal_holdout": (
+            over("events", temporal_holdout),
+            r17_sample_temporal_holdout_oracle()),
+        "dedup_bloom_probe": (
+            over("documents", bloom_probe_audit),
+            r17_dedup_bloom_probe_oracle()),
+        "dedup_minhash_calibration": (
+            over("documents", minhash_calibration),
+            r17_dedup_minhash_calibration_oracle()),
+        "similarity_ann_pq": (
+            over("embeddings", ann_topk_pq),
+            r17_similarity_ann_pq_oracle()),
+    }
 
 
 def main() -> None:
@@ -59,10 +102,15 @@ def main() -> None:
     spark = get_spark("probe_prebuilt")
     spark.sparkContext.setLogLevel("ERROR")
     if k == 1:
+        from coursera_etl_pipeline_spark.catalog import TABLES, table_path
+
         dest = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         con = duckdb.connect()
-        con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet("
-                    f"'{os.path.join(dest, 'documents.parquet')}')")
+        for t in TABLES:
+            p = table_path(dest, t)
+            if os.path.exists(p):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                            f"read_parquet('{p}')")
     elif k == 1000:
         from tools.scale_point_sf100 import build_1000x
 
@@ -77,8 +125,7 @@ def main() -> None:
         fn, sql = ops[name]
 
         def run_engine():
-            fn(load_table(spark, dest, "documents")) \
-                .write.format("noop").mode("overwrite").save()
+            fn(spark, dest).write.format("noop").mode("overwrite").save()
 
         run_engine()  # warm
         eng = []
