@@ -1521,6 +1521,20 @@ def dedup_url_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer micro-units so the certified output carries no float sum.
 
 
+def content_fp(text_col: str = "text"):
+    """The NULL-normalized content fingerprint — md5 of the
+    lower/trimmed text with NULL coalesced to '' so NULL and empty
+    docs share one group. Defined ONCE (r16 review: three engine
+    sites and three oracle literals had respelled it — the drift mode
+    the _duck_sig_ctes / HEAD_FP_TOKENS single-definition rule
+    exists to prevent). Every consumer of this helper must pair it
+    with DUCK_CONTENT_FP on the oracle side."""
+    return F.md5(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))))
+
+
+DUCK_CONTENT_FP = "md5(lower(trim(COALESCE(text, ''))))"
+
+
 def soft_dedup_weights(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_copies, weight_micro): per-doc training weight
     1/n_copies of its exact content fingerprint, in micro-units.
@@ -1528,11 +1542,10 @@ def soft_dedup_weights(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Scale shape: the dedup_exact aggregate (one partial-aggregated
     shuffle on a 128-bit key, O(1) state per group) + one equi-join
     back; the weight is map-side arithmetic. NULL text fingerprints
-    to md5('') via the same normalization both engines share — NULL
-    and empty docs form one group and get a weight like every other
-    row (no silent row loss)."""
-    fp = F.md5(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))))
-    keyed = docs.select("doc_id", fp.alias("content_fp"))
+    to md5('') via the shared content_fp normalization — NULL and
+    empty docs form one group and get a weight like every other row
+    (no silent row loss)."""
+    keyed = docs.select("doc_id", content_fp(text_col).alias("content_fp"))
     counts = (keyed.groupBy("content_fp")
               .agg(F.count(F.lit(1)).alias("n_copies")))
     return (keyed.join(counts, "content_fp")
@@ -1544,9 +1557,9 @@ def soft_dedup_weights(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def r17_dedup_soft_weight_oracle() -> str:
     """DuckDB oracle for the deferred registration: same fingerprint
     group count and the same floor(1e6/n + 0.5) micro-weight."""
-    return """
+    return f"""
     WITH keyed AS (
-      SELECT doc_id, md5(lower(trim(COALESCE(text, '')))) AS content_fp
+      SELECT doc_id, {DUCK_CONTENT_FP} AS content_fp
       FROM documents
     ),
     counts AS (
@@ -1615,8 +1628,7 @@ def bloom_probe_audit(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     NULL text normalizes to '' (the soft-dedup convention) — NULL-text
     batch docs get a real verdict against the ''-fingerprint group."""
-    fp = F.md5(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))))
-    keyed = docs.select("doc_id", fp.alias("fp"))
+    keyed = docs.select("doc_id", content_fp(text_col).alias("fp"))
     is_batch = (F.col("doc_id") % INCREMENTAL_BATCH_MOD) == 0
     corpus = keyed.filter(~is_batch)
     batch = keyed.filter(is_batch)
@@ -1652,7 +1664,7 @@ def r17_dedup_bloom_probe_oracle() -> str:
         for h in range(BLOOM_HASHES))
     return f"""
     WITH keyed AS (
-      SELECT doc_id, md5(lower(trim(COALESCE(text, '')))) AS fp
+      SELECT doc_id, {DUCK_CONTENT_FP} AS fp
       FROM documents
     ),
     corpus AS (SELECT * FROM keyed WHERE doc_id % {INCREMENTAL_BATCH_MOD} != 0),
@@ -1699,9 +1711,22 @@ def minhash_calibration(docs: DataFrame) -> DataFrame:
     All error arithmetic in exact BIGINT micro-units: est_micro =
     floor(agreements * 1000000.0 / 16 + 0.5), exact_micro =
     floor(jaccard * 1000000.0 + 0.5) on the 6dp-rounded jaccard both
-    engines share."""
+    engines share.
+
+    The signature frame derives from the SAME materialized shingle
+    index minhash_lsh_pairs builds (identical plan -> the _materialize
+    memo shares one persisted frame; r16 review — a fresh
+    minhash_signatures(docs) call here re-ran the whole corpus
+    shingle explode a second time per run). MIN per hash is
+    duplicate-insensitive, so signatures off the (doc_id, nsh,
+    shingle) index equal minhash_signatures' exactly — the planted
+    identical-pair test pins est_micro == 1e6 either way."""
     pairs = minhash_lsh_pairs(docs)
-    sigs = _materialize(minhash_signatures(docs))
+    sh_idx = _materialize(
+        shingles(docs)
+        .select("doc_id", F.size("_shingles").alias("nsh"),
+                F.explode("_shingles").alias("shingle")))
+    sigs = _materialize(_signatures_from_shingles(sh_idx))
     sa = sigs.select(F.col("doc_id").alias("doc_a"),
                      *[F.col(f"mh{i}").alias(f"a{i}")
                        for i in range(NUM_HASHES)])

@@ -1465,9 +1465,11 @@ def corpus_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     discipline so the hash can't wobble.
 
     NULL text rows count in n_docs and null_docs, contribute 0 tokens,
-    and share the '' fingerprint group (the soft-dedup normalization)
-    — no silent row loss."""
-    fp = F.md5(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))))
+    and share the '' fingerprint group (dedup.content_fp — the shared
+    single definition, r16 review) — no silent row loss."""
+    from coursera_etl_pipeline_spark.llm_ops.dedup import content_fp
+
+    fp = content_fp(text_col)
     ws = F.size(F.split(text_col, " "))
     keyed = docs.select(
         "source", "lang",
@@ -1494,13 +1496,15 @@ def r17_text_corpus_profile_oracle() -> str:
     projection and one GROUP BY source; every COUNT/SUM CASTs to
     BIGINT (the HUGEINT lesson); the ratio division is spelled
     (dup * 1000000.0 / n_docs) on both engines."""
-    return """
+    from coursera_etl_pipeline_spark.llm_ops.dedup import DUCK_CONTENT_FP
+
+    return f"""
     WITH keyed AS (
       SELECT source, lang,
              (text IS NULL) AS is_null,
              CAST(COALESCE(len(string_split(text, ' ')), 0) AS BIGINT)
                AS toks,
-             md5(lower(trim(COALESCE(text, '')))) AS fp
+             {DUCK_CONTENT_FP} AS fp
       FROM documents
     ),
     prof AS (

@@ -2587,11 +2587,10 @@ def test_r17_minhash_calibration(spark, sf_dir):
     assert pair.est_micro == 1_000_000 and pair.err_micro == 0
     for r in out:
         assert 0 <= r.est_micro <= 1_000_000
-        assert r.est_micro * 16 % 1_000_000 in (0, 16 * 1_000_000 % 1_000_000) or True
-        # every estimate is floor(a*1e6/16+.5) for integer a in 0..16
-        assert any(r.est_micro == (a * 1_000_000 + 8) // 16
-                   or r.est_micro == int(a * 1_000_000.0 / 16 + 0.5)
-                   for a in range(17))
+        # every estimate is floor(a*1e6/16 + .5) for an integer
+        # agreement count a in 0..16 — a legal sixteenth, nothing else
+        assert any(r.est_micro == int(a * 1_000_000.0 / 16 + 0.5)
+                   for a in range(17)), r.est_micro
 
     from coursera_etl_pipeline_spark.catalog import load_table
     _duck_parity(

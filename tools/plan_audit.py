@@ -164,7 +164,12 @@ EXECUTES_ON_BUILD = {"stream_batch_parity", "stream_dedup_parity",
                      "stream_index_multi_tick_parity",
                      "dedup_index_compact",
                      "dedup_components", "dedup_clusters",
-                     "dedup_image_clusters"}
+                     "dedup_image_clusters",
+                     # r16 review: the end-to-end verdict runs the
+                     # same connected-components convergence loop on
+                     # construction (real actions + localCheckpoint
+                     # truncation) as the three rows above
+                     "dedup_minhash_keep_representative"}
 
 
 def formatted_plan(df) -> str:

@@ -66,10 +66,16 @@ def build_distinct(spark, k: int, dest: str | None = None,
         retok = F.array_join(
             F.transform(F.split(F.col("text"), " "),
                         lambda t: F.concat(t, tag)), " ")
+        new_text = F.when(F.col("text").isNotNull(), retok)
         replicas.append(src.select(
             (F.col("doc_id") + F.lit(i * SHIFT)).alias("doc_id"),
-            F.when(F.col("text").isNotNull(), retok).alias("text"),
-            "lang", "source", "n_chars"))
+            new_text.alias("text"),
+            "lang", "source",
+            # recompute, don't copy: the suffix rewrite lengthens the
+            # text, and a stale n_chars would silently skew any
+            # n_chars-derived operator timed at this point (r16 review)
+            F.coalesce(F.length(new_text), F.lit(0)).cast("bigint")
+            .alias("n_chars")))
     out = replicas[0]
     for r in replicas[1:]:
         out = out.union(r)
