@@ -2641,3 +2641,93 @@ def test_r17_ann_pq(spark, sf_dir):
     _duck_parity(
         ann_topk_pq(load_table(spark, sf_dir, "embeddings")),
         r17_similarity_ann_pq_oracle(), sf_dir)
+
+
+def test_bloom_no_false_negatives_property(spark):
+    """Property: for RANDOM corpus/batch duplicate topologies, every
+    batch doc whose exact fingerprint exists in the corpus gets
+    bloom_hit=True (the Bloom guarantee), every batch doc surfaces
+    exactly once, and false_positive is set iff (hit AND NOT dup).
+    Derandomized hypothesis, 3 examples (bounded Spark round-trips)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from coursera_etl_pipeline_spark.llm_ops.dedup import bloom_probe_audit
+
+    @settings(max_examples=3, deadline=None, derandomize=True,
+              suppress_health_check=list(HealthCheck))
+    @given(groups=st.lists(st.integers(0, 5), min_size=4, max_size=16))
+    def check(groups):
+        # doc_id = index; every 10th doc is batch (the 90/10 split)
+        docs = spark.createDataFrame(
+            [(i, f"group text {g}") for i, g in enumerate(groups)],
+            "doc_id long, text string")
+        out = {r.doc_id: r for r in bloom_probe_audit(docs).collect()}
+        batch_ids = [i for i in range(len(groups)) if i % 10 == 0]
+        assert sorted(out) == batch_ids
+        corpus_groups = {g for i, g in enumerate(groups) if i % 10 != 0}
+        for i in batch_ids:
+            r = out[i]
+            if groups[i] in corpus_groups:
+                assert r.exact_dup and r.bloom_hit  # no false negatives
+            else:
+                assert not r.exact_dup
+            assert r.false_positive == (r.bloom_hit and not r.exact_dup)
+
+    check()
+
+
+def test_temporal_holdout_embargo_property(spark):
+    """Property: for RANDOM timelines, every train row predates every
+    test row by AT LEAST the embargo (the purge guarantee), no row is
+    lost, and only NULL timestamps land in 'unsplit'. Derandomized
+    hypothesis, 3 examples."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from coursera_etl_pipeline_spark.llm_ops.sampling import (
+        TEMPORAL_EMBARGO_US,
+        temporal_holdout,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+
+    @settings(max_examples=3, deadline=None, derandomize=True,
+              suppress_health_check=list(HealthCheck))
+    @given(offsets=st.lists(st.integers(0, 600), min_size=2, max_size=24))
+    def check(offsets):
+        rows = [(i, base + dt.timedelta(minutes=m), i)
+                for i, m in enumerate(offsets)]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long")
+        out = temporal_holdout(ev).collect()
+        assert len(out) == len(offsets)
+        by_split = {}
+        for r in out:
+            assert r.split in ("train", "embargo", "test")
+            by_split.setdefault(r.split, []).append(
+                offsets[r.event_id] * 60_000_000)  # minutes -> micros
+        if "train" in by_split and "test" in by_split:
+            gap = min(by_split["test"]) - max(by_split["train"])
+            assert gap >= TEMPORAL_EMBARGO_US, (gap, by_split)
+
+    check()
+
+
+def test_pq_codes_stable_under_repartitioning(spark):
+    """PQ codes and the full ADC top-k are exact expectations of the
+    frozen codebook, so output must be IDENTICAL (not just close)
+    under any input partitioning — the determinism contract."""
+    from coursera_etl_pipeline_spark.llm_ops.similarity import ann_topk_pq
+
+    def vec(seed):
+        return [float((seed * 37 + j * 11) % 17) for j in range(64)]
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    a = sorted(map(tuple, ann_topk_pq(emb.repartition(1)).collect()))
+    b = sorted(map(tuple, ann_topk_pq(emb.repartition(8)).collect()))
+    assert a == b
