@@ -1368,19 +1368,24 @@ def pq_codebook(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
 def pq_codes(emb: DataFrame, codebook: DataFrame,
              vec_col: str = "embedding") -> DataFrame:
     """(vec_id, sub, code): every vector's per-subspace nearest
-    codeword (ties -> lowest code id). The assignment is a broadcast
-    cross of |corpus| x (M x codewords) rows collapsed by one window —
-    the assign_to_centroids shape, M-fold."""
-    from pyspark.sql import Window as W
+    codeword (ties -> lowest code id).
 
+    The argmin is ONE hash-aggregate — min(struct(_d, code)) per
+    (vec_id, sub), O(1) state, tie-break by the struct's second field
+    — NOT a row_number window: the broadcast cross blows the corpus
+    up M x codewords-fold, and a window would sort-shuffle that whole
+    expansion while the aggregate's map-side partials collapse it
+    back to M rows per vector before the shuffle (r16 plan review;
+    the window form survives as the ORACLE's independent
+    formulation). Same semantics: doubles order identically in struct
+    comparison, and equal distances fall to the lower code id."""
     d = _sub_l2(vec_col, "cw_full", "sub")
-    w = W.partitionBy("vec_id", "sub").orderBy(F.asc("_d"), F.asc("code"))
     return (emb.select("vec_id", vec_col)
             .join(F.broadcast(codebook))
             .withColumn("_d", d)
-            .withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .select("vec_id", "sub", "code"))
+            .groupBy("vec_id", "sub")
+            .agg(F.min(F.struct(F.col("_d"), F.col("code"))).alias("_m"))
+            .select("vec_id", "sub", F.col("_m.code").alias("code")))
 
 
 def ann_topk_pq(emb: DataFrame, k: int = TOP_K,
