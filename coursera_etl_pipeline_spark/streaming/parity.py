@@ -2410,3 +2410,144 @@ def stream_dq_gate_parity(spark: SparkSession, sf_dir: str,
         result = _run_stream_dq_gate(spark, sf_dir)
         result.createOrReplaceTempView(name)
     return spark.table(name)
+
+
+# --- streamed Bloom-bits maintenance (round-18 pre-build, r16) ----------------
+#
+# The sketch-state member of the index-lifecycle family: the Bloom
+# seen-before filter (llm_ops.dedup.bloom_probe_audit) kept current by
+# the REAL micro-batch engine — every ingest tick appends the arriving
+# docs' distinct bit positions to parquet-backed bits storage through
+# the same purge+epoch-prefix commit the band/ANN indexes use, so a
+# replayed tick no-ops instead of double-appending. Registration is
+# pinned as `stream_bloom_bits_parity` and waits for the NEXT rotation
+# band revision (the round-17 window lands the registry exactly on the
+# 160 band edge — COVERAGE.md round-16 queue note).
+
+
+def _bloom_bits_slice(df: "DataFrame", tag: str) -> "DataFrame":
+    """(src, pos): the DISTINCT Bloom bit positions of one doc slice,
+    tagged with its provenance. Distinct WITHIN the slice only — the
+    stored table keeps corpus and batch contributions as separate
+    rows, so a double-append (replay bug) shows up as doubled batch
+    rows under the rebuild oracle instead of being masked by a global
+    distinct."""
+    from coursera_etl_pipeline_spark.llm_ops.dedup import (
+        _bloom_positions,
+        content_fp,
+    )
+
+    return (df.select(content_fp().alias("fp"))
+            .select(F.explode(F.array(*_bloom_positions(F.col("fp"))))
+                    .alias("pos"))
+            .distinct()
+            .select(F.lit(tag).alias("src"), "pos"))
+
+
+def apply_bloom_increment(bdf: "DataFrame", bits_dir: str,
+                          epoch_id: int | None = None,
+                          run_token: str | None = None) -> None:
+    """One Bloom-bits append against parquet-backed storage: the
+    arriving docs' distinct bit positions land as (src='batch', pos)
+    rows. Like the ANN append, the write side never READS bits_dir
+    (positions depend only on the batch), so the only obligation is
+    the replay-idempotent commit: purge+epoch-prefix move + marker
+    seal (a bare append would double bits on re-delivery — harmless
+    for membership semantics, corrosive for the stored artifact the
+    rebuild oracle certifies)."""
+    import shutil
+    import tempfile
+
+    marker = _epoch_marker(bits_dir, "inc", epoch_id, run_token)
+    if _epoch_already_applied(marker):
+        return  # replayed micro-batch: the append already landed
+    stage = tempfile.mkdtemp(prefix="bloom_inc_", dir=scratch_root())
+    try:
+        _bloom_bits_slice(bdf, "batch").write.parquet(f"{stage}/bits")
+        if epoch_id is not None:
+            prefix = _epoch_prefix("inc", epoch_id, run_token)
+            _purge_epoch_files(bits_dir, prefix)
+        else:
+            prefix = os.path.basename(stage) + "_"
+        _move_commit(f"{stage}/bits", bits_dir, prefix)
+        _seal_epoch(marker)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _run_stream_bloom_bits(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """Seed the bits store from the frozen corpus slice, let the real
+    engine append the arriving batch slice's bits, replay epoch 0 to
+    prove the marker no-op, and return the bits AS STORED."""
+    from coursera_etl_pipeline_spark.catalog import load_table
+    from coursera_etl_pipeline_spark.llm_ops.dedup import (
+        INCREMENTAL_BATCH_MOD,
+    )
+
+    root = scratch_dir("stream_bloom_")
+    bits_dir = f"{root}/bits"
+    is_batch = F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0
+    docs = load_table(spark, sf_dir, "documents")
+    _bloom_bits_slice(docs.filter(~is_batch), "corpus") \
+        .write.parquet(bits_dir)
+
+    schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    src = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", "documents.parquet")
+           .parquet(sf_dir))
+    tok = _ckpt_token(f"{root}/ckpt")
+    q = (src.filter(is_batch).writeStream
+         .foreachBatch(lambda bdf, epoch:
+                       apply_bloom_increment(bdf, bits_dir,
+                                             epoch_id=epoch,
+                                             run_token=tok))
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    # replay epoch 0 (restart-after-checkpoint-lag shape, same token):
+    # the marker must no-op it or the oracle fails on doubled batch rows
+    apply_bloom_increment(docs.filter(is_batch), bits_dir,
+                          epoch_id=0, run_token=tok)
+    return spark.read.parquet(bits_dir)
+
+
+def r18_stream_bloom_bits_oracle() -> str:
+    """Rebuild oracle for the deferred registration: distinct bit
+    positions per slice, from scratch — the streamed store must hash
+    equal, which certifies both the append and the replay no-op."""
+    from coursera_etl_pipeline_spark.llm_ops.dedup import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+        DUCK_CONTENT_FP,
+        INCREMENTAL_BATCH_MOD,
+    )
+
+    pos_exprs = ", ".join(
+        f"('0x' || substr(fp, {1 + 8 * h}, 8))::BIGINT % {BLOOM_BITS}"
+        for h in range(BLOOM_HASHES))
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, {DUCK_CONTENT_FP} AS fp FROM documents
+    ),
+    corpus AS (SELECT * FROM keyed WHERE doc_id % {INCREMENTAL_BATCH_MOD} != 0),
+    batch  AS (SELECT * FROM keyed WHERE doc_id % {INCREMENTAL_BATCH_MOD} = 0)
+    SELECT 'corpus' AS src, pos
+    FROM (SELECT DISTINCT unnest([{pos_exprs}]) AS pos FROM corpus)
+    UNION ALL
+    SELECT 'batch' AS src, pos
+    FROM (SELECT DISTINCT unnest([{pos_exprs}]) AS pos FROM batch)
+    """
+
+
+def stream_bloom_bits_parity(spark: SparkSession, sf_dir: str,
+                             force: bool = False) -> DataFrame:
+    """NOT yet @query-registered (round-18 queue — the r17 window
+    lands the registry on the 160 band edge); the in-suite parity
+    test certifies it against the rebuild oracle until then. Same
+    memory-sink memoization as the registered stream parities."""
+    name = "stream_bloom_" + re.sub(r"\W", "_", sf_dir).strip("_")
+    if _needs_run(spark, name, force):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        result = _run_stream_bloom_bits(spark, sf_dir)
+        result.createOrReplaceTempView(name)
+    return spark.table(name)

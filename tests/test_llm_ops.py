@@ -2731,3 +2731,29 @@ def test_pq_codes_stable_under_repartitioning(spark):
     a = sorted(map(tuple, ann_topk_pq(emb.repartition(1)).collect()))
     b = sorted(map(tuple, ann_topk_pq(emb.repartition(8)).collect()))
     assert a == b
+
+
+def test_r18_stream_bloom_bits_parity(spark, sf_dir):
+    """The streamed Bloom-bits store (real micro-batch engine +
+    replay-idempotent commit + deliberate epoch-0 replay inside the
+    runner) hash-equals the from-scratch rebuild — full value parity
+    against the oracle, plus the membership guarantee: every corpus
+    AND batch fingerprint's bits are set in the stored table."""
+    from coursera_etl_pipeline_spark.llm_ops.dedup import (
+        bloom_probe_audit,
+    )
+    from coursera_etl_pipeline_spark.streaming.parity import (
+        r18_stream_bloom_bits_oracle,
+        stream_bloom_bits_parity,
+    )
+
+    stored = stream_bloom_bits_parity(spark, sf_dir, force=True)
+    _duck_parity(stored, r18_stream_bloom_bits_oracle(), sf_dir)
+
+    # membership guarantee downstream: with the stored bits standing
+    # in for the filter, every exact dup in the batch still hits —
+    # cross-checked against the batch operator's own verdicts
+    from coursera_etl_pipeline_spark.catalog import load_table
+
+    audit = bloom_probe_audit(load_table(spark, sf_dir, "documents"))
+    assert audit.filter("exact_dup AND NOT bloom_hit").count() == 0
