@@ -46,6 +46,30 @@ _EDITED_THIS_ROUND = [
     # green rows predate the change, so they outrank everything the history
     # says is current.  Update per round alongside the round's edits.
     #
+    # Round 17: EMPTY — no forcing needed. The round registers the
+    # five PRE-BUILT operators from the COVERAGE.md round-16 queue
+    # (text_corpus_profile, sample_temporal_holdout, dedup_bloom_probe,
+    # dedup_minhash_calibration, similarity_ann_pq); they have no green
+    # rows at all, so the computed rotation already puts them first,
+    # followed by the 6 r13-green stream parities at the bound's worst
+    # case (VERDICT r16 item 2) and the stalest r14 rows.
+    #
+    # Round-17 carve-outs (files edited, NO forcing — each provably
+    # leaves every PREVIOUSLY-REGISTERED result unchanged):
+    #  - llm_ops/{text,sampling,dedup,similarity}.py gained only the
+    #    five @query wrapper functions binding the r16-landed cores to
+    #    the fixture tables — purely ADDITIVE diffs.
+    #  - dedup._duck_minhash_oracle was split into _duck_pair_ctes +
+    #    _duck_pair_select (so the calibration oracle can share one
+    #    sig chain, ADVICE r16); the recomposed oracle text is
+    #    BYTE-IDENTICAL for every consumer (hash-verified against the
+    #    pre-refactor snapshot — the r15 _duck_sig_ctes precedent).
+    #  - text.corpus_profile's token count moved from
+    #    COALESCE(size(...),0) to the conf-independent WHEN-isNull form
+    #    and session.py pins spark.sql.legacy.sizeOfNull=false
+    #    (ADVICE r16): corpus_profile is new this round (no green row),
+    #    and the conf pin changes no plan under the default conf.
+    #
     # Round 16: EMPTY — no forcing needed. The round registers the
     # seven PRE-BUILT operators from the COVERAGE.md round-15 queue
     # (dedup_minhash_keep_representative, sample_quality_mix,

@@ -69,6 +69,10 @@ HEADLINE = [
     "dedup_minhash_keep_representative",  # end-to-end dedup verdict:
     # LSH pairs + star-contraction components + LEFT join-back — the
     # only headline row that times the iterative components loop
+    "similarity_ann_pq",         # PQ/ADC: codes-frame equi-join on
+    # (sub, code) + broadcast LUT — a physical shape (byte-code corpus
+    # contact, no float vector shuffled at query time) no other
+    # headline ANN row times
 ]
 
 
@@ -260,6 +264,30 @@ _exclude(
     "similarity_lsh_index_delete",
 )
 _exclude(
+    "ONE source-keyed hash-aggregate (two bounded count-distinct "
+    "pre-aggregates); the wide-aggregate scan family timed by "
+    "q1_pricing_summary",
+    "text_corpus_profile",
+)
+_exclude(
+    "2-number min/max aggregate broadcast + map-side CASE (zero "
+    "corpus shuffle); the scalar-threshold broadcast family timed by "
+    "sample_stratified_hash's md5-filter row",
+    "sample_temporal_holdout",
+)
+_exclude(
+    "bounded <=2^14-row set-bit broadcast + 3-position probe explode: "
+    "the broadcast membership-probe family timed by text_decontaminate "
+    "(same shape, data-proportional probe side)",
+    "dedup_bloom_probe",
+)
+_exclude(
+    "re-runs the headline-timed dedup_minhash_lsh pair pipeline and "
+    "adds two O(|pairs|) signature equi-joins off the shared "
+    "materialized shingle index",
+    "dedup_minhash_calibration",
+)
+_exclude(
     "real-stream parity memoizes its memory sink (tableExists) — warm "
     "bench runs would time a cached-table read, not the stream",
     "stream_batch_parity", "stream_dedup_parity",
@@ -272,6 +300,45 @@ _exclude(
     "dedup_index_compact",
     "stream_lsh_index_delete_parity", "stream_dq_gate_parity",
 )
+
+
+def _pins() -> dict[str, float]:
+    """Per-query pins parsed from BASELINE.md §2's table — the single
+    source of truth (a duplicated dict here would drift from the
+    re-pin notes). Rows: `| name | engine sec | ...` with a bare
+    query-name first cell, between the '## 2.' and '## 3.' headings."""
+    import re
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE.md")
+    pins: dict[str, float] = {}
+    try:
+        with open(path) as fh:
+            text = fh.read()
+    except OSError:
+        return pins
+    m = re.search(r"^## 2\..*?(?=^## 3\.)", text, re.M | re.S)
+    if not m:
+        return pins
+    for line in m.group(0).splitlines():
+        cells = [c.strip() for c in line.strip().strip("|").split("|")]
+        if len(cells) >= 2 and re.fullmatch(r"[a-z0-9_]+", cells[0]):
+            try:
+                pins[cells[0]] = float(cells[1])
+            except ValueError:
+                pass
+    return pins
+
+
+def _microbench() -> float:
+    """Pure-CPU probe (~1.2 s on a quiet host, 2-3 s throttled) — the
+    same loop every adjudication session has used; bracketing the pass
+    places the host's state on the record."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(20_000_000):
+        s += i
+    return round(time.perf_counter() - t0, 2)
 
 
 def _materialize(df) -> None:
@@ -303,6 +370,7 @@ def main() -> None:
     # fast in one order and slow in the other. Results should be
     # order-invariant; this knob lets a round prove it.
     order = HEADLINE[::-1] if os.environ.get("SPARK_GRAFT_BENCH_REVERSE") else HEADLINE
+    mb_start = _microbench()
     for name in order:
         fn = queries.get(name)
         if fn is None:
@@ -328,7 +396,28 @@ def main() -> None:
             noisy_rows.append(name)
         per_query[name] = round(statistics.median(samples), 3)
 
+    mb_end = _microbench()
     total = round(sum(per_query.values()), 3)
+
+    # Self-adjudication (VERDICT r16 item 7): three consecutive rounds
+    # needed manual weather adjudication of the driver bench. Emit the
+    # session multiplier — median over pinned rows of measured/pin, a
+    # robust basket statistic (a single regressed row cannot move the
+    # median of 40+ rows; a hot host moves every row together) — plus
+    # per-row pin ratios raw AND normalized by that multiplier, so a
+    # reader separates host weather (multiplier >> 1, normalized ~1)
+    # from a real per-row regression (normalized >> 1) without
+    # re-litigating from COVERAGE notes. Pins parse from BASELINE.md §2
+    # (the single source of truth); unpinned rows (first bench of a new
+    # query) report null ratios and are excluded from the multiplier.
+    pins = _pins()
+    pin_ratios = {n: round(per_query[n] / pins[n], 2)
+                  for n in per_query if n in pins and pins[n] > 0}
+    multiplier = (round(statistics.median(pin_ratios.values()), 3)
+                  if pin_ratios else None)
+    normalized = ({n: round(r / multiplier, 2)
+                   for n, r in pin_ratios.items()}
+                  if multiplier else {})
     print(json.dumps({
         "metric": "headline_query_median_total",
         "value": total,
@@ -336,6 +425,12 @@ def main() -> None:
         "queries": per_query,
         "noisy_rows": noisy_rows,
         "sf": float(sf),
+        "pins_total": round(sum(pins[n] for n in per_query if n in pins), 3),
+        "session_multiplier": multiplier,
+        "microbench_sec": {"start": mb_start, "end": mb_end},
+        "pin_ratios": pin_ratios,
+        "normalized_ratios": normalized,
+        "unpinned_rows": sorted(n for n in per_query if n not in pins),
     }))
 
 

@@ -524,14 +524,17 @@ def _duck_sig_ctes() -> str:
     )"""
 
 
-def _duck_minhash_oracle(cand_where: str = "") -> str:
-    """DuckDB replica of the full minhash-LSH pipeline. The LCG
-    coefficients are fixed at import, so signatures, band buckets, the
-    candidate set, and the verified output are all exact expectations —
-    'probabilistic' describes the recall GUARANTEE, not the result.
-
-    ``cand_where`` optionally narrows the candidate self-join (e.g. the
-    incremental query keeps only pairs touching the new batch)."""
+def _duck_pair_ctes(cand_where: str = "") -> str:
+    """banded/cand/cnt/common CTE block — LSH banding over an IN-SCOPE
+    sh/xs/sig chain (see ``_duck_sig_ctes``) down to the per-candidate
+    common-shingle counts. Extracted from ``_duck_minhash_oracle`` so a
+    composing oracle (the r17 calibration audit) can splice the pair
+    recipe next to the SAME sig chain instead of nesting the whole
+    oracle and redeclaring sh/xs/sig at its outer scope (ADVICE r16 —
+    the shadowed duplicates computed the shingle/signature chain twice
+    per oracle run). ``_duck_minhash_oracle``'s emitted text is
+    byte-identical to the pre-refactor spelling (hash-verified, the
+    r15 `_duck_sig_ctes` precedent)."""
     rows_per = NUM_HASHES // NUM_BANDS
     band_cases = "\n          ".join(
         "WHEN {b} THEN md5({concat})".format(
@@ -539,8 +542,7 @@ def _duck_minhash_oracle(cand_where: str = "") -> str:
             concat=" || ',' || ".join(
                 f"CAST(mh{b * rows_per + r} AS VARCHAR)" for r in range(rows_per)))
         for b in range(NUM_BANDS))
-    return f"""
-    WITH {_duck_sig_ctes()}, banded AS (
+    return f"""banded AS (
       SELECT doc_id, b.band,
         CASE b.band
           {band_cases}
@@ -559,13 +561,33 @@ def _duck_minhash_oracle(cand_where: str = "") -> str:
         JOIN sh sa ON sa.doc_id = c.doc_a
         JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
       GROUP BY c.doc_a, c.doc_b
-    )
-    SELECT doc_a, doc_b,
+    )"""
+
+
+def _duck_pair_select() -> str:
+    """The verified-pair SELECT over an in-scope common/cnt pair block:
+    exact Jaccard from common-shingle counts, thresholded. Usable as a
+    top-level SELECT (``_duck_minhash_oracle``) or inside a CTE body
+    (the calibration oracle's mh_pairs)."""
+    return f"""SELECT doc_a, doc_b,
            round(cc * 1.0 / (ca.n + cb.n - cc), 6) AS jaccard
     FROM common
       JOIN cnt ca ON ca.doc_id = doc_a
       JOIN cnt cb ON cb.doc_id = doc_b
-    WHERE cc * 1.0 / (ca.n + cb.n - cc) >= {JACCARD_THRESHOLD}
+    WHERE cc * 1.0 / (ca.n + cb.n - cc) >= {JACCARD_THRESHOLD}"""
+
+
+def _duck_minhash_oracle(cand_where: str = "") -> str:
+    """DuckDB replica of the full minhash-LSH pipeline. The LCG
+    coefficients are fixed at import, so signatures, band buckets, the
+    candidate set, and the verified output are all exact expectations —
+    'probabilistic' describes the recall GUARANTEE, not the result.
+
+    ``cand_where`` optionally narrows the candidate self-join (e.g. the
+    incremental query keeps only pairs touching the new batch)."""
+    return f"""
+    WITH {_duck_sig_ctes()}, {_duck_pair_ctes(cand_where)}
+    {_duck_pair_select()}
     """
 
 
@@ -1749,17 +1771,24 @@ def minhash_calibration(docs: DataFrame) -> DataFrame:
 
 
 def r17_dedup_minhash_calibration_oracle() -> str:
-    """DuckDB oracle for the deferred registration: the ENTIRE
-    certified minhash pair oracle nests as one CTE, the shared
-    signature CTE chain supplies both sides' components, and the
-    16-term agreement sum + micro-unit rounding are spelled
-    identically to the engine."""
+    """DuckDB oracle for the registration: the sh/xs/sig chain is
+    declared ONCE and shared by the pair recipe (spliced via
+    ``_duck_pair_ctes`` / ``_duck_pair_select``) AND both signature
+    lookups — the 16-term agreement sum + micro-unit rounding are
+    spelled identically to the engine. (ADVICE r16: the previous
+    spelling nested the entire minhash oracle — which declares its own
+    sh/xs/sig — inside mh_pairs and then redeclared the chain at the
+    outer scope, computing the shingle/signature work twice and
+    shadowing the CTE names; this mirrors the engine's r16 fix of
+    deriving signatures from the same materialized shingle index.)"""
     agr = " + ".join(
         f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
         for i in range(NUM_HASHES))
     return f"""
-    WITH mh_pairs AS ({_duck_minhash_oracle()}),
-    {_duck_sig_ctes()}
+    WITH {_duck_sig_ctes()}, {_duck_pair_ctes()},
+    mh_pairs AS (
+      {_duck_pair_select()}
+    )
     SELECT p.doc_a, p.doc_b,
            p.jaccard AS exact_jaccard,
            CAST(floor(({agr}) * 1000000.0 / {float(NUM_HASHES)} + 0.5)
@@ -1772,3 +1801,23 @@ def r17_dedup_minhash_calibration_oracle() -> str:
       JOIN sig a ON a.doc_id = p.doc_a
       JOIN sig b ON b.doc_id = p.doc_b
     """
+
+
+@query("dedup_bloom_probe", oracle=r17_dedup_bloom_probe_oracle())
+def dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered round 17 under the pre-staged name (COVERAGE.md
+    round-16 queue): the Bloom seen-before sketch audit over the 90/10
+    corpus/batch split. Core, oracle, planted parity pytest
+    (test_r17_bloom_probe), and the fixture-wide no-false-negative
+    property test landed in r16."""
+    return bloom_probe_audit(load_table(spark, sf_dir, "documents"))
+
+
+@query("dedup_minhash_calibration",
+       oracle=r17_dedup_minhash_calibration_oracle())
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered round 17 under the pre-staged name (COVERAGE.md
+    round-16 queue): the minhash estimator-vs-truth calibration audit
+    over the LSH-verified pair set. Core, oracle, and planted parity
+    pytest (test_r17_minhash_calibration) landed in r16."""
+    return minhash_calibration(load_table(spark, sf_dir, "documents"))

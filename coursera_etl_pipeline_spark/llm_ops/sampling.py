@@ -1015,3 +1015,14 @@ def r17_sample_temporal_holdout_oracle() -> str:
                 ELSE 'embargo' END AS split
     FROM events, c
     """
+
+
+@query("sample_temporal_holdout",
+       oracle=r17_sample_temporal_holdout_oracle())
+def sample_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered round 17 under the pre-staged plan_audit name
+    (COVERAGE.md round-16 queue): the purged temporal train/test split
+    over events (embargo gap before the test era). Core, oracle,
+    planted parity pytest (test_r17_temporal_holdout), and the embargo
+    gap property test landed in r16."""
+    return temporal_holdout(load_table(spark, sf_dir, "events"))

@@ -1491,3 +1491,13 @@ def r17_similarity_ann_pq_oracle() -> str:
     SELECT query_id, neighbor_id, rank, adc_dist
     FROM ranked WHERE rank <= {TOP_K}
     """
+
+
+@query("similarity_ann_pq", oracle=r17_similarity_ann_pq_oracle())
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered round 17 under the pre-staged plan_audit name
+    (COVERAGE.md round-16 queue): PQ/ADC top-k ANN — the 64x
+    compression tier next to SQ8 and IVF-SQ8. Core, oracle, planted
+    parity pytest (test_r17_ann_pq), the repartition-stability property
+    test, and the min(struct) argmin plan review landed in r16."""
+    return ann_topk_pq(load_table(spark, sf_dir, "embeddings"))

@@ -1470,11 +1470,18 @@ def corpus_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     from coursera_etl_pipeline_spark.llm_ops.dedup import content_fp
 
     fp = content_fp(text_col)
-    ws = F.size(F.split(text_col, " "))
+    # NULL guard spelled as an explicit WHEN, not COALESCE(size(...), 0):
+    # under spark.sql.legacy.sizeOfNull=true size() returns -1 (not
+    # NULL) and a COALESCE silently keeps the -1, skewing the token
+    # total against the oracle (ADVICE r16). The WHEN form is
+    # conf-independent; session.py also pins the conf false for
+    # sessions this package creates.
+    ws = (F.when(F.col(text_col).isNull(), F.lit(0))
+          .otherwise(F.size(F.split(text_col, " "))))
     keyed = docs.select(
         "source", "lang",
         F.col(text_col).isNull().alias("is_null"),
-        F.coalesce(ws, F.lit(0)).cast("bigint").alias("toks"),
+        ws.cast("bigint").alias("toks"),
         fp.alias("fp"))
     prof = (keyed.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -1523,3 +1530,12 @@ def r17_text_corpus_profile_oracle() -> str:
                       + 0.5) AS BIGINT) AS dup_ratio_micro
     FROM prof
     """
+
+
+@query("text_corpus_profile", oracle=r17_text_corpus_profile_oracle())
+def text_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered round 17 under the pre-staged name (COVERAGE.md
+    round-16 queue): the per-source one-pass corpus health report.
+    Core, oracle, and planted parity pytest (test_r17_corpus_profile)
+    landed in r16."""
+    return corpus_profile(load_table(spark, sf_dir, "documents"))

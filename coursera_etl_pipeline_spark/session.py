@@ -100,6 +100,15 @@ def get_spark(app_name: str = "coursera_etl_pipeline_spark",
                 "128MB")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.session.timeZone", "UTC")
+        # size(NULL) must be NULL (the Spark 3+ default), never legacy
+        # -1: several scoring expressions rely on COALESCE(size(...),0)
+        # mapping NULL text to 0 tokens, and a legacy -1 would pass the
+        # COALESCE and silently skew token totals vs the DuckDB oracles
+        # (ADVICE r16). Pinned so a deployment-inherited legacy conf
+        # can't flip it; new code should still prefer the explicit
+        # WHEN isNull form (see text.corpus_profile), which needs no
+        # conf at all.
+        .config("spark.sql.legacy.sizeOfNull", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))

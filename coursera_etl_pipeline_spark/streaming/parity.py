@@ -2449,27 +2449,48 @@ def apply_bloom_increment(bdf: "DataFrame", bits_dir: str,
                           run_token: str | None = None) -> None:
     """One Bloom-bits append against parquet-backed storage: the
     arriving docs' distinct bit positions land as (src='batch', pos)
-    rows. Like the ANN append, the write side never READS bits_dir
-    (positions depend only on the batch), so the only obligation is
-    the replay-idempotent commit: purge+epoch-prefix move + marker
-    seal (a bare append would double bits on re-delivery — harmless
-    for membership semantics, corrosive for the stored artifact the
-    rebuild oracle certifies)."""
+    rows, LESS any position an earlier micro-batch already stored.
+
+    Two guards compose here (both needed — they cover different
+    re-delivery shapes):
+      - replay of the SAME epoch: purge+epoch-prefix move + marker
+        seal, exactly the band/ANN commit (a bare append would double
+        bits on re-delivery).
+      - a position shared across DIFFERENT micro-batches: the rebuild
+        oracle computes DISTINCT positions over the WHOLE batch slice,
+        so if availableNow splits the slice (multi-part source, a
+        maxFilesPerTrigger setting), a shared position appended by two
+        epochs would break parity spuriously (ADVICE r16). The staged
+        positions therefore anti-join the already-stored src='batch'
+        rows — a bounded read (the stored table holds at most
+        BLOOM_BITS rows per src, and the sketch's whole point is that
+        m is fixed), ordered AFTER this epoch's purge so a partially
+        committed prior attempt of the SAME epoch can't mask its own
+        re-append."""
     import shutil
     import tempfile
 
     marker = _epoch_marker(bits_dir, "inc", epoch_id, run_token)
     if _epoch_already_applied(marker):
         return  # replayed micro-batch: the append already landed
+    if epoch_id is not None:
+        prefix = _epoch_prefix("inc", epoch_id, run_token)
+        # purge BEFORE the stored-bits read: files from a failed prior
+        # attempt of this epoch must not feed the anti-join (they are
+        # about to be deleted — keeping their positions out of the
+        # store would lose bits)
+        _purge_epoch_files(bits_dir, prefix)
+    else:
+        prefix = None
+    stored_batch = (bdf.sparkSession.read.parquet(bits_dir)
+                    .filter(F.col("src") == "batch").select("pos"))
+    fresh = _bloom_bits_slice(bdf, "batch") \
+        .join(stored_batch, "pos", "left_anti")
     stage = tempfile.mkdtemp(prefix="bloom_inc_", dir=scratch_root())
     try:
-        _bloom_bits_slice(bdf, "batch").write.parquet(f"{stage}/bits")
-        if epoch_id is not None:
-            prefix = _epoch_prefix("inc", epoch_id, run_token)
-            _purge_epoch_files(bits_dir, prefix)
-        else:
-            prefix = os.path.basename(stage) + "_"
-        _move_commit(f"{stage}/bits", bits_dir, prefix)
+        fresh.write.parquet(f"{stage}/bits")
+        _move_commit(f"{stage}/bits", bits_dir,
+                     prefix or os.path.basename(stage) + "_")
         _seal_epoch(marker)
     finally:
         shutil.rmtree(stage, ignore_errors=True)

@@ -322,10 +322,37 @@ def test_multimodal_decode_malformed_raises_valueerror():
         (b"P6\n# no dims", "image/ppm", "netpbm"),
         (b"RIFF\x08\x00\x00\x00WAVEjunk", "audio/wav", "RIFF"),
         (b"ID3\x04\x00\x00\x00\x00\x00\x00no-sync", "audio/mp3", "sync"),
+        # FLAC (round 17): block header cut short / STREAMINFO body cut
+        # short / wrong first block type / reserved zero sample rate
+        (b"fLaC\x80\x00", "audio/flac", "block header cut short"),
+        (b"fLaC\x80\x00\x00\x22" + b"\x00" * 20, "audio/flac",
+         "STREAMINFO cut short"),
+        (b"fLaC\x84\x00\x00\x22" + b"\x00" * 34, "audio/flac",
+         "mandatory first"),
+        (b"fLaC\x80\x00\x00\x10" + b"\x00" * 34, "audio/flac",
+         "length 16 < 34"),
+        (_flac_bytes(rate=0), "audio/flac", "sample rate 0"),
     ]
     for payload, mt, msg in cases:
         with pytest.raises(ValueError, match=msg):
             multimodal.decode_media(payload, mt)
+
+
+def _flac_bytes(rate=44100, channels=2, bits=16, total=44100):
+    """Minimal well-formed FLAC prefix: magic + last-block STREAMINFO
+    header + the 34-byte STREAMINFO body with the given fields packed
+    at the spec's bit offsets (16+16+24+24 sizes, then 20-bit rate,
+    3-bit channels-1, 5-bit bits-1, 36-bit total samples, 128-bit md5
+    left zero)."""
+    info = bytearray(34)
+    info[0:2] = (4096).to_bytes(2, "big")   # min block size
+    info[2:4] = (4096).to_bytes(2, "big")   # max block size
+    info[10] = (rate >> 12) & 0xFF
+    info[11] = (rate >> 4) & 0xFF
+    info[12] = ((rate & 0xF) << 4) | ((channels - 1) << 1) | ((bits - 1) >> 4)
+    info[13] = (((bits - 1) & 0xF) << 4) | ((total >> 32) & 0xF)
+    info[14:18] = (total & 0xFFFFFFFF).to_bytes(4, "big")
+    return b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + bytes(info)
 
 
 def _jpeg_bytes(width=640, height=480):
@@ -418,6 +445,25 @@ def test_multimodal_decode_headers_real():
         "image/gif")
     assert (gif["width"], gif["height"]) == (12.0, 34.0)
 
+    # FLAC (round 17): exact duration from STREAMINFO's total-samples
+    # field — including a rate whose low nibble and a bit depth whose
+    # high bit cross the packed byte boundaries, and a >2^32 total
+    # exercising the 36-bit field's high nibble
+    flac = multimodal.decode_media(
+        _flac_bytes(rate=44100, channels=2, bits=16, total=88200),
+        "audio/flac")
+    assert flac == {"kind": "audio", "channels": 2.0,
+                    "sample_rate": 44100.0, "bits": 16.0,
+                    "n_frames": 88200.0, "duration_sec": 2.0}
+    odd = multimodal.decode_media(
+        _flac_bytes(rate=96001, channels=5, bits=24, total=(1 << 35) + 7),
+        "audio/flac")
+    assert (odd["channels"], odd["sample_rate"], odd["bits"],
+            odd["n_frames"]) == (5.0, 96001.0, 24.0, float((1 << 35) + 7))
+    # total == 0 is 'unknown' per spec: well-formed, zero duration
+    unk = multimodal.decode_media(_flac_bytes(total=0), "audio/flac")
+    assert (unk["n_frames"], unk["duration_sec"]) == (0.0, 0.0)
+
 
 def test_multimodal_real_mode_end_to_end(spark, tmp_path):
     """The full real path: media files on disk -> binaryFile ingest ->
@@ -428,6 +474,8 @@ def test_multimodal_real_mode_end_to_end(spark, tmp_path):
     (tmp_path / "c.jpg").write_bytes(_jpeg_bytes(1024, 768))
     mp3_raw = _mp3_bytes(5)
     (tmp_path / "d.mp3").write_bytes(mp3_raw)
+    (tmp_path / "e.flac").write_bytes(
+        _flac_bytes(rate=48000, channels=2, bits=24, total=96000))
     blobs = multimodal.read_blob_files(spark, str(tmp_path))
     feats = multimodal.extract_features(blobs, mode="real")
     by_type = {r.media_type: r.features for r in feats.collect()}
@@ -438,6 +486,8 @@ def test_multimodal_real_mode_end_to_end(spark, tmp_path):
     mp3f = by_type["audio/mp3"]
     assert mp3f[0] == 1.0 and mp3f[2] == 44100.0
     assert mp3f[5] == pytest.approx(len(mp3_raw) * 8 / 128000)
+    assert by_type["audio/flac"] == [
+        1.0, 2.0, 48000.0, 24.0, 96000.0, 2.0, 0.0, 0.0]
 
 
 def test_multimodal_real_mode_raises_per_batch_not_plan_time(spark, sf_dir):
@@ -2757,3 +2807,44 @@ def test_r18_stream_bloom_bits_parity(spark, sf_dir):
 
     audit = bloom_probe_audit(load_table(spark, sf_dir, "documents"))
     assert audit.filter("exact_dup AND NOT bloom_hit").count() == 0
+
+
+def test_bloom_increment_dedups_across_micro_batches(spark, tmp_path):
+    """A bit position delivered by TWO different micro-batches must be
+    stored once: the rebuild oracle computes DISTINCT positions over
+    the WHOLE batch slice, so a cross-epoch double-append would fail
+    parity spuriously whenever availableNow splits the slice into
+    several micro-batches — multi-part source files or a
+    maxFilesPerTrigger setting (ADVICE r16; the fixture happens to
+    deliver one micro-batch, which is why the runner never tripped).
+    Planted: two epochs share a document text (same fingerprint ->
+    identical bit positions); the second epoch's shared positions must
+    anti-join away, a replay of epoch 0 must still no-op via the
+    marker, and the stored batch rows must equal the from-scratch
+    distinct over BOTH slices."""
+    from coursera_etl_pipeline_spark.streaming.parity import (
+        _bloom_bits_slice,
+        apply_bloom_increment,
+    )
+
+    bits_dir = str(tmp_path / "bits")
+    corpus = spark.createDataFrame(
+        [(1, "corpus only text")], "doc_id long, text string")
+    _bloom_bits_slice(corpus, "corpus").write.parquet(bits_dir)
+
+    b0 = spark.createDataFrame(
+        [(10, "shared text"), (20, "epoch zero text")],
+        "doc_id long, text string")
+    b1 = spark.createDataFrame(
+        [(30, "shared text"), (40, "epoch one text")],
+        "doc_id long, text string")
+    apply_bloom_increment(b0, bits_dir, epoch_id=0, run_token="t")
+    apply_bloom_increment(b1, bits_dir, epoch_id=1, run_token="t")
+    apply_bloom_increment(b0, bits_dir, epoch_id=0, run_token="t")  # replay
+
+    stored = spark.read.parquet(bits_dir).filter("src = 'batch'")
+    got = sorted(r.pos for r in stored.collect())
+    assert len(got) == len(set(got)), "cross-epoch double-append"
+    expect = sorted(
+        r.pos for r in _bloom_bits_slice(b0.union(b1), "batch").collect())
+    assert got == expect
