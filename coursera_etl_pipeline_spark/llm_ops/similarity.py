@@ -1433,20 +1433,18 @@ def ann_topk_pq(emb: DataFrame, k: int = TOP_K,
                     F.round("_adc", 6).alias("adc_dist")))
 
 
-def r17_similarity_ann_pq_oracle() -> str:
-    """DuckDB oracle for the deferred registration: same frozen
-    codebook, same per-subspace argmin assignment, same ADC pivot-sum
-    in the same fixed subspace order, same (adc, neighbor_id) ranking
-    — every fold spelled via _duck_sub_l2 so accumulation order
-    matches the engine's aggregate()."""
+def _duck_pq_ctes() -> str:
+    """cb/assign/codes/q/lut CTE block — the frozen PQ codebook, the
+    per-subspace argmin code assignment (the oracle's independent
+    row_number formulation of the engine's min(struct) aggregate), the
+    query set, and the per-query ADC lookup table. Extracted from
+    ``r17_similarity_ann_pq_oracle`` (emission hash-verified
+    byte-identical) so the r18 IVF-PQ composition can splice the same
+    PQ recipe next to the IVF routing CTEs instead of respelling it —
+    the `_duck_sig_ctes` single-definition rule applied to PQ."""
     d_assign = _duck_sub_l2("e.embedding", "cb.cw_full", "cb.sub")
     d_lut = _duck_sub_l2("q.qv", "cb.cw_full", "cb.sub")
-    pivot = " + ".join(f"d{s}" for s in range(PQ_SUBSPACES))
-    pivot_cols = ",\n             ".join(
-        f"SUM(CASE WHEN l.sub = {s} THEN l._d END) AS d{s}"
-        for s in range(PQ_SUBSPACES))
-    return f"""
-    WITH cb AS (
+    return f"""cb AS (
       SELECT s.sub, CAST(vec_id AS INTEGER) AS code,
              embedding AS cw_full
       FROM embeddings,
@@ -1471,7 +1469,21 @@ def r17_similarity_ann_pq_oracle() -> str:
     lut AS (
       SELECT q.query_id, cb.sub, cb.code, {d_lut} AS _d
       FROM q, cb
-    ),
+    )"""
+
+
+def r17_similarity_ann_pq_oracle() -> str:
+    """DuckDB oracle for the registered query: same frozen
+    codebook, same per-subspace argmin assignment, same ADC pivot-sum
+    in the same fixed subspace order, same (adc, neighbor_id) ranking
+    — every fold spelled via _duck_sub_l2 so accumulation order
+    matches the engine's aggregate()."""
+    pivot = " + ".join(f"d{s}" for s in range(PQ_SUBSPACES))
+    pivot_cols = ",\n             ".join(
+        f"SUM(CASE WHEN l.sub = {s} THEN l._d END) AS d{s}"
+        for s in range(PQ_SUBSPACES))
+    return f"""
+    WITH {_duck_pq_ctes()},
     scored AS (
       SELECT l.query_id, c.vec_id AS neighbor_id,
              {pivot_cols}
@@ -1501,3 +1513,115 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity pytest (test_r17_ann_pq), the repartition-stability property
     test, and the min(struct) argmin plan review landed in r16."""
     return ann_topk_pq(load_table(spark, sf_dir, "embeddings"))
+
+
+# --- IVF-PQ composition (round-18 pre-build, r17) -----------------------------
+#
+# The production vector-store operating point (Jegou et al. 2011 §V;
+# every large-scale ANN system composes these two): IVF routing prunes
+# the corpus to n_probe cells, PQ/ADC scores inside the cells on
+# byte codes. Completes the quantized-search lattice — SQ8 (flat int8),
+# IVF-SQ8 (routed int8), PQ (flat codes), IVF-PQ (routed codes): at
+# 100 TB the corpus contact is n_probe/n_cells of the CODES frame,
+# i.e. pruning x 64x compression multiply. Registration deferred to
+# round 18 BEHIND stream_bloom_bits_parity (the registry sits on the
+# 160 band edge — the registering commit must execute the next
+# rotation-band revision); pinned registry name `similarity_ann_ivfpq`.
+
+
+def ann_topk_ivfpq(emb: DataFrame, k: int = TOP_K,
+                   n_queries: int = N_QUERIES, n_probe: int = N_PROBE,
+                   vec_col: str = "embedding") -> DataFrame:
+    """(query_id, neighbor_id, rank, adc_dist): top-k by IVF-routed
+    PQ/ADC — frozen fp32 centroids pick each query's n_probe cells
+    (ivf_assign's deterministic routing, the similarity_ann_quantized
+    precedent), then ADC scores ONLY the codes of vectors assigned to
+    probed cells.
+
+    Scale shape: query-side state (probes: |queries| x n_probe rows;
+    LUT: |queries| x M x codewords subspace distances) is broadcast;
+    corpus contact is the codes-joined-to-cells frame filtered by the
+    probe equi-join — n_probe/n_cells of the byte-code index, no float
+    corpus vector touched at query time. The per-(query, vec, sub)
+    expansion collapses through the same one-value-per-subspace
+    pivot-sum aggregate as ann_topk_pq.
+
+    Determinism: both fragments are frozen-parameter exact
+    expectations, so the composition is too — routing, codes, LUTs,
+    distances, and the (adc ASC, neighbor_id ASC) ranking all
+    cross-engine exact; adc_dist rounds to 6dp at the output boundary."""
+    from pyspark.sql import Window as W
+
+    assigned, centroids = ivf_assign(emb, vec_col)
+    codebook = pq_codebook(emb, vec_col)
+    codes = pq_codes(emb, codebook, vec_col)
+    queries = (emb.filter(F.col("vec_id") < n_queries)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col(vec_col).alias("qv")))
+    wprobe = W.partitionBy("query_id").orderBy(F.desc("csim"),
+                                               F.asc("cell_id"))
+    probes = (queries.crossJoin(F.broadcast(centroids))
+              .withColumn("csim", cosine("qv", "cv"))
+              .withColumn("rk", F.row_number().over(wprobe))
+              .filter(F.col("rk") <= n_probe)
+              .select("query_id", "cell_id"))
+    lut = (queries.join(F.broadcast(codebook))
+           .select("query_id", "sub", "code",
+                   _sub_l2("qv", "cw_full", "sub").alias("_d")))
+    cell_codes = (codes.join(assigned.select("vec_id", "cell_id"), "vec_id")
+                  .withColumnRenamed("vec_id", "neighbor_id"))
+    scored = (cell_codes.join(F.broadcast(probes), "cell_id")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .join(F.broadcast(lut), ["query_id", "sub", "code"])
+              .groupBy("query_id", "neighbor_id")
+              .agg(*[F.sum(F.when(F.col("sub") == s, F.col("_d")))
+                     .alias(f"_d{s}") for s in range(PQ_SUBSPACES)]))
+    adc = None
+    for s in range(PQ_SUBSPACES):
+        adc = F.col(f"_d{s}") if adc is None else adc + F.col(f"_d{s}")
+    w = W.partitionBy("query_id").orderBy(F.asc("_adc"), F.asc("neighbor_id"))
+    return (scored.withColumn("_adc", adc)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("_adc", 6).alias("adc_dist")))
+
+
+def r18_similarity_ann_ivfpq_oracle() -> str:
+    """DuckDB oracle for the deferred registration: the certified IVF
+    routing block (`_DUCK_IVF_ANN`: cent/assigned/probes) and the
+    certified PQ block (`_duck_pq_ctes`: cb/assign/codes/q/lut) splice
+    together unchanged, and the ADC scoring joins codes -> assigned
+    cell -> probes so only probed-cell vectors rank — the same
+    fixed-order pivot-sum and (adc, neighbor_id) ranking as the PQ
+    oracle."""
+    pivot = " + ".join(f"d{s}" for s in range(PQ_SUBSPACES))
+    pivot_cols = ",\n             ".join(
+        f"SUM(CASE WHEN l.sub = {s} THEN l._d END) AS d{s}"
+        for s in range(PQ_SUBSPACES))
+    return f"""
+    {_DUCK_IVF_ANN},
+    {_duck_pq_ctes()},
+    scored AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id,
+             {pivot_cols}
+      FROM codes c
+        JOIN assigned a ON a.vec_id = c.vec_id
+        JOIN probes p ON p.cell_id = a.cell_id
+        JOIN lut l ON l.query_id = p.query_id
+                  AND l.sub = c.sub AND l.code = c.code
+      WHERE c.vec_id != p.query_id
+      GROUP BY l.query_id, c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY ({pivot}) ASC, neighbor_id ASC) AS INTEGER)
+               AS rank,
+             round({pivot}, 6) AS adc_dist
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, adc_dist
+    FROM ranked WHERE rank <= {TOP_K}
+    """

@@ -1539,3 +1539,80 @@ def text_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Core, oracle, and planted parity pytest (test_r17_corpus_profile)
     landed in r16."""
     return corpus_profile(load_table(spark, sf_dir, "documents"))
+
+
+# --- hashed-projection embedding generation (round-18 pre-build, r17) ---------
+#
+# The engine's own embedding GENERATOR — the gap the r16 VERDICT named
+# ("embeddings are fixture inputs; a training-data pipeline user will
+# ask"). Model-based embedders are a library/GPU concern, but the
+# deterministic tier every large-scale pipeline also keeps — signed
+# feature hashing (Weinberger et al. 2009, "Feature Hashing for Large
+# Scale Multitask Learning", public; the same trick DSIR's hashed
+# bigrams already use) — is pure engine work: token -> hash bucket in
+# a FIXED dim-dimensional space, +/-1 sign from an independent hash
+# bit (makes the inner product an unbiased kernel estimate), per-doc
+# bucket sums. Exact integers end to end, so the generated vectors are
+# oracle-checkable, and the output feeds the similarity family
+# directly (pivot the long form to array<float> for cosine/ANN).
+# Registration deferred to round 18 behind stream_bloom_bits_parity
+# (160 band edge); pinned registry name `text_embed_hash`.
+
+EMBED_HASH_DIM = 64   # matches the fixture embeddings' dimensionality
+
+
+def embed_hash(docs: DataFrame, text_col: str = "text",
+               dim: int = EMBED_HASH_DIM) -> DataFrame:
+    """(doc_id, dim_id, weight): signed feature-hashing embedding in
+    long form — weight = sum over the doc's tokens hashing to dim_id
+    of that token's +/-1 sign.
+
+    bucket = md5[0:8] % dim, sign = parity of md5's 9th hex digit —
+    two windows of one md5 per DISTINCT token evaluation, the same
+    '0x'||substr idiom every hash-bucket oracle shares; both engines
+    compute identical BIGINT arithmetic so every weight is exact.
+
+    Scale shape: one token explode -> ONE hash-aggregate keyed
+    (doc_id, bucket) with per-doc state bounded by dim (map-side
+    partials collapse hot buckets) -> LEFT join back so NULL-text /
+    empty docs surface as (doc_id, NULL, NULL) instead of vanishing
+    (the DSIR featureless-doc convention). No corpus self-join, no
+    windows, no driver state — the shape survives any corpus size."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    md5 = F.md5(F.col("tok"))
+    bucket = F.conv(F.substring(md5, 1, 8), 16, 10).cast("bigint") % dim
+    sign = F.when(
+        F.conv(F.substring(md5, 9, 1), 16, 10).cast("bigint") % 2 == 0,
+        F.lit(1)).otherwise(F.lit(-1))
+    feats = (tok.groupBy("doc_id", bucket.alias("dim_id"))
+             .agg(F.sum(sign).cast("bigint").alias("weight")))
+    return (docs.select("doc_id").join(feats, "doc_id", "left")
+            .select("doc_id", "dim_id", "weight"))
+
+
+def r18_text_embed_hash_oracle() -> str:
+    """DuckDB oracle for the deferred registration: identical md5
+    windows, mod-dim bucket, parity sign, and exact BIGINT bucket sums
+    (SUM CASTs through BIGINT — the HUGEINT lesson); the LEFT join
+    surfaces featureless docs exactly like the engine."""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % {EMBED_HASH_DIM}
+               AS dim_id,
+             CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM tok
+    ),
+    feats AS (
+      SELECT doc_id, dim_id, CAST(SUM(s) AS BIGINT) AS weight
+      FROM h GROUP BY doc_id, dim_id
+    )
+    SELECT d.doc_id, f.dim_id, f.weight
+    FROM documents d LEFT JOIN feats f ON f.doc_id = d.doc_id
+    """

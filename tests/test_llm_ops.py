@@ -2693,6 +2693,119 @@ def test_r17_ann_pq(spark, sf_dir):
         r17_similarity_ann_pq_oracle(), sf_dir)
 
 
+def test_r18_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ composition (round-18 pre-build): every returned
+    neighbor must sit in one of its query's probed cells (the routing
+    actually prunes), an exact duplicate of a trainer ranks first at
+    ADC 0 when it shares the query's cells, results are stable under
+    repartitioning (frozen-parameter determinism), and the fixture
+    hash-matches the composed oracle."""
+    from coursera_etl_pipeline_spark.llm_ops.similarity import (
+        N_PROBE,
+        ann_topk_ivfpq,
+        ivf_assign,
+        r18_similarity_ann_ivfpq_oracle,
+    )
+
+    def vec(seed):
+        return [float((seed * 31 + j * 7) % 13) for j in range(64)]
+
+    rows = [(i, vec(i)) for i in range(16)] + [(20, vec(3)), (21, vec(5))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    topk = ann_topk_ivfpq(emb, n_queries=4).collect()
+
+    # routing really prunes: recompute each query's probed cells and
+    # the corpus assignment, assert membership for every result row
+    from pyspark.sql import functions as SF
+
+    assigned, centroids = ivf_assign(emb)
+    cell_of = {r.vec_id: r.cell_id
+               for r in assigned.select("vec_id", "cell_id").collect()}
+    # derive each query's probed cells from the same deterministic
+    # routing expression the operator uses
+    probes = {}
+    from coursera_etl_pipeline_spark.llm_ops.similarity import cosine
+    from pyspark.sql import Window as W
+
+    q = (emb.filter(SF.col("vec_id") < 4)
+         .select(SF.col("vec_id").alias("query_id"),
+                 SF.col("embedding").alias("qv")))
+    wp = W.partitionBy("query_id").orderBy(SF.desc("csim"),
+                                           SF.asc("cell_id"))
+    pr = (q.crossJoin(SF.broadcast(centroids))
+          .withColumn("csim", cosine("qv", "cv"))
+          .withColumn("rk", SF.row_number().over(wp))
+          .filter(SF.col("rk") <= N_PROBE).select("query_id", "cell_id")
+          .collect())
+    for r in pr:
+        probes.setdefault(r.query_id, set()).add(r.cell_id)
+    assert topk, "composition returned no rows"
+    for r in topk:
+        assert cell_of[r.neighbor_id] in probes[r.query_id], (
+            "neighbor outside the query's probed cells", r)
+    got = {(r.query_id, r.rank): r for r in topk}
+    # query 3's exact duplicate (vec 20) shares its cells by
+    # construction (identical vector -> identical routing), so it must
+    # lead at ADC distance 0
+    assert got[(3, 1)].neighbor_id == 20 and got[(3, 1)].adc_dist == 0.0
+
+    a = sorted(map(tuple, ann_topk_ivfpq(emb.repartition(1),
+                                         n_queries=4).collect()))
+    b = sorted(map(tuple, ann_topk_ivfpq(emb.repartition(8),
+                                         n_queries=4).collect()))
+    assert a == b
+
+    from coursera_etl_pipeline_spark.catalog import load_table
+    _duck_parity(
+        ann_topk_ivfpq(load_table(spark, sf_dir, "embeddings")),
+        r18_similarity_ann_ivfpq_oracle(), sf_dir)
+
+
+def test_r18_text_embed_hash(spark, sf_dir):
+    """Feature-hashing embedding generation (round-18 pre-build):
+    planted weights equal an independent hashlib recomputation (bucket
+    = md5[0:8] % dim, sign = parity of the 9th hex digit), NULL-text
+    docs surface as (doc_id, NULL, NULL) instead of vanishing, the
+    total |weight| mass is bounded by the token count, and the fixture
+    hash-matches the oracle."""
+    import hashlib
+
+    from coursera_etl_pipeline_spark.llm_ops.text import (
+        EMBED_HASH_DIM,
+        embed_hash,
+        r18_text_embed_hash_oracle,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha gamma"), (2, "beta"), (3, None), (4, "")],
+        "doc_id long, text string")
+    rows = embed_hash(docs).collect()
+
+    def expect(text):
+        out = {}
+        for t in text.split(" "):
+            h = hashlib.md5(t.encode()).hexdigest()
+            b = int(h[:8], 16) % EMBED_HASH_DIM
+            s = 1 if int(h[8], 16) % 2 == 0 else -1
+            out[b] = out.get(b, 0) + s
+        return out
+
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, {})[r.dim_id] = r.weight
+    assert got[1] == expect("alpha beta alpha gamma")
+    assert got[2] == expect("beta")
+    assert got[3] == {None: None}          # NULL text surfaces, not lost
+    assert got[4] == expect("")            # '' is one (hashable) token
+    n_toks = 4
+    assert sum(abs(w) for w in got[1].values()) <= n_toks
+
+    from coursera_etl_pipeline_spark.catalog import load_table
+    _duck_parity(
+        embed_hash(load_table(spark, sf_dir, "documents")),
+        r18_text_embed_hash_oracle(), sf_dir)
+
+
 def test_bloom_no_false_negatives_property(spark):
     """Property: for RANDOM corpus/batch duplicate topologies, every
     batch doc whose exact fingerprint exists in the corpus gets

@@ -137,6 +137,14 @@ ALLOWED = {
     # O(M x codewords) frozen training rows, the similarity_ann_ivf
     # centroid shape (similarity.py pq_codes/ann_topk_pq docstrings)
     ("similarity_ann_pq", "BroadcastNestedLoopJoin"),
+    # pre-staged for the round-18 deferred-registration queue
+    # (COVERAGE.md round-17 note; name fixed here so registration
+    # can't drift): IVF-PQ inherits BOTH parents' deliberate crosses —
+    # queries x broadcast(n_cells frozen centroids) routing and the
+    # PQ codebook assignment/LUT crosses above (text_embed_hash, the
+    # other r18 queue member, has a clean explode/agg/join plan and
+    # needs no row)
+    ("similarity_ann_ivfpq", "BroadcastNestedLoopJoin"),
 }
 
 NODES = (

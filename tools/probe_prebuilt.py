@@ -19,6 +19,15 @@ dedup_minhash_calibration, similarity_ann_pq (registration deferred
 to round 17 by the window arithmetic). The pre-build discipline
 (core + oracle + parity test a round ahead of registration) is how
 every r15/r16 operator shipped.
+
+Round 17 drained that queue in turn (all five registered, registry on
+the 160 band edge) and staged the round-18 batch ops:
+similarity_ann_ivfpq (IVF-routed PQ/ADC — the production
+vector-store operating point) and text_embed_hash (signed
+feature-hashing embedding generation). stream_bloom_bits_parity is
+also r18-queued but is a stream parity (memoized memory sink) — it
+rides its in-suite test, not this probe. All r18 registrations wait
+on the next rotation-band revision.
 """
 
 from __future__ import annotations
@@ -41,51 +50,33 @@ def _prebuilt():
     breaks provenance against plan_audit and the BASELINE.md rows).
 
     Contract change r16: values are (spark, sf_dir)-style callables,
-    not cores over a documents frame — the round-16 queue spans the
-    documents, events, AND embeddings tables.
+    not cores over a documents frame — the queue spans the documents,
+    events, AND embeddings tables.
 
-    Round-16 queue (registration deferred to round 17 by the window
-    arithmetic: the 50-slot window is consumed by the 6-row r13
-    cohort + 44 r14-stale rows; COVERAGE.md round-16 note):"""
+    Round-17 queue (registration deferred to round 18: the registry
+    sits exactly on the 160 band edge, so the registering commit must
+    execute the next rotation-band revision; COVERAGE.md round-17
+    note):"""
     from coursera_etl_pipeline_spark.catalog import load_table
-    from coursera_etl_pipeline_spark.llm_ops.dedup import (
-        bloom_probe_audit,
-        minhash_calibration,
-        r17_dedup_bloom_probe_oracle,
-        r17_dedup_minhash_calibration_oracle,
-    )
-    from coursera_etl_pipeline_spark.llm_ops.sampling import (
-        r17_sample_temporal_holdout_oracle,
-        temporal_holdout,
-    )
     from coursera_etl_pipeline_spark.llm_ops.similarity import (
-        ann_topk_pq,
-        r17_similarity_ann_pq_oracle,
+        ann_topk_ivfpq,
+        r18_similarity_ann_ivfpq_oracle,
     )
     from coursera_etl_pipeline_spark.llm_ops.text import (
-        corpus_profile,
-        r17_text_corpus_profile_oracle,
+        embed_hash,
+        r18_text_embed_hash_oracle,
     )
 
     def over(table, core):
         return lambda spark, sf_dir: core(load_table(spark, sf_dir, table))
 
     return {
-        "text_corpus_profile": (
-            over("documents", corpus_profile),
-            r17_text_corpus_profile_oracle()),
-        "sample_temporal_holdout": (
-            over("events", temporal_holdout),
-            r17_sample_temporal_holdout_oracle()),
-        "dedup_bloom_probe": (
-            over("documents", bloom_probe_audit),
-            r17_dedup_bloom_probe_oracle()),
-        "dedup_minhash_calibration": (
-            over("documents", minhash_calibration),
-            r17_dedup_minhash_calibration_oracle()),
-        "similarity_ann_pq": (
-            over("embeddings", ann_topk_pq),
-            r17_similarity_ann_pq_oracle()),
+        "similarity_ann_ivfpq": (
+            over("embeddings", ann_topk_ivfpq),
+            r18_similarity_ann_ivfpq_oracle()),
+        "text_embed_hash": (
+            over("documents", embed_hash),
+            r18_text_embed_hash_oracle()),
     }
 
 
