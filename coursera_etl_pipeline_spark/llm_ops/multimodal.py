@@ -599,6 +599,170 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "out_width", "out_height", "n_bytes"))
 
 
+# --- certified audio metadata over a golden mixed-codec fixture ---------------
+#
+# Round-18 pre-build (r17): the audio-decode path (WAV via stdlib
+# `wave`, MP3 frame header, FLAC STREAMINFO — all REAL header parses)
+# promoted to a driver-certifiable query: a deterministic 24-file
+# WAV/FLAC/MP3 corpus whose every parameter is a pure function of the
+# file index, so the DuckDB oracle rebuilds the expected metadata in
+# closed form (the _image_fixture_dir / multimodal_resize golden-
+# fixture pattern applied to audio). Closes the r17 "FLAC oracle row"
+# descope. Registration deferred to round 18 behind
+# stream_bloom_bits_parity (160 band edge); pinned registry name
+# `multimodal_audio_metadata`.
+
+N_FIXTURE_AUDIO = 24
+
+AUDIO_META_SCHEMA = ("name string, kind string, channels long, "
+                     "sample_rate long, bits long, n_frames long, "
+                     "duration_micro long, n_bytes long")
+
+
+@functools.lru_cache(maxsize=1)
+def _audio_fixture_dir() -> str:
+    """Write the deterministic audio corpus once per process. File i:
+      i%3==0 -> WAV  (rate 8000+(i%4)*4000, 1+(i%2) ch, 16-bit PCM,
+                      400*(i+1) frames; stdlib wave, canonical 44-byte
+                      header so n_bytes = 44 + frames*ch*2)
+      i%3==1 -> FLAC (magic + last-block STREAMINFO only, 42 bytes:
+                      rate 44100/48000 by parity, 2 ch,
+                      16/24-bit by i%4<2, 1000*(i+1) total samples)
+      i%3==2 -> MP3  (3+(i%5) CBR MPEG1 Layer-III frames at
+                      128 kbps / 44100 Hz mono, 417 bytes each)"""
+    import io
+    import wave
+
+    d = scratch_dir("mm_audio_")
+    for i in range(N_FIXTURE_AUDIO):
+        if i % 3 == 0:
+            rate, ch, frames = 8000 + (i % 4) * 4000, 1 + (i % 2), 400 * (i + 1)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(ch)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(bytes(2 * ch * frames))
+            data, ext = buf.getvalue(), "wav"
+        elif i % 3 == 1:
+            rate = 44100 if i % 2 == 0 else 48000
+            bits = 16 if i % 4 < 2 else 24
+            total = 1000 * (i + 1)
+            info = bytearray(34)
+            info[0:2] = (4096).to_bytes(2, "big")
+            info[2:4] = (4096).to_bytes(2, "big")
+            info[10] = (rate >> 12) & 0xFF
+            info[11] = (rate >> 4) & 0xFF
+            info[12] = ((rate & 0xF) << 4) | ((2 - 1) << 1) | ((bits - 1) >> 4)
+            info[13] = (((bits - 1) & 0xF) << 4) | ((total >> 32) & 0xF)
+            info[14:18] = (total & 0xFFFFFFFF).to_bytes(4, "big")
+            data = b"fLaC\x80" + (34).to_bytes(3, "big") + bytes(info)
+            ext = "flac"
+        else:
+            data = (b"\xff\xfb\x90\xc0" + b"\x00" * 413) * (3 + (i % 5))
+            ext = "mp3"
+        with open(f"{d}/aud_{i:02d}.{ext}", "wb") as fh:
+            fh.write(data)
+    return d
+
+
+def audio_metadata(blobs: DataFrame) -> DataFrame:
+    """(name, kind, channels, sample_rate, bits, n_frames,
+    duration_micro, n_bytes) per blob via the REAL header decoders —
+    mapInPandas over Arrow batches, payload bytes never leave the
+    executor. duration_micro = floor(duration_sec * 1e6 + 0.5): the
+    one float (an IEEE division identical on both engines) rounds to
+    an exact BIGINT at the output boundary, the dsum discipline
+    applied to decode metadata."""
+    import math
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("name", "kind", "channels",
+                                    "sample_rate", "bits", "n_frames",
+                                    "duration_micro", "n_bytes")}
+            for path, payload, mt, nb in zip(
+                    pdf["source_path"], pdf["payload"],
+                    pdf["media_type"], pdf["n_bytes"]):
+                meta = decode_media(bytes(payload), mt)
+                rows["name"].append(path.rsplit("/", 1)[-1])
+                rows["kind"].append(meta["kind"])
+                rows["channels"].append(int(meta["channels"]))
+                rows["sample_rate"].append(int(meta["sample_rate"]))
+                rows["bits"].append(int(meta["bits"]))
+                rows["n_frames"].append(int(meta["n_frames"]))
+                rows["duration_micro"].append(
+                    int(math.floor(meta["duration_sec"] * 1_000_000 + 0.5)))
+                rows["n_bytes"].append(int(nb))
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(batches, schema=AUDIO_META_SCHEMA)
+
+
+def multimodal_audio_metadata_core(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The future `multimodal_audio_metadata` registry callable
+    (deferred to r18): binaryFile ingest of the golden audio corpus ->
+    mapInPandas header decode -> typed metadata. sf_dir is unused (the
+    fixture is self-generated, the multimodal_resize convention)."""
+    return audio_metadata(read_blob_files(spark, _audio_fixture_dir()))
+
+
+def r18_multimodal_audio_metadata_oracle() -> str:
+    """Closed-form DuckDB oracle: rebuilds every file's parameters
+    from the index arithmetic and replays the decoders' duration
+    expressions with the identical IEEE operation order (frames/rate
+    then *1e6 then +0.5 then floor; MP3's int() truncation is floor on
+    the positive domain)."""
+    return f"""
+    WITH g AS (SELECT unnest(range({N_FIXTURE_AUDIO})) AS i),
+    w AS (
+      SELECT i, 8000 + (i % 4) * 4000 AS rate, 1 + (i % 2) AS ch,
+             400 * (i + 1) AS frames
+      FROM g WHERE i % 3 = 0
+    ),
+    f AS (
+      SELECT i, CASE WHEN i % 2 = 0 THEN 44100 ELSE 48000 END AS rate,
+             CASE WHEN i % 4 < 2 THEN 16 ELSE 24 END AS bits,
+             1000 * (i + 1) AS total
+      FROM g WHERE i % 3 = 1
+    ),
+    m AS (
+      SELECT i, 417 * (3 + (i % 5)) AS abytes FROM g WHERE i % 3 = 2
+    ),
+    rows_ AS (
+      SELECT i, CAST(ch AS BIGINT) AS channels,
+             CAST(rate AS BIGINT) AS sample_rate,
+             CAST(16 AS BIGINT) AS bits,
+             CAST(frames AS BIGINT) AS n_frames,
+             CAST(floor((CAST(frames AS DOUBLE) / rate) * 1000000.0
+                        + 0.5) AS BIGINT) AS duration_micro,
+             CAST(44 + frames * ch * 2 AS BIGINT) AS n_bytes,
+             'wav' AS ext
+      FROM w
+      UNION ALL
+      SELECT i, 2, CAST(rate AS BIGINT), CAST(bits AS BIGINT),
+             CAST(total AS BIGINT),
+             CAST(floor((CAST(total AS DOUBLE) / rate) * 1000000.0
+                        + 0.5) AS BIGINT),
+             42, 'flac'
+      FROM f
+      UNION ALL
+      SELECT i, 1, 44100, 0,
+             CAST(floor(CAST(abytes AS DOUBLE) * 8 / 128000 * 44100
+                        / 1152) AS BIGINT),
+             CAST(floor((CAST(abytes AS DOUBLE) * 8 / 128000)
+                        * 1000000.0 + 0.5) AS BIGINT),
+             CAST(abytes AS BIGINT), 'mp3'
+      FROM m
+    )
+    SELECT 'aud_' || lpad(CAST(i AS VARCHAR), 2, '0') || '.' || ext AS name,
+           'audio' AS kind, channels, sample_rate, bits, n_frames,
+           duration_micro, n_bytes
+    FROM rows_
+    """
+
+
 # --- perceptual-hash image near-dup (dHash) ---------------------------------
 #
 # Where the dedup and multimodal families meet: a 64-bit difference

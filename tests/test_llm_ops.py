@@ -2806,6 +2806,37 @@ def test_r18_text_embed_hash(spark, sf_dir):
         r18_text_embed_hash_oracle(), sf_dir)
 
 
+def test_r18_multimodal_audio_metadata(spark, sf_dir):
+    """Certified audio metadata over the golden mixed-codec fixture
+    (round-18 pre-build): the REAL WAV/FLAC/MP3 header decoders run
+    end-to-end through binaryFile + mapInPandas and hash-match the
+    closed-form oracle; two hand-computed rows cross-check the
+    arithmetic independently of both implementations."""
+    from coursera_etl_pipeline_spark.llm_ops.multimodal import (
+        N_FIXTURE_AUDIO,
+        multimodal_audio_metadata_core,
+        r18_multimodal_audio_metadata_oracle,
+    )
+
+    got = multimodal_audio_metadata_core(spark, sf_dir)
+    rows = {r.name: r for r in got.collect()}
+    assert len(rows) == N_FIXTURE_AUDIO
+
+    # hand-computed: file 0 is WAV (rate 8000, 1 ch, 400 frames ->
+    # 50 ms), file 1 is FLAC (48000 Hz — odd index, 2 ch, 16-bit,
+    # 2000 samples)
+    w0 = rows["aud_00.wav"]
+    assert (w0.kind, w0.channels, w0.sample_rate, w0.bits,
+            w0.n_frames, w0.duration_micro, w0.n_bytes) == (
+        "audio", 1, 8000, 16, 400, 50000, 44 + 400 * 2)
+    f1 = rows["aud_01.flac"]
+    assert (f1.kind, f1.channels, f1.sample_rate, f1.bits,
+            f1.n_frames, f1.n_bytes) == ("audio", 2, 48000, 16, 2000, 42)
+    assert f1.duration_micro == int(2000 / 48000 * 1_000_000 + 0.5)
+
+    _duck_parity(got, r18_multimodal_audio_metadata_oracle(), sf_dir)
+
+
 def test_bloom_no_false_negatives_property(spark):
     """Property: for RANDOM corpus/batch duplicate topologies, every
     batch doc whose exact fingerprint exists in the corpus gets

@@ -58,6 +58,10 @@ def _prebuilt():
     execute the next rotation-band revision; COVERAGE.md round-17
     note):"""
     from coursera_etl_pipeline_spark.catalog import load_table
+    from coursera_etl_pipeline_spark.llm_ops.multimodal import (
+        multimodal_audio_metadata_core,
+        r18_multimodal_audio_metadata_oracle,
+    )
     from coursera_etl_pipeline_spark.llm_ops.similarity import (
         ann_topk_ivfpq,
         r18_similarity_ann_ivfpq_oracle,
@@ -77,6 +81,12 @@ def _prebuilt():
         "text_embed_hash": (
             over("documents", embed_hash),
             r18_text_embed_hash_oracle()),
+        # golden-fixture query: ignores sf_dir (self-generated 24-file
+        # corpus, the multimodal_resize convention) — K-replica timing
+        # is a constant; it rides this dict for the type-parity gate
+        "multimodal_audio_metadata": (
+            multimodal_audio_metadata_core,
+            r18_multimodal_audio_metadata_oracle()),
     }
 
 
