@@ -238,3 +238,133 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
                 F.last("bucket_value", ignorenulls=True).over(w).alias("filled_value"))
     )
+
+
+# --- behavioral analytics: funnel + cohort retention (round-18 pre-build, r17)
+#
+# The two product-analytics queries every event-warehouse user runs
+# (the reference's Coursera-course domain is exactly this shape once
+# events exist). Both are pure aggregate/equi-join plans — no windows
+# over the raw stream, no per-user state beyond |users|-row frames —
+# so they scale as far as the events table does. Registration deferred
+# to round 18 (160 band edge; COVERAGE.md round-17 queue note); pinned
+# registry names `events_funnel` and `events_retention`.
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_depth(events: DataFrame,
+                 steps: tuple = FUNNEL_STEPS) -> DataFrame:
+    """(user_id, depth, t1_us, t2_us, t3_us): earliest strict-order
+    funnel completion per user — step k's timestamp is the MIN event
+    time of its type STRICTLY AFTER step k-1's (the standard greedy
+    funnel; greedy-earliest maximizes completion depth for
+    chronologically ordered steps, so depth is well-defined).
+
+    Scale shape: one |users|-row aggregate per step plus an equi-join
+    on user_id between consecutive steps — the user_id shuffle
+    partitioning is REUSED across every stage (no windows, no
+    collect_list of raw events, no per-user arrays). Timestamps stay
+    exact BIGINT epoch-micros end to end. NULL-timestamp events
+    propagate NULL through min/> and drop out of every step on both
+    engines identically; users whose events never reach step 1 emit
+    depth 0 via the distinct-users LEFT join (no silent row loss)."""
+    us = F.unix_micros(F.col("ts"))
+    cur = (events.filter(F.col("event_type") == steps[0])
+           .groupBy("user_id").agg(F.min(us).alias("u1")))
+    for k in range(2, len(steps) + 1):
+        nxt = (events.filter(F.col("event_type") == steps[k - 1])
+               .select("user_id", us.alias("_ts"))
+               .join(cur.select("user_id", f"u{k - 1}"), "user_id")
+               .filter(F.col("_ts") > F.col(f"u{k - 1}"))
+               .groupBy("user_id").agg(F.min("_ts").alias(f"u{k}")))
+        cur = cur.join(nxt, "user_id", "left")
+    users = events.select("user_id").distinct()
+    out = users.join(cur, "user_id", "left")
+    # deepest non-NULL step wins: wrap ascending so the outermost WHEN
+    # (built last, checked first) is the deepest step
+    depth = F.lit(0)
+    for k in range(1, len(steps) + 1):
+        depth = F.when(F.col(f"u{k}").isNotNull(), F.lit(k)).otherwise(depth)
+    return out.select(
+        "user_id", depth.cast("int").alias("depth"),
+        *[F.col(f"u{k}").alias(f"t{k}_us")
+          for k in range(1, len(steps) + 1)])
+
+
+def r18_events_funnel_oracle() -> str:
+    """DuckDB oracle: the identical step chain — per-step min over
+    epoch-micros strictly after the previous step, LEFT-joined onto
+    the distinct user set, deepest non-NULL step wins."""
+    s1, s2, s3 = FUNNEL_STEPS
+    return f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s1 AS (
+      SELECT user_id, MIN(CAST(epoch_us(ts) AS BIGINT)) AS u1
+      FROM events WHERE event_type = '{s1}' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(CAST(epoch_us(ts) AS BIGINT)) AS u2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = '{s2}' AND epoch_us(ts) > s1.u1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(CAST(epoch_us(ts) AS BIGINT)) AS u3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = '{s3}' AND epoch_us(ts) > s2.u2
+      GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           CAST(CASE WHEN s3.u3 IS NOT NULL THEN 3
+                     WHEN s2.u2 IS NOT NULL THEN 2
+                     WHEN s1.u1 IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS depth,
+           s1.u1 AS t1_us, s2.u2 AS t2_us, s3.u3 AS t3_us
+    FROM u
+      LEFT JOIN s1 USING (user_id)
+      LEFT JOIN s2 USING (user_id)
+      LEFT JOIN s3 USING (user_id)
+    """
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """(cohort_date, day_offset, n_active): the classic retention
+    triangle — users cohorted by first-seen calendar day, one row per
+    (cohort, day-offset) counting distinct users active that day.
+
+    Scale shape: one |users|-row min-date aggregate, one distinct
+    (user, day) aggregate, one equi-join on user_id, one final
+    bounded (cohorts x offsets) aggregate — no windows, no per-user
+    arrays. NULL timestamps flow as NULL cohort/offset groups (both
+    engines group NULLs identically) rather than being dropped."""
+    d = F.to_date("ts")
+    first = events.groupBy("user_id").agg(F.min(d).alias("cohort"))
+    act = events.select("user_id", d.alias("day")).distinct()
+    return (act.join(first, "user_id")
+            .select("cohort", F.datediff("day", "cohort").alias("day_offset"))
+            .groupBy("cohort", "day_offset")
+            .agg(F.count(F.lit(1)).alias("n_active"))
+            .select(F.date_format("cohort", "yyyy-MM-dd").alias("cohort_date"),
+                    F.col("day_offset").cast("int").alias("day_offset"),
+                    "n_active"))
+
+
+def r18_events_retention_oracle() -> str:
+    """DuckDB oracle: same min-date cohort, distinct activity days,
+    date difference, and count — dates formatted to the shared string
+    form, counts CAST through BIGINT (the HUGEINT lesson)."""
+    return """
+    WITH first AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_date,
+           CAST(datediff('day', f.cohort, a.day) AS INTEGER) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM act a JOIN first f USING (user_id)
+    GROUP BY f.cohort, datediff('day', f.cohort, a.day)
+    """

@@ -2837,6 +2837,92 @@ def test_r18_multimodal_audio_metadata(spark, sf_dir):
     _duck_parity(got, r18_multimodal_audio_metadata_oracle(), sf_dir)
 
 
+def test_r18_events_funnel(spark, sf_dir):
+    """Greedy-earliest funnel (round-18 pre-build): planted users pin
+    the strict-order semantics — full completion, out-of-order steps
+    stop the walk, step-1-only, no-step users at depth 0, and a
+    NULL-timestamp step contributing nothing; fixture parity against
+    the composed oracle."""
+    import datetime as dt
+
+    from coursera_etl_pipeline_spark.streaming.queries import (
+        funnel_depth,
+        r18_events_funnel_oracle,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, user, minutes, typ):
+        return (i, None if minutes is None
+                else t0 + dt.timedelta(minutes=minutes), user, typ)
+
+    rows = [
+        # user 1: view(0) -> click(10) -> purchase(20): depth 3
+        ev(1, 1, 0, "view"), ev(2, 1, 10, "click"), ev(3, 1, 20, "purchase"),
+        # user 2: view(0), purchase(5), click(10): click follows view
+        # but no purchase AFTER the click -> depth 2
+        ev(4, 2, 0, "view"), ev(5, 2, 5, "purchase"), ev(6, 2, 10, "click"),
+        # user 3: click(0) then view(5): no click after view -> depth 1
+        ev(7, 3, 0, "click"), ev(8, 3, 5, "view"),
+        # user 4: only errors -> depth 0
+        ev(9, 4, 0, "error"),
+        # user 5: a NULL-ts view only -> depth 0 (NULL drops from MIN)
+        ev(10, 5, None, "view"),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {r.user_id: r for r in funnel_depth(e).collect()}
+    assert len(got) == 5
+    assert [got[u].depth for u in (1, 2, 3, 4, 5)] == [3, 2, 1, 0, 0]
+    assert got[1].t3_us is not None and got[2].t3_us is None
+    # greedy-earliest: user 1's t2 is the first click after its view
+    assert got[1].t2_us == int((t0 + dt.timedelta(minutes=10))
+                               .replace(tzinfo=dt.timezone.utc).timestamp()
+                               * 1_000_000)
+
+    from coursera_etl_pipeline_spark.catalog import load_table
+    _duck_parity(funnel_depth(load_table(spark, sf_dir, "events")),
+                 r18_events_funnel_oracle(), sf_dir)
+
+
+def test_r18_events_retention(spark, sf_dir):
+    """Cohort retention triangle (round-18 pre-build): planted users
+    pin the first-seen cohort day, distinct-day counting (two events
+    one day count once), and the offset arithmetic; every cohort's
+    offset-0 row counts its full cohort; fixture parity against the
+    oracle."""
+    import datetime as dt
+
+    from coursera_etl_pipeline_spark.streaming.queries import (
+        r18_events_retention_oracle,
+        retention_cohorts,
+    )
+
+    def ev(i, user, day, hour=1):
+        return (i, dt.datetime(2024, 1, day, hour), user, "view")
+
+    rows = [
+        ev(1, 1, 1), ev(2, 1, 1, 9), ev(3, 1, 2), ev(4, 1, 4),
+        ev(5, 2, 1), ev(6, 2, 4),
+        ev(7, 3, 2), ev(8, 3, 3),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {(r.cohort_date, r.day_offset): r.n_active
+           for r in retention_cohorts(e).collect()}
+    assert got == {
+        ("2024-01-01", 0): 2,   # users 1, 2 (dup same-day event counts once)
+        ("2024-01-01", 1): 1,   # user 1
+        ("2024-01-01", 3): 2,   # users 1, 2
+        ("2024-01-02", 0): 1,   # user 3
+        ("2024-01-02", 1): 1,   # user 3
+    }
+
+    from coursera_etl_pipeline_spark.catalog import load_table
+    _duck_parity(retention_cohorts(load_table(spark, sf_dir, "events")),
+                 r18_events_retention_oracle(), sf_dir)
+
+
 def test_bloom_no_false_negatives_property(spark):
     """Property: for RANDOM corpus/batch duplicate topologies, every
     batch doc whose exact fingerprint exists in the corpus gets

@@ -70,6 +70,12 @@ def _prebuilt():
         embed_hash,
         r18_text_embed_hash_oracle,
     )
+    from coursera_etl_pipeline_spark.streaming.queries import (
+        funnel_depth,
+        r18_events_funnel_oracle,
+        r18_events_retention_oracle,
+        retention_cohorts,
+    )
 
     def over(table, core):
         return lambda spark, sf_dir: core(load_table(spark, sf_dir, table))
@@ -87,6 +93,12 @@ def _prebuilt():
         "multimodal_audio_metadata": (
             multimodal_audio_metadata_core,
             r18_multimodal_audio_metadata_oracle()),
+        "events_funnel": (
+            over("events", funnel_depth),
+            r18_events_funnel_oracle()),
+        "events_retention": (
+            over("events", retention_cohorts),
+            r18_events_retention_oracle()),
     }
 
 
