@@ -1591,13 +1591,13 @@ def embed_hash(docs: DataFrame, text_col: str = "text",
             .select("doc_id", "dim_id", "weight"))
 
 
-def r18_text_embed_hash_oracle() -> str:
-    """DuckDB oracle for the deferred registration: identical md5
-    windows, mod-dim bucket, parity sign, and exact BIGINT bucket sums
-    (SUM CASTs through BIGINT — the HUGEINT lesson); the LEFT join
-    surfaces featureless docs exactly like the engine."""
-    return f"""
-    WITH tok AS (
+def _duck_embed_feats_ctes() -> str:
+    """tok/h/feats CTE block — the feature-row half of the embed-hash
+    oracle (everything but the featureless-doc LEFT join), shared with
+    the streamed-maintenance rebuild oracle (`streaming/parity.py`)
+    so the hashing recipe is defined once (the `_duck_sig_ctes`
+    rule)."""
+    return f"""tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok
       FROM documents
     ),
@@ -1612,7 +1612,16 @@ def r18_text_embed_hash_oracle() -> str:
     feats AS (
       SELECT doc_id, dim_id, CAST(SUM(s) AS BIGINT) AS weight
       FROM h GROUP BY doc_id, dim_id
-    )
+    )"""
+
+
+def r18_text_embed_hash_oracle() -> str:
+    """DuckDB oracle for the deferred registration: identical md5
+    windows, mod-dim bucket, parity sign, and exact BIGINT bucket sums
+    (SUM CASTs through BIGINT — the HUGEINT lesson); the LEFT join
+    surfaces featureless docs exactly like the engine."""
+    return f"""
+    WITH {_duck_embed_feats_ctes()}
     SELECT d.doc_id, f.dim_id, f.weight
     FROM documents d LEFT JOIN feats f ON f.doc_id = d.doc_id
     """

@@ -2572,3 +2572,120 @@ def stream_bloom_bits_parity(spark: SparkSession, sf_dir: str,
         result = _run_stream_bloom_bits(spark, sf_dir)
         result.createOrReplaceTempView(name)
     return spark.table(name)
+
+
+# --- streamed embed-hash maintenance (round-18 pre-build, r17) -----------------
+#
+# The GENERATED-embedding artifact kept current by the real micro-batch
+# engine: the feature-hashing embedding store (llm_ops.text.embed_hash,
+# itself an r18 pre-build) gains arriving docs' (doc_id, dim_id,
+# weight) rows per ingest tick through the shared purge+epoch-prefix
+# commit. Extends the certified index-lifecycle family (band index,
+# IVF, LSH, Bloom sketch) to the embedding-generation artifact — the
+# store a retrieval tier reads at 100 TB. Registration pinned as
+# `stream_embed_hash_parity`, r18 queue (behind
+# stream_bloom_bits_parity; both need the band revision).
+
+
+def apply_embed_hash_increment(bdf: "DataFrame", emb_dir: str,
+                               epoch_id: int | None = None,
+                               run_token: str | None = None) -> None:
+    """One embedding-store append: the arriving docs' feature rows
+    land via the replay-idempotent purge+epoch-prefix commit. Like the
+    ANN append, the write never READS emb_dir — embed_hash is
+    per-document pure (a doc's bucket weights depend only on its own
+    tokens), so append == rebuild by construction. Unlike the Bloom
+    bits, NO cross-micro-batch anti-join is needed: every stored row
+    carries its doc_id and a document arrives in exactly one
+    micro-batch, so two ticks can never contribute the same row (the
+    ADVICE-r16 double-append class is structurally impossible here)."""
+    import shutil
+    import tempfile
+
+    from coursera_etl_pipeline_spark.llm_ops.text import embed_hash
+
+    marker = _epoch_marker(emb_dir, "inc", epoch_id, run_token)
+    if _epoch_already_applied(marker):
+        return  # replayed micro-batch: the append already landed
+    stage = tempfile.mkdtemp(prefix="embed_inc_", dir=scratch_root())
+    try:
+        (embed_hash(bdf).filter(F.col("dim_id").isNotNull())
+         .write.parquet(f"{stage}/emb"))
+        if epoch_id is not None:
+            prefix = _epoch_prefix("inc", epoch_id, run_token)
+            _purge_epoch_files(emb_dir, prefix)
+        else:
+            prefix = os.path.basename(stage) + "_"
+        _move_commit(f"{stage}/emb", emb_dir, prefix)
+        _seal_epoch(marker)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _run_stream_embed_hash(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """Seed the store from the frozen corpus slice, let the real
+    engine append the arriving batch slice's feature rows, replay
+    epoch 0 to prove the marker no-op, and return the store AS
+    STORED. The store holds FEATURE rows only (featureless docs have
+    nothing to store; the registered batch query surfaces them via
+    its LEFT join instead)."""
+    from coursera_etl_pipeline_spark.catalog import load_table
+    from coursera_etl_pipeline_spark.llm_ops.dedup import (
+        INCREMENTAL_BATCH_MOD,
+    )
+    from coursera_etl_pipeline_spark.llm_ops.text import embed_hash
+
+    root = scratch_dir("stream_embed_")
+    emb_dir = f"{root}/emb"
+    is_batch = F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0
+    docs = load_table(spark, sf_dir, "documents")
+    (embed_hash(docs.filter(~is_batch))
+     .filter(F.col("dim_id").isNotNull())
+     .write.parquet(emb_dir))
+
+    schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    src = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", "documents.parquet")
+           .parquet(sf_dir))
+    tok = _ckpt_token(f"{root}/ckpt")
+    q = (src.filter(is_batch).writeStream
+         .foreachBatch(lambda bdf, epoch:
+                       apply_embed_hash_increment(bdf, emb_dir,
+                                                  epoch_id=epoch,
+                                                  run_token=tok))
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    # replay epoch 0 (restart-after-checkpoint-lag shape, same token):
+    # the marker must no-op it or the oracle fails on doubled rows
+    apply_embed_hash_increment(docs.filter(is_batch), emb_dir,
+                               epoch_id=0, run_token=tok)
+    return spark.read.parquet(emb_dir)
+
+
+def r18_stream_embed_hash_oracle() -> str:
+    """Rebuild oracle: the shared feature-row CTE block over the WHOLE
+    documents table (corpus ∪ batch) — the streamed store must hash
+    equal, certifying both the append and the replay no-op."""
+    from coursera_etl_pipeline_spark.llm_ops.text import (
+        _duck_embed_feats_ctes,
+    )
+
+    return f"""
+    WITH {_duck_embed_feats_ctes()}
+    SELECT doc_id, dim_id, weight FROM feats
+    """
+
+
+def stream_embed_hash_parity(spark: SparkSession, sf_dir: str,
+                             force: bool = False) -> DataFrame:
+    """NOT yet @query-registered (round-18 queue, behind
+    stream_bloom_bits_parity — both wait on the band revision); the
+    in-suite parity test certifies it against the rebuild oracle
+    until then."""
+    name = "stream_embed_" + re.sub(r"\W", "_", sf_dir).strip("_")
+    if _needs_run(spark, name, force):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        result = _run_stream_embed_hash(spark, sf_dir)
+        result.createOrReplaceTempView(name)
+    return spark.table(name)

@@ -3039,6 +3039,29 @@ def test_r18_stream_bloom_bits_parity(spark, sf_dir):
     assert audit.filter("exact_dup AND NOT bloom_hit").count() == 0
 
 
+def test_r18_stream_embed_hash_parity(spark, sf_dir):
+    """The streamed embed-hash store (real micro-batch engine +
+    replay-idempotent commit + deliberate epoch-0 replay inside the
+    runner) hash-equals the from-scratch rebuild over corpus ∪ batch
+    — extending the index-lifecycle family to the generated-embedding
+    artifact; plus consistency with the batch query: the store's rows
+    are exactly the batch operator's non-NULL feature rows."""
+    from coursera_etl_pipeline_spark.catalog import load_table
+    from coursera_etl_pipeline_spark.llm_ops.text import embed_hash
+    from coursera_etl_pipeline_spark.streaming.parity import (
+        r18_stream_embed_hash_oracle,
+        stream_embed_hash_parity,
+    )
+
+    stored = stream_embed_hash_parity(spark, sf_dir, force=True)
+    _duck_parity(stored, r18_stream_embed_hash_oracle(), sf_dir)
+
+    batch = (embed_hash(load_table(spark, sf_dir, "documents"))
+             .filter("dim_id IS NOT NULL"))
+    assert (sorted(map(tuple, stored.collect()))
+            == sorted(map(tuple, batch.collect())))
+
+
 def test_bloom_increment_dedups_across_micro_batches(spark, tmp_path):
     """A bit position delivered by TWO different micro-batches must be
     stored once: the rebuild oracle computes DISTINCT positions over
