@@ -70,6 +70,21 @@ _EDITED_THIS_ROUND = [
     #    (ADVICE r16): corpus_profile is new this round (no green row),
     #    and the conf pin changes no plan under the default conf.
     #
+    # Round-17 later-session carve-outs (files edited, NO forcing):
+    #  - similarity.r17_similarity_ann_pq_oracle refactored through the
+    #    extracted _duck_pq_ctes (for the r18 IVF-PQ composition) —
+    #    emission hash-verified BYTE-IDENTICAL; similarity_ann_pq's
+    #    registered plan/oracle unchanged, re-proven by a post-refactor
+    #    oracle_check pass.
+    #  - llm_ops/{similarity,text,multimodal}.py + streaming/{parity,
+    #    queries}.py gained only the r18 PRE-BUILD functions (IVF-PQ,
+    #    embed_hash + its streamed parity, audio metadata, funnel,
+    #    retention) and the FLAC decoder — purely ADDITIVE; no
+    #    registered query's expression touches any of them
+    #    (decode_media is not on any registered path).
+    #  - dedup.minhash_index_artifacts gained a docstring-only storage
+    #    contract note (BASELINE §4 round-17).
+    #
     # Round 16: EMPTY — no forcing needed. The round registers the
     # seven PRE-BUILT operators from the COVERAGE.md round-15 queue
     # (dedup_minhash_keep_representative, sample_quality_mix,

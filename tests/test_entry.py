@@ -89,3 +89,23 @@ def test_every_query_has_a_bench_decision():
     assert stale == set(), f"exclusions for unregistered queries: {sorted(stale)}"
     for name, reason in bench.BENCH_EXCLUDED.items():
         assert reason.strip(), f"empty exclusion reason for {name}"
+
+
+def test_baseline_pins_parse_and_cover_headline():
+    """bench._pins() parses the BASELINE.md §2 table — the single
+    source of truth for the self-adjudication fields. A silent parse
+    failure (e.g. the §3 heading the section regex anchors on going
+    missing, which happened during a round-17 doc edit) degrades every
+    BENCH JSON to multiplier=None without any error; this pins the
+    parse loudly: the table yields a healthy pin count and every
+    HEADLINE row is pinned (a new headline row must get its first pin
+    in the same round it joins — the keep_representative/ann_pq
+    precedent)."""
+    import bench
+
+    pins = bench._pins()
+    assert len(pins) >= 40, (
+        f"BASELINE §2 pin parse collapsed to {len(pins)} rows — check "
+        "the '## 2.'/'## 3.' headings and the table format")
+    unpinned = [n for n in bench.HEADLINE if n not in pins]
+    assert unpinned == [], f"headline rows without a BASELINE pin: {unpinned}"
