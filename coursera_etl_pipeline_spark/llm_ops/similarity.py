@@ -1587,6 +1587,132 @@ def ann_topk_ivfpq(emb: DataFrame, k: int = TOP_K,
                     F.round("_adc", 6).alias("adc_dist")))
 
 
+def embed_hash_topk(docs: DataFrame, k: int = TOP_K,
+                    n_queries: int = N_QUERIES) -> DataFrame:
+    """(query_id, neighbor_id, rank, sim): exact cosine top-k over the
+    ENGINE-GENERATED feature-hashing embeddings — generation
+    (text.embed_hash) and retrieval composed end to end, no fixture
+    vectors involved. Round-18 pre-build (r17); pinned registry name
+    `similarity_embed_hash_topk`.
+
+    Determinism: weights are exact BIGINTs, so dots and norms are
+    exact integer sums (order-free — no float fold anywhere); the only
+    floats are one division and two IEEE-correct sqrts per pair,
+    spelled identically in the oracle. Zero vectors (featureless docs,
+    or full sign cancellation) score sim 0.0 via an explicit CASE
+    rather than NaN.
+
+    Scale shape: the long->dense pivot is one bounded hash-aggregate
+    (<= EMBED_HASH_DIM entries per doc via map_from_entries); queries
+    broadcast against the corpus exactly like
+    similarity_topk_bruteforce (the corpus side never shuffles; only
+    the per-query top-k window does). The IVF/LSH/PQ tiers compose on
+    top of the same generated vectors when corpus contact must
+    shrink."""
+    from pyspark.sql import Window as W
+
+    from coursera_etl_pipeline_spark.llm_ops.text import (
+        EMBED_HASH_DIM,
+        embed_hash,
+    )
+
+    from coursera_etl_pipeline_spark.llm_ops.dedup import _materialize
+
+    feats = embed_hash(docs).filter(F.col("dim_id").isNotNull())
+    dense = (feats.groupBy("doc_id")
+             .agg(F.map_from_entries(
+                 F.collect_list(F.struct("dim_id", "weight"))).alias("m")))
+    v = F.expr(
+        f"transform(sequence(0, {EMBED_HASH_DIM - 1}),"
+        f" i -> coalesce(element_at(m, CAST(i AS BIGINT)), 0L))")
+
+    def idot(a: str, b: str) -> Column:
+        return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+                      f" 0L, (acc, p) -> acc + p)")
+
+    # norms are PER-VECTOR — compute them once here, NOT per scored
+    # pair (the first probe of this plan folded qv*qv and nv*nv for
+    # every one of the |queries| x |corpus| pairs: 3 full-vector folds
+    # per pair instead of 1, and the pivot ran once per consumer —
+    # A/B'd at K=10, see the r18-queue BASELINE row); _materialize
+    # shares the pivoted frame between the query and corpus branches
+    vecs = _materialize(
+        docs.select("doc_id").join(dense, "doc_id", "left")
+        .select("doc_id", v.alias("v"))
+        .withColumn("nn", idot("v", "v")))
+
+    q = (vecs.filter(F.col("doc_id") < n_queries)
+         .select(F.col("doc_id").alias("query_id"),
+                 F.col("v").alias("qv"), F.col("nn").alias("qn")))
+    n = vecs.select(F.col("doc_id").alias("neighbor_id"),
+                    F.col("v").alias("nv"), F.col("nn").alias("bn"))
+    dd = idot("qv", "nv")
+    sim = (F.when((F.col("qn") == 0) | (F.col("bn") == 0), F.lit(0.0))
+           .otherwise(dd.cast("double")
+                      / (F.sqrt(F.col("qn").cast("double"))
+                         * F.sqrt(F.col("bn").cast("double")))))
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (F.broadcast(q).crossJoin(n)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("sim", sim)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("sim", 6).alias("sim")))
+
+
+def r18_similarity_embed_hash_topk_oracle() -> str:
+    """DuckDB oracle: the shared embed-hash feature CTEs, exact
+    integer dots/norms via a sparse dim_id equi-join COMPLETED to all
+    pairs with a LEFT join + COALESCE 0 (a pair with no common bucket
+    has dot 0 but must still rank — weights can be negative, so
+    missing pairs can outrank present ones), then the identical
+    CASE/division/sqrt and (sim DESC, neighbor_id) ranking."""
+    from coursera_etl_pipeline_spark.llm_ops.text import (
+        _duck_embed_feats_ctes,
+    )
+
+    return f"""
+    WITH {_duck_embed_feats_ctes()},
+    ids AS (SELECT doc_id FROM documents),
+    dots AS (
+      SELECT a.doc_id AS qid, b.doc_id AS nid,
+             CAST(SUM(a.weight * b.weight) AS BIGINT) AS dd
+      FROM feats a JOIN feats b ON a.dim_id = b.dim_id
+      WHERE a.doc_id < {N_QUERIES}
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    norms AS (
+      SELECT doc_id, CAST(SUM(weight * weight) AS BIGINT) AS nn
+      FROM feats GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT q.doc_id AS query_id, n.doc_id AS neighbor_id,
+             CASE WHEN COALESCE(nq.nn, 0) = 0 OR COALESCE(nb.nn, 0) = 0
+                  THEN 0.0
+                  ELSE CAST(COALESCE(d.dd, 0) AS DOUBLE)
+                       / (sqrt(CAST(nq.nn AS DOUBLE))
+                          * sqrt(CAST(nb.nn AS DOUBLE))) END AS sim
+      FROM ids q
+        JOIN ids n ON n.doc_id != q.doc_id
+        LEFT JOIN dots d ON d.qid = q.doc_id AND d.nid = n.doc_id
+        LEFT JOIN norms nq ON nq.doc_id = q.doc_id
+        LEFT JOIN norms nb ON nb.doc_id = n.doc_id
+      WHERE q.doc_id < {N_QUERIES}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank,
+             round(sim, 6) AS sim
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, sim
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
 def r18_similarity_ann_ivfpq_oracle() -> str:
     """DuckDB oracle for the deferred registration: the certified IVF
     routing block (`_DUCK_IVF_ANN`: cent/assigned/probes) and the

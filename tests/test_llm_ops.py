@@ -2837,6 +2837,39 @@ def test_r18_multimodal_audio_metadata(spark, sf_dir):
     _duck_parity(got, r18_multimodal_audio_metadata_oracle(), sf_dir)
 
 
+def test_r18_embed_hash_topk(spark, sf_dir):
+    """Generation -> retrieval end to end (round-18 pre-build): an
+    exact text duplicate has identical generated vectors and ranks
+    first at cosine 1.0; a NULL-text doc is a zero vector scoring 0.0
+    everywhere (never NaN); rankings are complete; fixture parity
+    against the sparse-join-completed oracle."""
+    from coursera_etl_pipeline_spark.llm_ops.similarity import (
+        embed_hash_topk,
+    )
+    from coursera_etl_pipeline_spark.llm_ops.similarity import (
+        r18_similarity_embed_hash_topk_oracle,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, None),
+         (2, "epsilon zeta eta theta"),
+         (30, "alpha beta gamma delta"),     # exact dup of doc 0
+         (31, "iota kappa lambda mu nu xi")],
+        "doc_id long, text string")
+    got = {(r.query_id, r.rank): r
+           for r in embed_hash_topk(docs, k=4, n_queries=3).collect()}
+    assert got[(0, 1)].neighbor_id == 30 and got[(0, 1)].sim == 1.0
+    # NULL-text query: zero vector -> sim 0.0 against every neighbor
+    assert all(got[(1, r)].sim == 0.0 for r in range(1, 5))
+    for qid in (0, 1, 2):
+        assert sorted(r for (q, r) in got if q == qid) == [1, 2, 3, 4]
+
+    from coursera_etl_pipeline_spark.catalog import load_table
+    _duck_parity(
+        embed_hash_topk(load_table(spark, sf_dir, "documents")),
+        r18_similarity_embed_hash_topk_oracle(), sf_dir)
+
+
 def test_r18_events_funnel(spark, sf_dir):
     """Greedy-earliest funnel (round-18 pre-build): planted users pin
     the strict-order semantics — full completion, out-of-order steps

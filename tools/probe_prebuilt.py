@@ -64,7 +64,9 @@ def _prebuilt():
     )
     from coursera_etl_pipeline_spark.llm_ops.similarity import (
         ann_topk_ivfpq,
+        embed_hash_topk,
         r18_similarity_ann_ivfpq_oracle,
+        r18_similarity_embed_hash_topk_oracle,
     )
     from coursera_etl_pipeline_spark.llm_ops.text import (
         embed_hash,
@@ -99,6 +101,9 @@ def _prebuilt():
         "events_retention": (
             over("events", retention_cohorts),
             r18_events_retention_oracle()),
+        "similarity_embed_hash_topk": (
+            over("documents", embed_hash_topk),
+            r18_similarity_embed_hash_topk_oracle()),
     }
 
 
