@@ -46,6 +46,31 @@ _EDITED_THIS_ROUND = [
     # green rows predate the change, so they outrank everything the history
     # says is current.  Update per round alongside the round's edits.
     #
+    # Round 18: EMPTY — no forcing needed. The round registers the
+    # EIGHT pre-built operators from the COVERAGE.md round-17 queue
+    # (stream_bloom_bits_parity FIRST as pinned, similarity_ann_ivfpq,
+    # text_embed_hash, stream_embed_hash_parity,
+    # similarity_embed_hash_topk, multimodal_audio_metadata,
+    # events_funnel, events_retention), executing the 160-crossing
+    # band revision in the registering commit (band now 120-175,
+    # bound ceil(168/50)=4 — COVERAGE.md rotation-currency paragraph
+    # + tests/test_entry_rotation.py updated together). All eight
+    # have no green rows at all, so the computed rotation already
+    # puts them first, followed by the 10-row r14 cohort (agg_approx,
+    # agg_approx_bounds, pipeline_courses_parity, q13, q16, q20, q21,
+    # window_*) and the 32 stalest r15 rows: 8 + 10 + 32 = 50 exactly.
+    #
+    # Round-18 carve-outs (files edited, NO forcing — each provably
+    # leaves every PREVIOUSLY-REGISTERED result unchanged):
+    #  - llm_ops/{text,similarity,multimodal}.py and
+    #    streaming/{parity,queries}.py gained only the eight @query
+    #    wrapper functions / decorators binding the r17-landed cores
+    #    to the fixture tables — purely ADDITIVE diffs; no registered
+    #    query's expression changed.
+    #  - tools/plan_audit.py gained the r18 allowlist rows
+    #    (embed_hash_topk broadcast cross, audio MapInPandas) and the
+    #    two EXECUTES_ON_BUILD stream entries — audit tooling only.
+    #
     # Round 17: EMPTY — no forcing needed. The round registers the
     # five PRE-BUILT operators from the COVERAGE.md round-16 queue
     # (text_corpus_profile, sample_temporal_holdout, dedup_bloom_probe,

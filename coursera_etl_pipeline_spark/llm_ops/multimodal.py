@@ -1001,3 +1001,15 @@ def dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return connected_components(dedup_image_dhash(spark, sf_dir))
+
+
+@query("multimodal_audio_metadata",
+       oracle=r18_multimodal_audio_metadata_oracle())
+def multimodal_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered round 18 under the pre-staged name (COVERAGE.md
+    round-17 queue): the audio decode path (WAV / MP3 frame header /
+    the r17 FLAC STREAMINFO parse) over the golden 24-file mixed-codec
+    fixture. Core, closed-form oracle, and planted parity pytest
+    (test_r18_multimodal_audio_metadata) landed in r17; closes the r17
+    'FLAC oracle row' descope note."""
+    return multimodal_audio_metadata_core(spark, sf_dir)

@@ -1751,3 +1751,27 @@ def r18_similarity_ann_ivfpq_oracle() -> str:
     SELECT query_id, neighbor_id, rank, adc_dist
     FROM ranked WHERE rank <= {TOP_K}
     """
+
+
+@query("similarity_ann_ivfpq", oracle=r18_similarity_ann_ivfpq_oracle())
+def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered round 18 under the pre-staged plan_audit name
+    (COVERAGE.md round-17 queue; the registering commit executes the
+    160-crossing band revision). Core, composed oracle, planted parity
+    pytest (test_r18_ann_ivfpq), and the pre-staged allowlist row
+    (broadcast frozen-centroid routing x broadcast codebook LUT, both
+    parents' deliberate crosses) landed in r17. Completes the
+    quantization lattice: SQ8 / IVF-SQ8 / PQ / IVF-PQ."""
+    return ann_topk_ivfpq(load_table(spark, sf_dir, "embeddings"))
+
+
+@query("similarity_embed_hash_topk",
+       oracle=r18_similarity_embed_hash_topk_oracle())
+def similarity_embed_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered round 18 under the pre-staged name (COVERAGE.md
+    round-17 queue): generation -> retrieval composed end to end over
+    the ENGINE-GENERATED feature-hashing embeddings. Core, sparse-
+    join-completed oracle, planted parity pytest
+    (test_r18_embed_hash_topk), and the per-vector-norm plan fix
+    (3.7x) landed in r17."""
+    return embed_hash_topk(load_table(spark, sf_dir, "documents"))

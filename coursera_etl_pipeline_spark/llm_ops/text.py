@@ -1625,3 +1625,12 @@ def r18_text_embed_hash_oracle() -> str:
     SELECT d.doc_id, f.dim_id, f.weight
     FROM documents d LEFT JOIN feats f ON f.doc_id = d.doc_id
     """
+
+
+@query("text_embed_hash", oracle=r18_text_embed_hash_oracle())
+def text_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered round 18 under the pre-staged name (COVERAGE.md
+    round-17 queue; the registering commit executes the 160-crossing
+    band revision). Core, oracle, and planted parity pytest
+    (test_r18_text_embed_hash) landed in r17."""
+    return embed_hash(load_table(spark, sf_dir, "documents"))

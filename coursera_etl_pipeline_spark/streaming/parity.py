@@ -2560,12 +2560,14 @@ def r18_stream_bloom_bits_oracle() -> str:
     """
 
 
+@query("stream_bloom_bits_parity", oracle=r18_stream_bloom_bits_oracle())
 def stream_bloom_bits_parity(spark: SparkSession, sf_dir: str,
                              force: bool = False) -> DataFrame:
-    """NOT yet @query-registered (round-18 queue — the r17 window
-    lands the registry on the 160 band edge); the in-suite parity
-    test certifies it against the rebuild oracle until then. Same
-    memory-sink memoization as the registered stream parities."""
+    """Registered round 18 FIRST in the queue, as pinned (COVERAGE.md
+    round-16 seed note; the registering commit executes the
+    160-crossing band revision). Core, rebuild oracle, and planted
+    parity pytest (test_r18_stream_bloom_bits_parity) landed in r16.
+    Same memory-sink memoization as the other stream parities."""
     name = "stream_bloom_" + re.sub(r"\W", "_", sf_dir).strip("_")
     if _needs_run(spark, name, force):
         spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -2677,12 +2679,14 @@ def r18_stream_embed_hash_oracle() -> str:
     """
 
 
+@query("stream_embed_hash_parity", oracle=r18_stream_embed_hash_oracle())
 def stream_embed_hash_parity(spark: SparkSession, sf_dir: str,
                              force: bool = False) -> DataFrame:
-    """NOT yet @query-registered (round-18 queue, behind
-    stream_bloom_bits_parity — both wait on the band revision); the
-    in-suite parity test certifies it against the rebuild oracle
-    until then."""
+    """Registered round 18 under the pre-staged name, behind
+    stream_bloom_bits_parity (COVERAGE.md round-17 queue): the
+    generated-embedding store kept current by the real micro-batch
+    engine. Core, rebuild oracle, and planted parity pytest
+    (test_r18_stream_embed_hash_parity) landed in r17."""
     name = "stream_embed_" + re.sub(r"\W", "_", sf_dir).strip("_")
     if _needs_run(spark, name, force):
         spark.conf.set("spark.sql.session.timeZone", "UTC")

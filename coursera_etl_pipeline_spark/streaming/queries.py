@@ -368,3 +368,21 @@ def r18_events_retention_oracle() -> str:
     FROM act a JOIN first f USING (user_id)
     GROUP BY f.cohort, datediff('day', f.cohort, a.day)
     """
+
+
+@query("events_funnel", oracle=r18_events_funnel_oracle())
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered round 18 under the pre-staged name (COVERAGE.md
+    round-17 queue): greedy-earliest strict-order funnel over events.
+    Core, oracle, and planted parity pytest (test_r18_events_funnel)
+    landed in r17."""
+    return funnel_depth(load_table(spark, sf_dir, "events"))
+
+
+@query("events_retention", oracle=r18_events_retention_oracle())
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered round 18 under the pre-staged name (COVERAGE.md
+    round-17 queue): the cohort retention triangle over events. Core,
+    oracle, and planted parity pytest (test_r18_events_retention)
+    landed in r17."""
+    return retention_cohorts(load_table(spark, sf_dir, "events"))

@@ -84,17 +84,20 @@ def test_edited_this_round_names_are_registered():
 def test_rotation_currency_bound_is_documented():
     """COVERAGE.md documents a ceil(N/50)=4-round certification-currency
     bound for the current registry size band (revised from 3 in round 16
-    when the seven pre-built registrations crossed 150 — the COVERAGE.md
-    round-15 note pinned this revision to land in the SAME commit as the
-    crossing registration, and pinned the new band at 100-160: the bound
-    stays ceil(N/50)=4 all the way to 200, but the deliberately narrow
-    band forces a fresh look at the rotation arithmetic at 160 rather
-    than letting the registry drift 40 more rows on autopilot). Both
-    halves are checked (ADVICE r11): the registry size sits inside the
-    band, AND the COVERAGE.md paragraph that publishes the bound
-    actually exists."""
+    when the seven pre-built registrations crossed 150; the band was
+    revised again in round 18 when the eight pre-built r18-queue
+    registrations crossed 160 — each revision lands in the SAME commit
+    as its crossing registration, per the round-15 pinned procedure.
+    The band is now 120-175: the bound stays ceil(N/50)=4 all the way
+    to 200, but the deliberately narrow band forces a fresh look at
+    the rotation arithmetic at 175 rather than letting the registry
+    drift on autopilot — and 175 keeps at least one full never-
+    certified window (<=50 new rows) of headroom below the 200 edge
+    where the bound itself would move to 5). Both halves are checked
+    (ADVICE r11): the registry size sits inside the band, AND the
+    COVERAGE.md paragraph that publishes the bound actually exists."""
     n = len(QUERIES)
-    assert 100 < n <= 160, (
+    assert 120 < n <= 175, (
         f"registry size {n} left the documented ceil(N/50)<=4 currency "
         "band — update COVERAGE.md's rotation-currency paragraph and this "
         "guard together"

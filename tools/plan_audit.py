@@ -145,6 +145,15 @@ ALLOWED = {
     # other r18 queue member, has a clean explode/agg/join plan and
     # needs no row)
     ("similarity_ann_ivfpq", "BroadcastNestedLoopJoin"),
+    # registered r18: broadcast(N_QUERIES generated vectors) x corpus
+    # on <> — the similarity_topk_bruteforce baseline shape over the
+    # engine-generated embed-hash vectors (similarity.embed_hash_topk
+    # docstring; the IVF/LSH/PQ tiers are the corpus-contact path)
+    ("similarity_embed_hash_topk", "BroadcastNestedLoopJoin"),
+    # Python-with-Arrow where no native expression exists: audio
+    # header decode over binary payloads (multimodal.audio_metadata)
+    ("multimodal_audio_metadata", "MapInPandas"),
+    ("multimodal_audio_metadata", "ArrowEvalPython"),
 }
 
 NODES = (
@@ -177,7 +186,11 @@ EXECUTES_ON_BUILD = {"stream_batch_parity", "stream_dedup_parity",
                      # same connected-components convergence loop on
                      # construction (real actions + localCheckpoint
                      # truncation) as the three rows above
-                     "dedup_minhash_keep_representative"}
+                     "dedup_minhash_keep_representative",
+                     # r18 registrations: both run a real availableNow
+                     # stream + replay probe on construction
+                     "stream_bloom_bits_parity",
+                     "stream_embed_hash_parity"}
 
 
 def formatted_plan(df) -> str:
