@@ -1,9 +1,17 @@
 """Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE compact JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+"session_multiplier": ..., "worst5_normalized": {...}, ...} — sized to
+survive the driver's 2000-char stdout capture (VERDICT r17 item 2);
+the FULL self-adjudication object (per-row pin/normalized ratios,
+unpinned rows, pin-parse failures) goes to BENCH_FULL_latest.json.
 
 Timing protocol (BASELINE.md §2): per query, one warm-up run then the
-median of 3 timed runs; value = sum of per-query medians.
+median of 3 timed runs; value = sum of per-query medians. A row whose
+3 samples show the storage-settling signature (strictly decreasing,
+>1.35x total drop — the r17 dedup_simhash curve) keeps sampling until
+its trailing 3 samples are stable and scores THEIR median (cap 10),
+reported under settled_rows.
 """
 
 from __future__ import annotations
@@ -73,6 +81,10 @@ HEADLINE = [
     # (sub, code) + broadcast LUT — a physical shape (byte-code corpus
     # contact, no float vector shuffled at query time) no other
     # headline ANN row times
+    "events_funnel",             # r18: per-step min-agg + equi-join
+    # chain reusing the user_id partitioning — the repeated
+    # same-key agg+join shape no other headline row times; its
+    # K-decade curve (BASELINE §4) is the product-analytics anchor
 ]
 
 
@@ -299,35 +311,82 @@ _exclude(
     "stream_index_multi_tick_parity",
     "dedup_index_compact",
     "stream_lsh_index_delete_parity", "stream_dq_gate_parity",
+    # r18 registrations: same memoized-memory-sink contract
+    "stream_bloom_bits_parity", "stream_embed_hash_parity",
+)
+_exclude(
+    "composes two headline-timed physical shapes (similarity_ann_ivf's "
+    "broadcast-centroid cell probe + similarity_ann_pq's codes-frame "
+    "equi-join/LUT scoring); the same reasoning that excludes "
+    "similarity_ann_quantized, and its K=10 probe decade row is in "
+    "BASELINE §4",
+    "similarity_ann_ivfpq",
+)
+_exclude(
+    "token explode + FIXED-64-bucket hash-agg + equi-join-back: the "
+    "explode/tf-aggregate family timed by text_tfidf_top_terms, with "
+    "bounded agg state (sample_dsir_importance's exact reasoning)",
+    "text_embed_hash",
+)
+_exclude(
+    "composes the excluded text_embed_hash generation pass with the "
+    "broadcast(N_QUERIES) x corpus top-k shape "
+    "similarity_topk_bruteforce already times; its K=100 inversion "
+    "(0.29x) is recorded in BASELINE §4",
+    "similarity_embed_hash_topk",
+)
+_exclude(
+    "fixed 24-file audio fixture: no scale signal (dedup_image_dhash's "
+    "exact reasoning)",
+    "multimodal_audio_metadata",
+)
+_exclude(
+    "min-date cohort agg + distinct (user, day) agg + one equi-join: "
+    "the distinct-agg/equi-join shapes timed by events_funnel and "
+    "window_latest_per_key; its K-decade curve is in BASELINE §4",
+    "events_retention",
 )
 
 
-def _pins() -> dict[str, float]:
+def _parse_pins() -> tuple[dict[str, float], list[str]]:
     """Per-query pins parsed from BASELINE.md §2's table — the single
     source of truth (a duplicated dict here would drift from the
     re-pin notes). Rows: `| name | engine sec | ...` with a bare
-    query-name first cell, between the '## 2.' and '## 3.' headings."""
+    query-name first cell, between the '## 2.' and '## 3.' headings.
+
+    Returns (pins, parse_failures): a query-name row whose engine-sec
+    cell does not parse as a bare float is COLLECTED, not silently
+    dropped (ADVICE r17: a future annotation like '0.79*' would
+    otherwise quietly remove the row from the multiplier basket and
+    pins_total with nothing in the record to show for it) — failures
+    surface in the BENCH JSON as pin_parse_failures."""
     import re
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BASELINE.md")
     pins: dict[str, float] = {}
+    failures: list[str] = []
     try:
         with open(path) as fh:
             text = fh.read()
     except OSError:
-        return pins
+        return pins, failures
     m = re.search(r"^## 2\..*?(?=^## 3\.)", text, re.M | re.S)
     if not m:
-        return pins
+        return pins, failures
     for line in m.group(0).splitlines():
         cells = [c.strip() for c in line.strip().strip("|").split("|")]
-        if len(cells) >= 2 and re.fullmatch(r"[a-z0-9_]+", cells[0]):
+        if (len(cells) >= 2 and re.fullmatch(r"[a-z0-9_]+", cells[0])
+                and cells[0] != "query"):  # the table's header row
             try:
                 pins[cells[0]] = float(cells[1])
             except ValueError:
-                pass
-    return pins
+                failures.append(cells[0])
+    return pins, failures
+
+
+def _pins() -> dict[str, float]:
+    return _parse_pins()[0]
 
 
 def _microbench() -> float:
@@ -370,18 +429,48 @@ def main() -> None:
     # fast in one order and slow in the other. Results should be
     # order-invariant; this knob lets a round prove it.
     order = HEADLINE[::-1] if os.environ.get("SPARK_GRAFT_BENCH_REVERSE") else HEADLINE
+    settled_rows: list[str] = []
+
+    def _settling(s: list[float]) -> bool:
+        # storage-settling signature (VERDICT r17 item 4: the r17
+        # dedup_simhash excursion was a first-pass page-cache warming
+        # curve — 11.48 -> 2.41 -> 1.60 -> 1.32 -> 1.26 -> 1.17 s in an
+        # isolated probe): every sample strictly faster than the last
+        # AND a >20% total drop. A stall episode is non-monotone (a
+        # spike with calm neighbors), so the two branches are disjoint.
+        # The 1.35x total-drop floor keeps ordinary decreasing-noise
+        # triples (0.62 -> 0.55 -> 0.50) out of the branch — the first
+        # probe of this detector at 1.2x swept 13 rows in, most of
+        # them plain noise.
+        return (len(s) >= 3
+                and all(s[i + 1] < s[i] for i in range(len(s) - 1))
+                and s[0] > 1.35 * s[-1])
+
     mb_start = _microbench()
     for name in order:
         fn = queries.get(name)
         if fn is None:
             continue
-        _materialize(fn(spark, SF_DIR))  # warm-up (parquet footer/code caches)
-        samples = []
-        for _ in range(3):
+
+        def timed() -> float:
             t0 = time.perf_counter()
             _materialize(fn(spark, SF_DIR))
-            samples.append(time.perf_counter() - t0)
-        if max(samples) > 2.5 * min(samples):
+            return time.perf_counter() - t0
+
+        _materialize(fn(spark, SF_DIR))  # warm-up (parquet footer/code caches)
+        samples = [timed() for _ in range(3)]
+        if _settling(samples):
+            # Don't median a settling curve — keep sampling until the
+            # trailing 3 samples are stable (or a 10-sample cap), then
+            # score the settled state; the row is reported so a reader
+            # can tell storage warm-up from a plan regression.
+            while len(samples) < 10 and (
+                    _settling(samples[-3:])
+                    or max(samples[-3:]) > 1.2 * min(samples[-3:])):
+                samples.append(timed())
+            samples = samples[-3:]
+            settled_rows.append(name)
+        elif max(samples) > 2.5 * min(samples):
             # This host absorbs multi-second external stall episodes
             # (round-10: identical plans 1.4 s -> 4.8 s back to back;
             # pure-CPU microbench clean between episodes — BASELINE.md
@@ -389,10 +478,7 @@ def main() -> None:
             # 3-sample set means an episode landed here; two more
             # samples make the median robust to it, and the row is
             # reported so a reader can tell weather from regression.
-            for _ in range(2):
-                t0 = time.perf_counter()
-                _materialize(fn(spark, SF_DIR))
-                samples.append(time.perf_counter() - t0)
+            samples += [timed() for _ in range(2)]
             noisy_rows.append(name)
         per_query[name] = round(statistics.median(samples), 3)
 
@@ -410,7 +496,7 @@ def main() -> None:
     # re-litigating from COVERAGE notes. Pins parse from BASELINE.md §2
     # (the single source of truth); unpinned rows (first bench of a new
     # query) report null ratios and are excluded from the multiplier.
-    pins = _pins()
+    pins, pin_failures = _parse_pins()
     pin_ratios = {n: round(per_query[n] / pins[n], 2)
                   for n in per_query if n in pins and pins[n] > 0}
     multiplier = (round(statistics.median(pin_ratios.values()), 3)
@@ -418,12 +504,21 @@ def main() -> None:
     normalized = ({n: round(r / multiplier, 2)
                    for n, r in pin_ratios.items()}
                   if multiplier else {})
-    print(json.dumps({
+
+    # Output contract (VERDICT r17 item 2): the driver records only the
+    # LAST 2000 chars of stdout, and r17's full self-adjudication JSON
+    # (3 per-row dicts) overflowed that window — BENCH_r17.json lost
+    # value/pins_total/multiplier to `parsed: null`. The FULL per-row
+    # object now goes to a sidecar file; stdout gets ONE compact line
+    # (summary scalars + per-query medians + worst-5 normalized),
+    # length-guarded by progressively dropping the optional keys.
+    full = {
         "metric": "headline_query_median_total",
         "value": total,
         "unit": "sec",
         "queries": per_query,
         "noisy_rows": noisy_rows,
+        "settled_rows": settled_rows,
         "sf": float(sf),
         "pins_total": round(sum(pins[n] for n in per_query if n in pins), 3),
         "session_multiplier": multiplier,
@@ -431,7 +526,41 @@ def main() -> None:
         "pin_ratios": pin_ratios,
         "normalized_ratios": normalized,
         "unpinned_rows": sorted(n for n in per_query if n not in pins),
-    }))
+        "pin_parse_failures": pin_failures,
+    }
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL_latest.json")
+    try:
+        with open(sidecar, "w") as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        sidecar = None  # read-only checkout: the compact line stands alone
+
+    worst5 = dict(sorted(normalized.items(),
+                         key=lambda kv: kv[1], reverse=True)[:5])
+    compact = {k: full[k] for k in (
+        "metric", "value", "unit", "queries", "noisy_rows", "settled_rows",
+        "sf", "pins_total", "session_multiplier", "microbench_sec")}
+    compact["worst5_normalized"] = worst5
+    compact["n_unpinned"] = len(full["unpinned_rows"])
+    compact["pin_parse_failures"] = pin_failures
+    compact["full_report"] = sidecar
+    line = json.dumps(compact)
+    # Length guard: the summary scalars + worst-5 carry the
+    # adjudication signal, so the row-name LISTS degrade to counts
+    # first (they remain in full in the sidecar).
+    for drop, count_key in (("settled_rows", "n_settled"),
+                            ("noisy_rows", "n_noisy"),
+                            ("microbench_sec", None),
+                            ("worst5_normalized", None)):
+        if len(line) <= 1950:
+            break
+        dropped = compact.pop(drop, None)
+        if count_key is not None and dropped is not None:
+            compact[count_key] = len(dropped)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
