@@ -71,6 +71,18 @@ _EDITED_THIS_ROUND = [
     #    (embed_hash_topk broadcast cross, audio MapInPandas) and the
     #    two EXECUTES_ON_BUILD stream entries — audit tooling only.
     #
+    # Round-18 later-session carve-outs (files edited, NO forcing):
+    #  - multimodal.decode_media now sniffs the post-ID3v2 magic
+    #    before the MP3 branch (ADVICE r17) — only ID3-prefixed FLAC
+    #    payloads (previously a ValueError) change behavior; no
+    #    fixture file is ID3-prefixed, so every registered decode
+    #    output is byte-identical (audio fixture re-verified green).
+    #  - parity.apply_bloom_increment guards the stored-bits read for
+    #    unseeded stores (ADVICE r17) — seeded paths (every
+    #    registered caller) keep the identical anti-join plan; the
+    #    affected query (stream_bloom_bits_parity) is new this round
+    #    and heads the window anyway (re-verified green post-change).
+    #
     # Round 17: EMPTY — no forcing needed. The round registers the
     # five PRE-BUILT operators from the COVERAGE.md round-16 queue
     # (text_corpus_profile, sample_temporal_holdout, dedup_bloom_probe,

@@ -131,19 +131,28 @@ def _decode_jpeg_header(payload: bytes) -> dict:
     raise ValueError("truncated JPEG: no SOF marker before end of payload")
 
 
+def _id3v2_size(payload: bytes) -> int:
+    """Total byte length of a leading ID3v2 tag: 10-byte header +
+    syncsafe 28-bit body size + the optional 10-byte footer (excluded
+    from the syncsafe size). Caller has checked payload[:3] == b'ID3'.
+    ID3v2 tags prefix MP3 AND (in the wild) FLAC payloads, so the
+    dispatcher uses this to sniff the post-tag magic before committing
+    to a codec branch (ADVICE r17)."""
+    if len(payload) < 10:
+        raise ValueError("truncated MP3: ID3 tag header cut short")
+    off = 10 + sum((payload[6 + k] & 0x7F) << (7 * (3 - k))
+                   for k in range(4))
+    if payload[5] & 0x10:           # ID3v2 footer flag
+        off += 10
+    return off
+
+
 def _decode_mp3_header(payload: bytes, n_bytes: int) -> dict:
     """Layer-III stream metadata from the first frame header: channel
     mode, sample rate, and the CBR duration estimate
     (audio_bytes * 8 / bitrate) — the same figure `mp3info`-style
     tools report without walking every frame."""
-    off = 0
-    if payload[:3] == b"ID3":       # skip ID3v2 tag: syncsafe 28-bit size
-        if len(payload) < 10:
-            raise ValueError("truncated MP3: ID3 tag header cut short")
-        off = 10 + sum((payload[6 + k] & 0x7F) << (7 * (3 - k))
-                       for k in range(4))
-        if payload[5] & 0x10:       # ID3v2 footer flag: 10 more bytes
-            off += 10               # excluded from the syncsafe size
+    off = _id3v2_size(payload) if payload[:3] == b"ID3" else 0
     h = payload[off:off + 4]
     if len(h) < 4 or h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
         raise ValueError("malformed MP3: no frame sync after tag")
@@ -251,8 +260,18 @@ def decode_media(payload: bytes, media_type: str) -> dict:
             ) from e
     if payload[:2] == b"\xff\xd8":
         return _decode_jpeg_header(payload)
-    if payload[:3] == b"ID3" or (
-            len(payload) >= 2 and payload[0] == 0xFF
+    if payload[:3] == b"ID3":
+        # ID3v2 tags prefix FLAC files in the wild too — sniff the
+        # post-tag magic before committing to the MP3 branch, else an
+        # ID3-tagged FLAC dies on a misleading 'no frame sync'
+        # (ADVICE r17). STREAMINFO offsets are magic-relative, so the
+        # tag is sliced off; MP3 keeps the whole payload (its CBR
+        # duration subtracts the tag from audio_bytes itself).
+        off = _id3v2_size(payload)
+        if payload[off:off + 4] == b"fLaC":
+            return _decode_flac_streaminfo(payload[off:])
+        return _decode_mp3_header(payload, len(payload))
+    if (len(payload) >= 2 and payload[0] == 0xFF
             and (payload[1] & 0xE0) == 0xE0):
         return _decode_mp3_header(payload, len(payload))
     if payload[:2] in {b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"}:

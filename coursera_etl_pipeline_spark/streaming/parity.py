@@ -29,6 +29,7 @@ import os
 import re
 import sys
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2482,10 +2483,19 @@ def apply_bloom_increment(bdf: "DataFrame", bits_dir: str,
         _purge_epoch_files(bits_dir, prefix)
     else:
         prefix = None
-    stored_batch = (bdf.sparkSession.read.parquet(bits_dir)
-                    .filter(F.col("src") == "batch").select("pos"))
-    fresh = _bloom_bits_slice(bdf, "batch") \
-        .join(stored_batch, "pos", "left_anti")
+    fresh = _bloom_bits_slice(bdf, "batch")
+    try:
+        # ADVICE r17: an unseeded store must accept its first
+        # increment — the anti-join only matters once earlier
+        # micro-batches have stored positions, so a missing/empty
+        # bits_dir simply skips it (AnalysisException covers both the
+        # absent path and a present-but-schemaless empty dir).
+        stored_batch = (bdf.sparkSession.read.parquet(bits_dir)
+                        .filter(F.col("src") == "batch").select("pos"))
+    except AnalysisException:
+        stored_batch = None
+    if stored_batch is not None:
+        fresh = fresh.join(stored_batch, "pos", "left_anti")
     stage = tempfile.mkdtemp(prefix="bloom_inc_", dir=scratch_root())
     try:
         fresh.write.parquet(f"{stage}/bits")

@@ -403,6 +403,37 @@ def test_multimodal_decode_jpeg_mp3_headers():
     assert mp3v1["duration_sec"] == pytest.approx(len(raw) * 8 / 128000)
 
 
+def test_multimodal_decode_id3_prefixed_flac():
+    """ADVICE r17: FLAC files carry leading ID3v2 tags in the wild —
+    the dispatcher must sniff the post-tag magic instead of assuming
+    ID3 == MP3 (which died on a misleading 'no frame sync')."""
+    flac = _flac_bytes(rate=48000, channels=2, bits=24, total=96000)
+    tagged = (b"ID3\x04\x00\x00" + bytes([0, 0, 0, 100]) + b"\x00" * 100
+              + flac)
+    meta = multimodal.decode_media(tagged, "audio/flac")
+    assert meta["kind"] == "audio"
+    assert meta["sample_rate"] == 48000.0 and meta["bits"] == 24.0
+    assert meta["duration_sec"] == pytest.approx(2.0)
+
+    # the footer flag shifts the magic too (the MP3 footer lesson)
+    footed = (b"ID3\x04\x00\x10" + bytes([0, 0, 0, 100])
+              + b"\x00" * 100 + b"3DI" + b"\x00" * 7 + flac)
+    assert multimodal.decode_media(footed, "audio/flac")["bits"] == 24.0
+
+    # malformed case: ID3-prefixed FLAC whose STREAMINFO is truncated
+    # must raise the FLAC error, not fall into the MP3 branch
+    broken = (b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
+              + b"fLaC\x80\x00\x00\x22" + b"\x00" * 20)
+    with pytest.raises(ValueError, match="STREAMINFO cut short"):
+        multimodal.decode_media(broken, "audio/flac")
+
+    # an ID3 tag followed by an MP3 frame still routes to MP3
+    mp3 = multimodal.decode_media(
+        b"ID3\x04\x00\x00" + bytes([0, 0, 0, 4]) + b"\x00" * 4
+        + _mp3_bytes(4), "audio/mp3")
+    assert mp3["bits"] == 0.0 and mp3["sample_rate"] == 44100.0
+
+
 def test_multimodal_decode_jpeg_eoi_before_sof_raises():
     """ADVICE r8: EOI (FFD9) must terminate the marker walk — reading a
     segment length past it would parse arbitrary trailing bytes. A
@@ -3070,6 +3101,30 @@ def test_r18_stream_bloom_bits_parity(spark, sf_dir):
 
     audit = bloom_probe_audit(load_table(spark, sf_dir, "documents"))
     assert audit.filter("exact_dup AND NOT bloom_hit").count() == 0
+
+
+def test_bloom_increment_accepts_unseeded_store(spark, sf_dir):
+    """ADVICE r17: the cross-micro-batch anti-join made the write path
+    read bits_dir unconditionally, so the FIRST increment against a
+    never-seeded store threw on the missing parquet dir. An unseeded
+    store must accept its first increment (and the second must still
+    anti-join the first's rows)."""
+    from coursera_etl_pipeline_spark.catalog import load_table, scratch_dir
+    from coursera_etl_pipeline_spark.streaming.parity import (
+        apply_bloom_increment,
+    )
+
+    bits_dir = f"{scratch_dir('bloom_unseeded_')}/bits"
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    apply_bloom_increment(docs, bits_dir, epoch_id=0, run_token="t0")
+    first = spark.read.parquet(bits_dir)
+    n1 = first.count()
+    assert n1 > 0 and first.filter("src != 'batch'").count() == 0
+    # second increment with overlapping docs: the anti-join drops the
+    # already-stored positions, so the stored table stays DISTINCT
+    apply_bloom_increment(docs, bits_dir, epoch_id=1, run_token="t0")
+    stored = spark.read.parquet(bits_dir)
+    assert stored.count() == stored.select("pos").distinct().count() == n1
 
 
 def test_r18_stream_embed_hash_parity(spark, sf_dir):
