@@ -304,8 +304,13 @@ def test_multimodal_blob_and_features(spark, sf_dir):
 
 
 def test_multimodal_decode_stub_raises():
-    # genuinely unsupported (video container): NotImplementedError
+    # genuinely unsupported (non-ISO-BMFF container / sample decode):
+    # NotImplementedError. MP4 left this class in round 18 — its
+    # container walk is real (test_multimodal_decode_mp4_container);
+    # a truncated MP4 now fails the supported-magic way (ValueError).
     with pytest.raises(NotImplementedError, match="codec"):
+        multimodal.decode_media(b"RIFFxxxxAVI LIST", "video/avi")
+    with pytest.raises(ValueError, match="MP4"):
         multimodal.decode_media(
             b"\x00\x00\x00\x18ftypmp42 video-ish", "video/mp4")
 
@@ -353,6 +358,93 @@ def _flac_bytes(rate=44100, channels=2, bits=16, total=44100):
     info[13] = (((bits - 1) & 0xF) << 4) | ((total >> 32) & 0xF)
     info[14:18] = (total & 0xFFFFFFFF).to_bytes(4, "big")
     return b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + bytes(info)
+
+
+def _mp4_box(btype, body):
+    return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+
+def _mp4_bytes(timescale=600, duration=1800, v=0, tracks=((320, 240),)):
+    """Minimal ISO BMFF skeleton: ftyp + moov(mvhd + trak(tkhd)...) —
+    container boxes only, no sample data (the FLAC-prefix fixture
+    discipline applied to MP4)."""
+    if v == 1:
+        mvhd = (bytes([1, 0, 0, 0]) + b"\x00" * 16
+                + timescale.to_bytes(4, "big") + duration.to_bytes(8, "big"))
+    else:
+        mvhd = (bytes(4) + b"\x00" * 8
+                + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big"))
+    moov_body = _mp4_box(b"mvhd", mvhd)
+    for w, h in tracks:
+        tkhd = (bytes(4) + b"\x00" * 72
+                + int(w * 65536).to_bytes(4, "big")
+                + int(h * 65536).to_bytes(4, "big"))
+        moov_body += _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd))
+    return (_mp4_box(b"ftyp", b"isom\x00\x00\x00\x00")
+            + _mp4_box(b"moov", moov_body))
+
+
+def test_multimodal_decode_mp4_container():
+    """Round 18 (VERDICT r17 item 7): MP4/ISO-BMFF container decode is
+    a declared-size box walk — duration from moov/mvhd (v0 and v1),
+    track count + max presentation dims from the tkhd boxes."""
+    meta = multimodal.decode_media(_mp4_bytes(), "video/mp4")
+    assert meta["kind"] == "video"
+    assert meta["duration_sec"] == pytest.approx(3.0)
+    assert (meta["n_tracks"], meta["width"], meta["height"]) == (1.0, 320.0, 240.0)
+
+    # v1 mvhd: 64-bit duration; a second (audio) track carries 0x0
+    # dims and must not shrink the max
+    m2 = multimodal.decode_media(
+        _mp4_bytes(timescale=90000, duration=90000 * 7200 + 45000, v=1,
+                   tracks=((1920, 1080), (0, 0))), "video/mp4")
+    assert m2["duration_sec"] == pytest.approx(7200.5)
+    assert (m2["n_tracks"], m2["width"], m2["height"]) == (2.0, 1920.0, 1080.0)
+
+    # size==0 (to-end) on the last box and size==1 (largesize) both walk
+    raw = _mp4_bytes()
+    ftyp_len = 16
+    moov = bytearray(raw)
+    moov[ftyp_len:ftyp_len + 4] = (0).to_bytes(4, "big")
+    assert multimodal.decode_media(bytes(moov), "video/mp4")[
+        "duration_sec"] == pytest.approx(3.0)
+    moov_body = raw[ftyp_len + 8:]
+    large = (raw[:ftyp_len] + (1).to_bytes(4, "big") + b"moov"
+             + (16 + len(moov_body)).to_bytes(8, "big") + moov_body)
+    assert multimodal.decode_media(large, "video/mp4")[
+        "duration_sec"] == pytest.approx(3.0)
+
+
+def test_multimodal_decode_mp4_malformed():
+    """Truncated/malformed containers raise contextual ValueError —
+    never garbage metadata — and non-BMFF video stays the documented
+    NotImplementedError."""
+    # a box that declares more bytes than the payload holds
+    raw = bytearray(_mp4_bytes())
+    raw[16:20] = (1 << 24).to_bytes(4, "big")  # moov size absurd
+    with pytest.raises(ValueError, match="overruns|ends at"):
+        multimodal.decode_media(bytes(raw), "video/mp4")
+    # ftyp alone: no moov/mvhd anywhere
+    with pytest.raises(ValueError, match="no moov/mvhd"):
+        multimodal.decode_media(
+            _mp4_box(b"ftyp", b"isom\x00\x00\x00\x00"), "video/mp4")
+    # timescale 0
+    with pytest.raises(ValueError, match="timescale 0"):
+        multimodal.decode_media(_mp4_bytes(timescale=0), "video/mp4")
+    # tkhd cut short
+    bad_tkhd = (_mp4_box(b"ftyp", b"isom\x00\x00\x00\x00")
+                + _mp4_box(b"moov",
+                           _mp4_box(b"mvhd", bytes(4) + b"\x00" * 8
+                                    + (600).to_bytes(4, "big")
+                                    + (600).to_bytes(4, "big"))
+                           + _mp4_box(b"trak",
+                                      _mp4_box(b"tkhd", bytes(20)))))
+    with pytest.raises(ValueError, match="tkhd cut short"):
+        multimodal.decode_media(bad_tkhd, "video/mp4")
+    # mkv (EBML magic) is not ISO BMFF: still the documented stub
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\x1a\x45\xdf\xa3" + b"\x00" * 64,
+                                "video/mkv")
 
 
 def _jpeg_bytes(width=640, height=480):
@@ -2866,6 +2958,33 @@ def test_r18_multimodal_audio_metadata(spark, sf_dir):
     assert f1.duration_micro == int(2000 / 48000 * 1_000_000 + 0.5)
 
     _duck_parity(got, r18_multimodal_audio_metadata_oracle(), sf_dir)
+
+
+def test_r19_multimodal_video_metadata(spark, sf_dir):
+    """Video container metadata (round-19 pre-build): the golden MP4
+    corpus decodes through the real ISO-BMFF box walk — planted
+    expectations for both mvhd versions and the two-trak shape, and
+    fixture parity against the closed-form oracle."""
+    from coursera_etl_pipeline_spark.llm_ops.multimodal import (
+        multimodal_video_metadata_core,
+        r19_multimodal_video_metadata_oracle,
+    )
+
+    got = multimodal_video_metadata_core(spark, sf_dir)
+    rows = {r.name: r for r in got.collect()}
+    assert len(rows) == 18
+    # file 0: v0 mvhd, ts 600, dur 600 -> exactly 1 s, single trak
+    r0 = rows["vid_00.mp4"]
+    assert (r0.kind, r0.n_tracks, r0.width, r0.height) == ("video", 1, 320, 240)
+    assert r0.duration_micro == 1_000_000
+    assert r0.n_bytes == 24 + 28 + 100
+    # file 1: v1 mvhd (64-bit duration path), audio trak doesn't
+    # shrink the max dims; dur = 1200*2 + 37 -> 2.030833... s
+    r1 = rows["vid_01.mp4"]
+    assert (r1.n_tracks, r1.width, r1.height) == (2, 336, 256)
+    assert r1.duration_micro == int((1200 * 2 + 37) / 1200 * 1e6 + 0.5)
+    assert r1.n_bytes == 24 + 40 + 200
+    _duck_parity(got, r19_multimodal_video_metadata_oracle(), sf_dir)
 
 
 def test_r18_embed_hash_topk(spark, sf_dir):

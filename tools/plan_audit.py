@@ -154,6 +154,12 @@ ALLOWED = {
     # header decode over binary payloads (multimodal.audio_metadata)
     ("multimodal_audio_metadata", "MapInPandas"),
     ("multimodal_audio_metadata", "ArrowEvalPython"),
+    # pre-staged for the round-19 deferred-registration queue
+    # (COVERAGE.md round-18 note; name fixed here so registration
+    # can't drift): the ISO-BMFF box walk over binary payloads is the
+    # same no-native-expression class as the audio row above
+    ("multimodal_video_metadata", "MapInPandas"),
+    ("multimodal_video_metadata", "ArrowEvalPython"),
 }
 
 NODES = (
