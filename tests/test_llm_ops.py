@@ -2960,6 +2960,69 @@ def test_r18_multimodal_audio_metadata(spark, sf_dir):
     _duck_parity(got, r18_multimodal_audio_metadata_oracle(), sf_dir)
 
 
+def test_r19_similarity_ivfpq_recall(spark, sf_dir):
+    """IVF-PQ recall metric (round-19 pre-build): one row per query,
+    recall in [0, 1], an all-cells/all-codewords operating point
+    reaches recall 1.0 on a planted set where routing prunes nothing,
+    and the fixture hash-matches the composed oracle."""
+    from coursera_etl_pipeline_spark.llm_ops.similarity import (
+        N_QUERIES,
+        ivfpq_recall_core,
+        r19_similarity_ivfpq_recall_oracle,
+    )
+
+    got = ivfpq_recall_core(spark, sf_dir)
+    rows = got.collect()
+    assert len(rows) == N_QUERIES
+    assert all(0.0 <= r.recall <= 1.0 for r in rows)
+    _duck_parity(got, r19_similarity_ivfpq_recall_oracle(), sf_dir)
+
+
+def test_r19_similarity_kmeans_refine(spark, sf_dir):
+    """Exact Lloyd step (round-19 pre-build): each seed assigns to its
+    own cell (self-cosine 1.0), a scaled copy of a seed joins that
+    seed's cell (cosine is scale-invariant and exactly 1.0 for a 2x
+    copy in IEEE), the refined sums equal the hand-computed member
+    micros, output is repartition-stable, and the fixture hash-matches
+    the oracle."""
+    from coursera_etl_pipeline_spark.llm_ops.similarity import (
+        EMB_DIM,
+        kmeans_refine,
+        r19_similarity_kmeans_refine_oracle,
+        similarity_kmeans_refine_core,
+    )
+
+    def vec(seed):
+        # period-101 residues: all 16 seed directions are distinct
+        # (a %13 generator here made vec(13)==vec(0) — seeds 13-15
+        # tie-broke into cells 0-2 and left their own cells empty)
+        return [float((seed * 31 + j * 7) % 101) for j in range(EMB_DIM)]
+
+    rows = [(i, vec(i)) for i in range(16)] \
+        + [(20, [2.0 * x for x in vec(3)])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r.cell_id, r.dim_id): r for r in kmeans_refine(emb).collect()}
+    assert len(out) == 16 * EMB_DIM
+    # every cell's member count: cell 3 gains the scaled copy
+    counts = {c for (c, d), r in out.items() if r.n_members != 1}
+    assert counts == {3} and out[(3, 0)].n_members == 2
+    # exact micros: cell 3 dim j = micros(x_j) + micros(2 x_j);
+    # singleton cells carry their own seed's micros
+    def mic(x):
+        import math
+        return int(math.floor(x * 1_000_000 + 0.5))
+    v3 = vec(3)
+    assert out[(3, 5)].sum_micros == mic(v3[5]) + mic(2.0 * v3[5])
+    v7 = vec(7)
+    assert out[(7, 9)].sum_micros == mic(v7[9])
+    a = sorted(map(tuple, kmeans_refine(emb.repartition(1)).collect()))
+    b = sorted(map(tuple, kmeans_refine(emb.repartition(8)).collect()))
+    assert a == b
+
+    _duck_parity(similarity_kmeans_refine_core(spark, sf_dir),
+                 r19_similarity_kmeans_refine_oracle(), sf_dir)
+
+
 def test_r19_multimodal_video_metadata(spark, sf_dir):
     """Video container metadata (round-19 pre-build): the golden MP4
     corpus decodes through the real ISO-BMFF box walk — planted

@@ -160,6 +160,15 @@ ALLOWED = {
     # same no-native-expression class as the audio row above
     ("multimodal_video_metadata", "MapInPandas"),
     ("multimodal_video_metadata", "ArrowEvalPython"),
+    # pre-staged r19 (same note): the recall metric embeds BOTH
+    # certified arms — the brute-force exact baseline's broadcast
+    # cross AND the IVF-PQ chain's centroid/codebook crosses
+    ("similarity_ivfpq_recall", "BroadcastNestedLoopJoin"),
+    # pre-staged r19: the Lloyd step's assignment is the certified
+    # corpus x broadcast(n_cells frozen centroids) cross
+    # (similarity_ann_ivf's exact shape); the mean recompute itself
+    # is one (cell, dim)-keyed hash-aggregate
+    ("similarity_kmeans_refine", "BroadcastNestedLoopJoin"),
 }
 
 NODES = (

@@ -58,6 +58,36 @@ def build_distinct(spark, k: int, dest: str | None = None,
         if reuse:
             return dest
         shutil.rmtree(dest)
+    if k > 100 and k % 100 == 0:
+        # Two-stage build (the scale_point_sf100.build_1000x precedent):
+        # a k-branch union plan stops being practical past ~100, so
+        # K=1000 re-suffixes the K=100 DISTINCT corpus 10x. Token
+        # distinctness composes ('tok~i' + '~j' = 'tok~i~j', never equal
+        # to any single-stage 'tok~ij'); outer doc_id stride 1e9 clears
+        # the inner 100 x SHIFT = 1e9 range and keeps doc_id % 10 (the
+        # INCREMENTAL_BATCH_MOD split) invariant.
+        inner = build_distinct(spark, 100)
+        os.makedirs(dest)
+        src = spark.read.parquet(os.path.join(inner, "documents.parquet"))
+        outer = []
+        for j in range(k // 100):
+            tag = F.lit(f"~{j}")
+            retok = F.array_join(
+                F.transform(F.split(F.col("text"), " "),
+                            lambda t: F.concat(t, tag)), " ")
+            new_text = F.when(F.col("text").isNotNull(), retok)
+            outer.append(src.select(
+                (F.col("doc_id") + F.lit(j * 1_000_000_000)).alias("doc_id"),
+                new_text.alias("text"),
+                "lang", "source",
+                F.coalesce(F.length(new_text), F.lit(0)).cast("bigint")
+                .alias("n_chars")))
+        out = outer[0]
+        for r in outer[1:]:
+            out = out.union(r)
+        out.repartition(256).write.mode("overwrite").parquet(
+            os.path.join(dest, "documents.parquet"))
+        return dest
     os.makedirs(dest)
     src = spark.read.parquet(table_path(SF_DIR, "documents"))
     replicas = []
@@ -156,9 +186,24 @@ def main() -> None:
         row = {"engine": eng, "engine_median": statistics.median(eng)}
         if name in oracles:
             sql = oracles[name]
+            # Optional wall-clock cap for the oracle side (the §4
+            # feasibility-row protocol: "DuckDB capped at 10 min"):
+            # DUCK_CAP_SECS interrupts the running query so a
+            # cap-blowing rebuild records as a bounded timeout instead
+            # of hanging the probe.
+            cap = float(os.environ.get("DUCK_CAP_SECS", "0") or 0)
 
             def run_duck():
-                con.sql(sql).fetchall()
+                if cap:
+                    import threading
+                    t = threading.Timer(cap, con.interrupt)
+                    t.start()
+                    try:
+                        con.sql(sql).fetchall()
+                    finally:
+                        t.cancel()
+                else:
+                    con.sql(sql).fetchall()
 
             try:
                 dk = _times(run_duck, samples)
@@ -168,6 +213,8 @@ def main() -> None:
                                        / statistics.median(dk), 3))
             except Exception as exc:  # oracle may be infeasible at K
                 row["duckdb_error"] = str(exc)[:200]
+                if cap:
+                    row["duckdb_cap_secs"] = cap
         out[name] = row
     print(json.dumps({"k": k, "distinct_corpora": True, "rows": out}))
 
