@@ -1634,3 +1634,85 @@ def text_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     band revision). Core, oracle, and planted parity pytest
     (test_r18_text_embed_hash) landed in r17."""
     return embed_hash(load_table(spark, sf_dir, "documents"))
+
+
+# --- BPE tokenizer training: the merge-step pair statistics (r19 pre-build) ----
+#
+# Round-19 pre-build (r18): the count-adjacent-symbol-pairs step at
+# the heart of BPE tokenizer training (Sennrich et al. 2016, the
+# public byte-pair-encoding algorithm every LLM tokenizer pipeline
+# runs over its corpus). Training = iterating (count pairs -> merge
+# argmax) — the dedup_components precedent for iterative algorithms:
+# the certified query is ONE exact iteration's statistics.
+# Registration deferred to round 19 (the r18 certification window is
+# consumed by the 8-deep queue; COVERAGE.md round-18 note); pinned
+# registry name `text_bpe_pair_counts`.
+
+
+def bpe_pair_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(left_sym, right_sym, pair_count): corpus-weighted adjacent
+    character-pair frequencies — the statistics BPE's first merge
+    ranks. Tokenization is the engine's standard split-on-space (the
+    vocab_topk tokenizer); words shorter than 2 symbols carry no pair.
+
+    Scale shape — the whole point at 100 TB: the CORPUS contact is one
+    hash-aggregate (word -> count, map-side partials absorb the Zipf
+    head exactly as vocab_topk's do); the pair explode then runs over
+    the DISTINCT VOCABULARY ONLY, weighted by the word counts, so its
+    input is |vocab| rows regardless of corpus size, and the final
+    aggregate is bounded by |symbol alphabet|^2. A naive
+    per-document character explode would shuffle ~n_chars rows —
+    this plan never materializes corpus-proportional pairs.
+
+    The length >= 2 filter is load-bearing twice: single-symbol words
+    have no pair, AND Spark's sequence(1, L-1) generates a DESCENDING
+    [1, 0] when L = 1 (sequence is bidirectional) — the filter keeps
+    the bounds ordered on both engines."""
+    toks = docs.select(F.explode(F.split(text_col, " ")).alias("word"))
+    wc = (toks.filter(F.length("word") >= 2)
+          .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
+    pairs = wc.select(
+        "n",
+        F.expr("explode(sequence(1, length(word) - 1))").alias("i"),
+        "word")
+    return (pairs.select(
+                F.expr("substring(word, i, 1)").alias("left_sym"),
+                F.expr("substring(word, i + 1, 1)").alias("right_sym"),
+                "n")
+            .groupBy("left_sym", "right_sym")
+            .agg(F.sum("n").alias("pair_count")))
+
+
+def text_bpe_pair_counts_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The future `text_bpe_pair_counts` registry callable (deferred
+    to r19): BPE merge-step pair statistics over documents."""
+    return bpe_pair_counts(load_table(spark, sf_dir, "documents"))
+
+
+def r19_text_bpe_pair_counts_oracle() -> str:
+    """DuckDB oracle: identical split-on-space vocabulary counts, a
+    per-word unnest(range(1, length)) offset explode (generate_series
+    as a table function rejects lateral column bounds; range-in-SELECT
+    is the engine's supported correlated form — the video-metadata
+    oracle's idiom), the same 1-based substrings, and exact BIGINT
+    pair sums."""
+    return """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wc AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks WHERE length(word) >= 2 GROUP BY word
+    ),
+    offs AS (
+      SELECT word, n, unnest(range(1, length(word))) AS i FROM wc
+    ),
+    pairs AS (
+      SELECT substring(word, CAST(i AS INTEGER), 1) AS left_sym,
+             substring(word, CAST(i AS INTEGER) + 1, 1) AS right_sym,
+             n
+      FROM offs
+    )
+    SELECT left_sym, right_sym, CAST(SUM(n) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY left_sym, right_sym
+    """

@@ -3371,3 +3371,136 @@ def test_bloom_increment_dedups_across_micro_batches(spark, tmp_path):
     expect = sorted(
         r.pos for r in _bloom_bits_slice(b0.union(b1), "batch").collect())
     assert got == expect
+
+
+def test_r19_events_attribution(spark, sf_dir):
+    """Last-touch attribution (round-19 pre-build): planted users pin
+    the semantics — latest-touch wins, strict before (a same-microsecond
+    touch does not count), the 7-day lookback boundary is inclusive,
+    equal-timestamp touches tie-break by touch_id, and untouched
+    conversions are 'direct'; fixture parity against the oracle."""
+    import datetime as dt
+
+    from coursera_etl_pipeline_spark.streaming.queries import (
+        ATTRIBUTION_LOOKBACK_US,
+        attribution_last_touch,
+        r19_events_attribution_oracle,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def us(minutes):
+        return int((t0 + dt.timedelta(minutes=minutes))
+                   .replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+    def ev(i, user, minutes, typ, value=1.0):
+        return (i, t0 + dt.timedelta(minutes=minutes), user, typ, value)
+
+    week_min = 7 * 24 * 60
+    rows = [
+        # user 1: view(0), click(60), purchase(120) -> click credited
+        ev(1, 1, 0, "view"), ev(2, 1, 60, "click"),
+        ev(3, 1, 120, "purchase", 50.0),
+        # user 2: view(0), purchase 9 days later -> outside lookback
+        ev(4, 2, 0, "view"), ev(5, 2, 9 * 24 * 60, "purchase"),
+        # user 3: view(-1), click at the SAME microsecond as the
+        # purchase (strict < excludes it) -> the view is credited
+        ev(6, 3, -1, "view"), ev(7, 3, 0, "click"),
+        ev(8, 3, 0, "purchase"),
+        # user 4: view and click at the SAME timestamp -> the higher
+        # touch_id (the click, id 10) wins the tie-break
+        ev(9, 4, 0, "view"), ev(10, 4, 0, "click"),
+        ev(11, 4, 30, "purchase"),
+        # user 5: naked purchase -> direct
+        ev(12, 5, 0, "purchase"),
+        # user 6: touch EXACTLY lookback before the purchase (>=
+        # boundary is inclusive) -> credited
+        ev(13, 6, 0, "view"), ev(14, 6, week_min, "purchase"),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    got = {r.conv_id: r for r in attribution_last_touch(e).collect()}
+    assert len(got) == 6
+    assert (got[3].touch_type, got[3].touch_us) == ("click", us(60))
+    assert got[3].gap_us == us(120) - us(60) and got[3].value == 50.0
+    assert (got[5].touch_type, got[5].touch_us) == ("direct", None)
+    assert (got[8].touch_type, got[8].touch_us) == ("view", us(-1))
+    assert got[11].touch_type == "click"          # tie -> higher id
+    assert (got[12].touch_type, got[12].gap_us) == ("direct", None)
+    assert got[14].touch_type == "view"
+    assert got[14].gap_us == ATTRIBUTION_LOOKBACK_US
+
+    from coursera_etl_pipeline_spark.catalog import load_table
+    _duck_parity(attribution_last_touch(load_table(spark, sf_dir, "events")),
+                 r19_events_attribution_oracle(), sf_dir)
+
+
+def test_r19_events_anomaly_mad(spark, sf_dir):
+    """Median/MAD anomaly flags (round-19 pre-build): planted daily
+    series pin the robust semantics — an outlier day cannot inflate
+    its own threshold (mad=0 series flags ANY deviation), an odd-count
+    series with mad>0 flags nothing under 3 MADs, and an even-count
+    series exercises the interpolated (x.5 / x.25) medians exactly;
+    fixture parity against the oracle."""
+    import datetime as dt
+
+    from coursera_etl_pipeline_spark.streaming.queries import (
+        daily_anomaly_mad,
+        r19_events_anomaly_mad_oracle,
+    )
+
+    rows, eid = [], 0
+    # type a: six days of 4 events, then a 100-event day -> med 4,
+    # mad 0, only the spike day flags
+    plan = [("a", d, 4) for d in range(1, 7)] + [("a", 7, 100)]
+    # type b: counts 1..7 -> med 4, mad 2, deviations <= 3*mad: quiet
+    plan += [("b", d, d) for d in range(1, 8)]
+    # type c: counts 1,2,3,10 -> med 2.5, mad 1.0, only the 10 flags
+    plan += [("c", d, n) for d, n in enumerate((1, 2, 3, 10), start=1)]
+    for typ, day, n in plan:
+        for k in range(n):
+            rows.append((eid, dt.datetime(2024, 1, day, 1, k // 60, k % 60),
+                         1, typ, 1.0))
+            eid += 1
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    got = {(r.event_type, r.day): r for r in daily_anomaly_mad(e).collect()}
+    assert len(got) == 18
+    a7 = got[("a", "2024-01-07")]
+    assert (a7.n, a7.med, a7.mad, a7.is_anomaly) == (100, 4.0, 0.0, True)
+    assert not got[("a", "2024-01-01")].is_anomaly
+    assert all(not got[("b", f"2024-01-0{d}")].is_anomaly
+               for d in range(1, 8))
+    c4 = got[("c", "2024-01-04")]
+    assert (c4.med, c4.mad, c4.is_anomaly) == (2.5, 1.0, True)
+    assert not got[("c", "2024-01-03")].is_anomaly
+
+    from coursera_etl_pipeline_spark.catalog import load_table
+    _duck_parity(daily_anomaly_mad(load_table(spark, sf_dir, "events")),
+                 r19_events_anomaly_mad_oracle(), sf_dir)
+
+
+def test_r19_text_bpe_pair_counts(spark, sf_dir):
+    """BPE merge-step pair statistics (round-19 pre-build): planted
+    docs pin the semantics — pair counts are corpus-weighted (a word
+    occurring twice contributes its pairs twice), overlapping pairs
+    within a word all count ('aaa' -> (a,a) x2), and single-symbol
+    words contribute nothing; fixture parity against the oracle."""
+    from coursera_etl_pipeline_spark.llm_ops.text import (
+        bpe_pair_counts,
+        r19_text_bpe_pair_counts_oracle,
+        text_bpe_pair_counts_core,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab cd"), (2, "abc x"), (3, "aaa")],
+        "doc_id long, text string")
+    got = {(r.left_sym, r.right_sym): r.pair_count
+           for r in bpe_pair_counts(docs).collect()}
+    assert got == {("a", "b"): 3, ("b", "c"): 1,
+                   ("c", "d"): 1, ("a", "a"): 2}
+
+    _duck_parity(text_bpe_pair_counts_core(spark, sf_dir),
+                 r19_text_bpe_pair_counts_oracle(), sf_dir)
