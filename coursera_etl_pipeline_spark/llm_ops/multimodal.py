@@ -5,12 +5,12 @@ metadata struct; decode / feature-extract / resize / frame-sample are
 Arrow-batched Pandas UDFs over mapInPandas. Header-level decode (WAV,
 netpbm, PNG/GIF/BMP dimensions, JPEG SOF dimensions, MP3 frame-header
 duration, FLAC STREAMINFO duration, MP4/ISO-BMFF container duration/
-tracks/dimensions — round 18) is REAL and stdlib-only, tested
-end-to-end through read_blob_files -> extract_features(mode='real');
-only codec-level sample/pixel decode of compressed payloads and
-non-ISO-BMFF video containers, which genuinely need codec libraries
-absent from this container, remain a clearly marked
-NotImplementedError.
+tracks/dimensions — round 18; AVI/RIFF and MKV/WebM-EBML container
+duration/tracks/dimensions — r18 extended session) is REAL and
+stdlib-only, tested end-to-end through read_blob_files ->
+extract_features(mode='real'); only codec-level sample/pixel decode of
+compressed payloads, which genuinely needs codec libraries absent from
+this container, remains a clearly marked NotImplementedError.
 
 At scale: binary payloads stay columnar in parquet; mapInPandas
 processes Arrow batches (no per-row serde), and feature extraction is
@@ -302,6 +302,151 @@ def _decode_mp4_header(payload: bytes) -> dict:
             "duration_sec": duration / timescale}
 
 
+def _riff_chunks(buf: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for each RIFF chunk in
+    [start, end) — fourcc + u32le size + body, bodies padded to even
+    length (the padding byte is not part of the declared size)."""
+    i = start
+    while i + 8 <= end:
+        fourcc = buf[i:i + 4]
+        size = int.from_bytes(buf[i + 4:i + 8], "little")
+        body = i + 8
+        if body + size > end:
+            raise ValueError(
+                f"malformed RIFF: chunk {fourcc!r} declares {size} bytes "
+                f"at offset {i} but the payload ends at {end}")
+        yield fourcc, body, body + size
+        i = body + size + (size & 1)
+
+
+def _decode_avi_header(payload: bytes) -> dict:
+    """Video-container metadata from the AVI main header (the public
+    RIFF/AVI layout, MSDN AVIMAINHEADER): frame period and total frame
+    count (their product is the exact duration in micros), stream
+    count, and frame width/height from the 56-byte `avih` chunk inside
+    LIST/hdrl — a fixed chunk walk touching no sample data; unknown
+    chunks (JUNK, movi, ...) are skipped by declared size. Extends the
+    r18 MP4 box walk to the RIFF container family (VERDICT r17 item 7
+    follow-through); only codec-level sample decode remains
+    NotImplementedError."""
+    n = len(payload)
+    if n < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("malformed AVI: RIFF/'AVI ' signature missing")
+    for fourcc, body, bend in _riff_chunks(payload, 12, n):
+        if fourcc != b"LIST" or payload[body:body + 4] != b"hdrl":
+            continue
+        for c4, cbody, cend in _riff_chunks(payload, body + 4, bend):
+            if c4 != b"avih":
+                continue
+            if cend - cbody < 40:
+                raise ValueError("malformed AVI: avih main header "
+                                 f"is {cend - cbody} bytes, need >= 40")
+            u32 = [int.from_bytes(payload[cbody + 4 * k:cbody + 4 * k + 4],
+                                  "little") for k in range(10)]
+            usec_per_frame, total_frames, streams = u32[0], u32[4], u32[6]
+            return {"kind": "video", "n_tracks": float(streams),
+                    "width": float(u32[8]), "height": float(u32[9]),
+                    "duration_sec": (usec_per_frame * total_frames) / 1e6}
+    raise ValueError("malformed AVI: no LIST/hdrl/avih header chunk")
+
+
+def _ebml_vint(buf: bytes, i: int, end: int, keep_marker: bool):
+    """Decode the EBML variable-size integer at offset i: the leading
+    byte's first set bit gives the width (1-8 bytes). Element IDs keep
+    the marker bit (they are compared as raw bytes); sizes strip it.
+    Returns (value_or_raw, next_offset)."""
+    if i >= end:
+        raise ValueError("truncated MKV: vint starts past payload end")
+    first = buf[i]
+    if first == 0:
+        raise ValueError(f"malformed MKV: invalid vint lead byte at {i}")
+    width = 8 - first.bit_length() + 1
+    if i + width > end:
+        raise ValueError(f"truncated MKV: {width}-byte vint at {i} cut short")
+    raw = buf[i:i + width]
+    if keep_marker:
+        return bytes(raw), i + width
+    val = (first & (0xFF >> width)).to_bytes(1, "big") + raw[1:]
+    return int.from_bytes(val, "big"), i + width
+
+
+def _ebml_elements(buf: bytes, start: int, end: int):
+    """Yield (id_bytes, body_start, body_end) for each EBML element in
+    [start, end) — ID vint (marker kept), size vint, body."""
+    i = start
+    while i < end:
+        eid, j = _ebml_vint(buf, i, end, keep_marker=True)
+        size, body = _ebml_vint(buf, j, end, keep_marker=False)
+        if body + size > end:
+            raise ValueError(
+                f"malformed MKV: element {eid.hex()} declares {size} bytes "
+                f"at offset {i} but the payload ends at {end}")
+        yield eid, body, body + size
+        i = body + size
+
+
+def _decode_mkv_header(payload: bytes) -> dict:
+    """Video-container metadata from the Matroska/EBML element tree
+    (the public RFC 8794 EBML + Matroska layouts): duration from
+    Segment/Info (Duration float x TimecodeScale ns, default scale
+    1e6), track count from Segment/Tracks' TrackEntry elements, and
+    max pixel dims from their Video/PixelWidth+PixelHeight uints — a
+    declared-size vint walk touching no cluster/sample data. WebM uses
+    the same structure. Only codec-level sample decode remains
+    NotImplementedError."""
+    import struct
+
+    n = len(payload)
+    duration_units = None
+    timecode_scale = 1_000_000          # Matroska default: 1 ms in ns
+    n_tracks, width, height = 0, 0.0, 0.0
+    for eid, body, bend in _ebml_elements(payload, 0, n):
+        if eid != b"\x18\x53\x80\x67":          # Segment
+            continue
+        for sid, sbody, send in _ebml_elements(payload, body, bend):
+            if sid == b"\x15\x49\xa9\x66":      # Info
+                for iid, ibody, iend in _ebml_elements(payload, sbody, send):
+                    if iid == b"\x2a\xd7\xb1":  # TimecodeScale (uint)
+                        timecode_scale = int.from_bytes(
+                            payload[ibody:iend], "big")
+                    elif iid == b"\x44\x89":    # Duration (float 4/8)
+                        w = iend - ibody
+                        if w == 8:
+                            duration_units = struct.unpack(
+                                ">d", payload[ibody:iend])[0]
+                        elif w == 4:
+                            duration_units = float(struct.unpack(
+                                ">f", payload[ibody:iend])[0])
+                        else:
+                            raise ValueError(
+                                f"malformed MKV: Duration is {w} bytes, "
+                                "EBML floats are 4 or 8")
+            elif sid == b"\x16\x54\xae\x6b":    # Tracks
+                for tid, tbody, tend in _ebml_elements(payload, sbody, send):
+                    if tid != b"\xae":          # TrackEntry
+                        continue
+                    n_tracks += 1
+                    for vid, vbody, vend in _ebml_elements(
+                            payload, tbody, tend):
+                        if vid != b"\xe0":      # Video settings
+                            continue
+                        for pid, pbody, pend in _ebml_elements(
+                                payload, vbody, vend):
+                            if pid == b"\xb0":  # PixelWidth
+                                width = max(width, float(int.from_bytes(
+                                    payload[pbody:pend], "big")))
+                            elif pid == b"\xba":  # PixelHeight
+                                height = max(height, float(int.from_bytes(
+                                    payload[pbody:pend], "big")))
+    if duration_units is None:
+        raise ValueError("malformed MKV: no Segment/Info/Duration element")
+    if timecode_scale == 0:
+        raise ValueError("malformed MKV: TimecodeScale 0 is invalid")
+    return {"kind": "video", "n_tracks": float(n_tracks),
+            "width": width, "height": height,
+            "duration_sec": (duration_units * timecode_scale) / 1e9}
+
+
 def decode_media(payload: bytes, media_type: str) -> dict:
     """Header-level decode for formats a stdlib-only parser can handle
     — REAL, executor-side, tested end-to-end:
@@ -319,15 +464,25 @@ def decode_media(payload: bytes, media_type: str) -> dict:
       - JPEG: width x height from the SOF marker segment;
       - MP4/ISO-BMFF (round 18): duration from moov/mvhd, track count
         and presentation width/height from the tkhd boxes — a declared-
-        size box walk, no sample data touched.
+        size box walk, no sample data touched;
+      - AVI (RIFF): frame period x frame count duration, stream count
+        and frame dims from the LIST/hdrl avih main header — the same
+        declared-size walk over the RIFF chunk grammar;
+      - MKV/WebM (EBML): Duration x TimecodeScale from Segment/Info,
+        TrackEntry count and max PixelWidth/PixelHeight from
+        Segment/Tracks — a declared-size vint walk (RFC 8794).
 
     Failure contract: a payload that MATCHES a supported magic but has
     a truncated or malformed header raises ValueError (with context —
-    never a garbage 0x0 dimension); only formats whose headers
-    genuinely need codec libraries absent here (video containers,
-    compressed sample decode) still raise NotImplementedError."""
+    never a garbage 0x0 dimension); only codec-level sample/pixel
+    decode of compressed payloads, which genuinely needs codec
+    libraries absent here, still raises NotImplementedError."""
     if payload[:4] == b"fLaC":
         return _decode_flac_streaminfo(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return _decode_avi_header(payload)
+    if payload[:4] == b"\x1a\x45\xdf\xa3":
+        return _decode_mkv_header(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         import io
         import wave
@@ -403,8 +558,8 @@ def decode_media(payload: bytes, media_type: str) -> dict:
         return _decode_mp4_header(payload)
     raise NotImplementedError(
         f"payload decode for {media_type!r} requires codec libraries "
-        "not present in this environment (non-ISO-BMFF video "
-        "containers, compressed sample decode)")
+        "not present in this environment (compressed sample/pixel "
+        "decode; every supported container's header parse is above)")
 
 
 FEATURE_SCHEMA = ("doc_id long, media_type string, n_bytes long, "
@@ -1243,4 +1398,136 @@ def r19_multimodal_video_metadata_oracle() -> str:
                 AS BIGINT) AS duration_micro,
            CAST(24 + mvhd_box + n_tracks * 100 AS BIGINT) AS n_bytes
     FROM p
+    """
+
+
+# --- certified container metadata over a golden AVI + MKV fixture -------------
+#
+# Round-19 pre-build (r18, second multimodal member): the RIFF/AVI
+# chunk walk and the Matroska/EBML vint walk (this round's
+# decode_media additions — the non-ISO-BMFF half of VERDICT r17
+# item 7) promoted to a driver-certifiable query, the exact lifecycle
+# the MP4 row follows: a deterministic 18-file corpus (9 AVI + 9 MKV)
+# whose every parameter is a pure function of the file index, so the
+# DuckDB oracle rebuilds the expected metadata AND the byte-exact
+# container layout in closed form. Registration deferred to round 19
+# (the r18 certification window is consumed by the 8-deep queue);
+# pinned registry name `multimodal_container_metadata`.
+
+N_FIXTURE_CONTAINER = 9   # per container family
+
+
+@functools.lru_cache(maxsize=1)
+def _container_fixture_dir() -> str:
+    """Write the deterministic AVI+MKV corpus once per process.
+
+    AVI file i: usec/frame 33000+100i, total frames 24(i+1)+7i (their
+    product is the exact duration in micros), dwStreams 1+i%2, dims
+    (640+16(i%4)) x (360+16(i%3)), plus an i-byte JUNK chunk (padded
+    to even per RIFF) so the walk skips an unknown chunk in every
+    non-trivial file. Layout: 12-byte RIFF header + LIST/hdrl holding
+    one 56-byte avih + JUNK -> n_bytes = 96 + i + (i%2).
+
+    MKV file i: TimecodeScale cycles {1e6, 5e5, 2e6} ns, Duration
+    float64 1000(i+1)+17i units, one video TrackEntry at
+    (1280+16(i%5)) x (720+16(i%4)), plus an audio TrackEntry (no Video
+    element) when i%3==0. Every size vint is encoded 2-byte wide so
+    the layout is closed-form: EBML header 18 + Segment header 6 +
+    Info 26 + Tracks (22 video-only / 28 with audio) -> n_bytes =
+    72 + 6*(i%3==0)."""
+    import struct
+
+    d = scratch_dir("mm_container_")
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + len(body).to_bytes(4, "little") + body + pad
+
+    for i in range(N_FIXTURE_CONTAINER):
+        u, f = 33000 + 100 * i, 24 * (i + 1) + 7 * i
+        avih = (u.to_bytes(4, "little") + bytes(12)
+                + f.to_bytes(4, "little") + bytes(4)
+                + (1 + i % 2).to_bytes(4, "little") + bytes(4)
+                + (640 + 16 * (i % 4)).to_bytes(4, "little")
+                + (360 + 16 * (i % 3)).to_bytes(4, "little") + bytes(16))
+        assert len(avih) == 56
+        body = (b"AVI " + chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+                + chunk(b"JUNK", bytes(i)))
+        data = b"RIFF" + len(body).to_bytes(4, "little") + body
+        with open(f"{d}/avi_{i:02d}.avi", "wb") as fh:
+            fh.write(data)
+
+    def el(eid: bytes, body: bytes) -> bytes:
+        return eid + bytes([0x40 | (len(body) >> 8), len(body) & 0xFF]) + body
+
+    scales = (1_000_000, 500_000, 2_000_000)
+    for i in range(N_FIXTURE_CONTAINER):
+        info = el(b"\x15\x49\xa9\x66",
+                  el(b"\x2a\xd7\xb1", scales[i % 3].to_bytes(3, "big"))
+                  + el(b"\x44\x89",
+                       struct.pack(">d", 1000.0 * (i + 1) + 17.0 * i)))
+        vte = el(b"\xae", el(b"\xe0",
+                             el(b"\xb0",
+                                (1280 + 16 * (i % 5)).to_bytes(2, "big"))
+                             + el(b"\xba",
+                                  (720 + 16 * (i % 4)).to_bytes(2, "big"))))
+        ate = el(b"\xae", el(b"\xe1", b"")) if i % 3 == 0 else b""
+        tracks = el(b"\x16\x54\xae\x6b", vte + ate)
+        data = (el(b"\x1a\x45\xdf\xa3", el(b"\x42\x82", b"matroska"))
+                + el(b"\x18\x53\x80\x67", info + tracks))
+        with open(f"{d}/mkv_{i:02d}.mkv", "wb") as fh:
+            fh.write(data)
+    return d
+
+
+def multimodal_container_metadata_core(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """The future `multimodal_container_metadata` registry callable
+    (deferred to r19): binaryFile ingest of the golden AVI+MKV corpus
+    -> the shared mapInPandas decode (video_metadata dispatches
+    through decode_media, which sniffs RIFF/'AVI ' and the EBML magic)
+    -> typed metadata. sf_dir is unused (self-generated fixture, the
+    multimodal_resize convention)."""
+    return video_metadata(read_blob_files(spark, _container_fixture_dir()))
+
+
+def r19_multimodal_container_metadata_oracle() -> str:
+    """Closed-form DuckDB oracle: rebuilds every file's parameters
+    from the index arithmetic and replays each decoder's duration
+    division in the identical IEEE operation order (AVI:
+    (usec_per_frame * frames) / 1e6; MKV: (units * scale_ns) / 1e9 —
+    then *1e6 + 0.5, floor). n_bytes replays the byte-exact container
+    layouts documented on the fixture."""
+    return f"""
+    WITH g AS (SELECT unnest(range({N_FIXTURE_CONTAINER})) AS i),
+    avi AS (
+      SELECT 'avi_' || lpad(CAST(i AS VARCHAR), 2, '0') || '.avi' AS name,
+             'video' AS kind,
+             CAST(1 + i % 2 AS BIGINT) AS n_tracks,
+             CAST(640 + 16 * (i % 4) AS BIGINT) AS width,
+             CAST(360 + 16 * (i % 3) AS BIGINT) AS height,
+             CAST(floor((CAST((33000 + 100 * i) * (24 * (i + 1) + 7 * i)
+                              AS DOUBLE) / 1000000.0)
+                        * 1000000.0 + 0.5) AS BIGINT) AS duration_micro,
+             CAST(96 + i + (i % 2) AS BIGINT) AS n_bytes
+      FROM g
+    ),
+    mkv AS (
+      SELECT 'mkv_' || lpad(CAST(i AS VARCHAR), 2, '0') || '.mkv' AS name,
+             'video' AS kind,
+             CAST(CASE WHEN i % 3 = 0 THEN 2 ELSE 1 END AS BIGINT)
+               AS n_tracks,
+             CAST(1280 + 16 * (i % 5) AS BIGINT) AS width,
+             CAST(720 + 16 * (i % 4) AS BIGINT) AS height,
+             CAST(floor(((CAST(1000 * (i + 1) + 17 * i AS DOUBLE)
+                          * (CASE i % 3 WHEN 0 THEN 1000000
+                                        WHEN 1 THEN 500000
+                                        ELSE 2000000 END))
+                         / 1000000000.0)
+                        * 1000000.0 + 0.5) AS BIGINT) AS duration_micro,
+             CAST(72 + CASE WHEN i % 3 = 0 THEN 6 ELSE 0 END AS BIGINT)
+               AS n_bytes
+      FROM g
+    )
+    SELECT * FROM avi UNION ALL SELECT * FROM mkv
     """

@@ -304,11 +304,16 @@ def test_multimodal_blob_and_features(spark, sf_dir):
 
 
 def test_multimodal_decode_stub_raises():
-    # genuinely unsupported (non-ISO-BMFF container / sample decode):
-    # NotImplementedError. MP4 left this class in round 18 — its
-    # container walk is real (test_multimodal_decode_mp4_container);
-    # a truncated MP4 now fails the supported-magic way (ValueError).
+    # genuinely unsupported (codec-level sample decode; every container
+    # family's header walk is now real): NotImplementedError. MP4 left
+    # this class in round 18, AVI/MKV in the r18 extended session — a
+    # truncated payload of any supported magic now fails the
+    # supported-magic way (ValueError).
     with pytest.raises(NotImplementedError, match="codec"):
+        multimodal.decode_media(b"OggS\x00\x02 ogg-container", "audio/ogg")
+    with pytest.raises(NotImplementedError, match="codec"):
+        multimodal.decode_media(b"FLV\x01\x05 flash-video", "video/flv")
+    with pytest.raises(ValueError, match="AVI"):
         multimodal.decode_media(b"RIFFxxxxAVI LIST", "video/avi")
     with pytest.raises(ValueError, match="MP4"):
         multimodal.decode_media(
@@ -441,8 +446,9 @@ def test_multimodal_decode_mp4_malformed():
                                       _mp4_box(b"tkhd", bytes(20)))))
     with pytest.raises(ValueError, match="tkhd cut short"):
         multimodal.decode_media(bad_tkhd, "video/mp4")
-    # mkv (EBML magic) is not ISO BMFF: still the documented stub
-    with pytest.raises(NotImplementedError):
+    # mkv (EBML magic) decodes for real since the r18 extended session
+    # — 64 zero bytes after the magic is a malformed vint, not a stub
+    with pytest.raises(ValueError, match="vint"):
         multimodal.decode_media(b"\x1a\x45\xdf\xa3" + b"\x00" * 64,
                                 "video/mkv")
 
@@ -3504,3 +3510,92 @@ def test_r19_text_bpe_pair_counts(spark, sf_dir):
 
     _duck_parity(text_bpe_pair_counts_core(spark, sf_dir),
                  r19_text_bpe_pair_counts_oracle(), sf_dir)
+
+
+def test_r19_multimodal_container_metadata(spark, sf_dir):
+    """AVI/MKV container metadata (round-19 pre-build): the golden
+    mixed corpus decodes through the real RIFF chunk walk and EBML
+    vint walk — planted expectations pin the exact integer-micros AVI
+    duration product, the MKV TimecodeScale variants and the
+    audio-TrackEntry counting; fixture parity against the closed-form
+    oracle."""
+    from coursera_etl_pipeline_spark.llm_ops.multimodal import (
+        multimodal_container_metadata_core,
+        r19_multimodal_container_metadata_oracle,
+    )
+
+    got = multimodal_container_metadata_core(spark, sf_dir)
+    rows = {r.name: r for r in got.collect()}
+    assert len(rows) == 18
+    # avi_01: usec/frame 33100 x 55 frames = exactly 1820500 micros,
+    # dwStreams 2, 656x376, JUNK of 1 byte padded to 2
+    a1 = rows["avi_01.avi"]
+    assert (a1.kind, a1.n_tracks, a1.width, a1.height) == ("video", 2, 656, 376)
+    assert (a1.duration_micro, a1.n_bytes) == (33100 * 55, 98)
+    # mkv_00: scale 1e6 ns, 1000 units -> exactly 1 s; audio
+    # TrackEntry joins the video one (i%3==0); dims from the video trak
+    m0 = rows["mkv_00.mkv"]
+    assert (m0.n_tracks, m0.width, m0.height) == (2, 1280, 720)
+    assert (m0.duration_micro, m0.n_bytes) == (1_000_000, 78)
+    # mkv_01: scale 5e5 ns, 2017 units -> 1008500 micros, video-only
+    m1 = rows["mkv_01.mkv"]
+    assert (m1.n_tracks, m1.duration_micro, m1.n_bytes) == (1, 1_008_500, 72)
+
+    _duck_parity(got, r19_multimodal_container_metadata_oracle(), sf_dir)
+
+
+def test_container_decode_malformed():
+    """Failure contract for the r19 container decoders: payloads that
+    MATCH the AVI/MKV magics but carry truncated or malformed headers
+    raise contextual ValueError, and unknown magics keep raising
+    NotImplementedError."""
+    import struct
+
+    import pytest as pt
+
+    from coursera_etl_pipeline_spark.llm_ops.multimodal import decode_media
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + len(body).to_bytes(4, "little") + body + pad
+
+    def riff(body):
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    # AVI magic but no hdrl/avih anywhere
+    with pt.raises(ValueError, match="no LIST/hdrl"):
+        decode_media(riff(b"AVI " + chunk(b"JUNK", b"xx")), "video/avi")
+    # avih main header shorter than the 40 bytes the fields need
+    short = riff(b"AVI " + chunk(b"LIST", b"hdrl" + chunk(b"avih", bytes(16))))
+    with pt.raises(ValueError, match="avih main header"):
+        decode_media(short, "video/avi")
+    # chunk declaring more bytes than the payload holds
+    bad = b"RIFF" + (100).to_bytes(4, "little") + b"AVI " \
+        + b"LIST" + (90).to_bytes(4, "little") + b"hdrl"
+    with pt.raises(ValueError, match="malformed RIFF"):
+        decode_media(bad, "video/avi")
+
+    def el(eid, body):
+        return eid + bytes([0x40 | (len(body) >> 8), len(body) & 0xFF]) + body
+
+    seg = b"\x18\x53\x80\x67"
+    info = b"\x15\x49\xa9\x66"
+    ebml = el(b"\x1a\x45\xdf\xa3", b"")
+    # element declares a body running past the payload end
+    with pt.raises(ValueError, match="declares"):
+        decode_media(ebml + seg + bytes([0x40, 0x50]), "video/mkv")
+    # Duration must be an EBML float (4 or 8 bytes), not 2
+    bad_dur = ebml + el(seg, el(info, el(b"\x44\x89", b"\x3f\x80")))
+    with pt.raises(ValueError, match="4 or 8"):
+        decode_media(bad_dur, "video/mkv")
+    # a Segment with Info but no Duration element at all
+    no_dur = ebml + el(seg, el(info, el(b"\x2a\xd7\xb1", b"\x0f\x42\x40")))
+    with pt.raises(ValueError, match="no Segment/Info/Duration"):
+        decode_media(no_dur, "video/mkv")
+    # well-formed MKV with a float32 Duration decodes (the narrow path)
+    ok = ebml + el(seg, el(info, el(b"\x44\x89", struct.pack(">f", 500.0))))
+    meta = decode_media(ok, "video/mkv")
+    assert meta["duration_sec"] == 0.5 and meta["n_tracks"] == 0.0
+    # unknown magic still raises the documented NotImplementedError
+    with pt.raises(NotImplementedError):
+        decode_media(b"\x00\x01\x02\x03" * 8, "application/octet-stream")

@@ -169,6 +169,16 @@ ALLOWED = {
     # (similarity_ann_ivf's exact shape); the mean recompute itself
     # is one (cell, dim)-keyed hash-aggregate
     ("similarity_kmeans_refine", "BroadcastNestedLoopJoin"),
+    # pre-staged for the round-19 deferred-registration queue, second
+    # tranche (COVERAGE.md round-18-extended note; names fixed here so
+    # registration can't drift): the AVI/MKV container walk over
+    # binary payloads is the same no-native-expression class as the
+    # audio/video rows above. The other three tranche members
+    # (events_attribution, events_anomaly_mad, text_bpe_pair_counts)
+    # have clean equi-join/hash-aggregate plans — verified flagless at
+    # sf0.1 in the r18 extended session — and need no row.
+    ("multimodal_container_metadata", "MapInPandas"),
+    ("multimodal_container_metadata", "ArrowEvalPython"),
 }
 
 NODES = (
