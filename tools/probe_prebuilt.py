@@ -53,57 +53,68 @@ def _prebuilt():
     not cores over a documents frame — the queue spans the documents,
     events, AND embeddings tables.
 
-    Round-17 queue (registration deferred to round 18: the registry
-    sits exactly on the 160 band edge, so the registering commit must
-    execute the next rotation-band revision; COVERAGE.md round-17
-    note):"""
+    Round 18 drained the r17-staged queue (all six probe-riding
+    members registered under their pinned names; the stream parity
+    rode its in-suite test) and staged the round-19 batch: the
+    MP4/AVI/MKV container-metadata golden-fixture rows, the IVF-PQ
+    recall metric, the exact Lloyd k-means step, last-touch
+    attribution, median/MAD anomaly flags, and the BPE merge-step
+    pair statistics. All r19 registrations wait on the r19 window
+    (COVERAGE.md round-18/extended notes; registering all seven lands
+    the registry ON the 175 band edge)."""
     from coursera_etl_pipeline_spark.catalog import load_table
     from coursera_etl_pipeline_spark.llm_ops.multimodal import (
-        multimodal_audio_metadata_core,
-        r18_multimodal_audio_metadata_oracle,
+        multimodal_container_metadata_core,
+        multimodal_video_metadata_core,
+        r19_multimodal_container_metadata_oracle,
+        r19_multimodal_video_metadata_oracle,
     )
     from coursera_etl_pipeline_spark.llm_ops.similarity import (
-        ann_topk_ivfpq,
-        embed_hash_topk,
-        r18_similarity_ann_ivfpq_oracle,
-        r18_similarity_embed_hash_topk_oracle,
+        ivfpq_recall_core,
+        kmeans_refine,
+        r19_similarity_ivfpq_recall_oracle,
+        r19_similarity_kmeans_refine_oracle,
     )
     from coursera_etl_pipeline_spark.llm_ops.text import (
-        embed_hash,
-        r18_text_embed_hash_oracle,
+        bpe_pair_counts,
+        r19_text_bpe_pair_counts_oracle,
     )
     from coursera_etl_pipeline_spark.streaming.queries import (
-        funnel_depth,
-        r18_events_funnel_oracle,
-        r18_events_retention_oracle,
-        retention_cohorts,
+        attribution_last_touch,
+        daily_anomaly_mad,
+        r19_events_anomaly_mad_oracle,
+        r19_events_attribution_oracle,
     )
 
     def over(table, core):
         return lambda spark, sf_dir: core(load_table(spark, sf_dir, table))
 
     return {
-        "similarity_ann_ivfpq": (
-            over("embeddings", ann_topk_ivfpq),
-            r18_similarity_ann_ivfpq_oracle()),
-        "text_embed_hash": (
-            over("documents", embed_hash),
-            r18_text_embed_hash_oracle()),
-        # golden-fixture query: ignores sf_dir (self-generated 24-file
-        # corpus, the multimodal_resize convention) — K-replica timing
-        # is a constant; it rides this dict for the type-parity gate
-        "multimodal_audio_metadata": (
-            multimodal_audio_metadata_core,
-            r18_multimodal_audio_metadata_oracle()),
-        "events_funnel": (
-            over("events", funnel_depth),
-            r18_events_funnel_oracle()),
-        "events_retention": (
-            over("events", retention_cohorts),
-            r18_events_retention_oracle()),
-        "similarity_embed_hash_topk": (
-            over("documents", embed_hash_topk),
-            r18_similarity_embed_hash_topk_oracle()),
+        # golden-fixture queries: ignore sf_dir (self-generated
+        # corpora, the multimodal_resize convention) — K-replica
+        # timing is a constant; they ride this dict for the
+        # type-parity gate
+        "multimodal_video_metadata": (
+            multimodal_video_metadata_core,
+            r19_multimodal_video_metadata_oracle()),
+        "multimodal_container_metadata": (
+            multimodal_container_metadata_core,
+            r19_multimodal_container_metadata_oracle()),
+        "similarity_ivfpq_recall": (
+            ivfpq_recall_core,
+            r19_similarity_ivfpq_recall_oracle()),
+        "similarity_kmeans_refine": (
+            over("embeddings", kmeans_refine),
+            r19_similarity_kmeans_refine_oracle()),
+        "events_attribution": (
+            over("events", attribution_last_touch),
+            r19_events_attribution_oracle()),
+        "events_anomaly_mad": (
+            over("events", daily_anomaly_mad),
+            r19_events_anomaly_mad_oracle()),
+        "text_bpe_pair_counts": (
+            over("documents", bpe_pair_counts),
+            r19_text_bpe_pair_counts_oracle()),
     }
 
 
