@@ -1716,3 +1716,123 @@ def r19_text_bpe_pair_counts_oracle() -> str:
     SELECT left_sym, right_sym, CAST(SUM(n) AS BIGINT) AS pair_count
     FROM pairs GROUP BY left_sym, right_sym
     """
+
+
+# --- BPE tokenizer training: one full merge iteration (r20 pre-build) ---------
+#
+# Round-20 pre-build (r18 extended session): the merge HALF of the
+# BPE loop — pick the argmax pair from the statistics the (r19)
+# text_bpe_pair_counts query certifies, then apply it across the
+# vocabulary with BPE's greedy leftmost-non-overlapping scan. One
+# certified iteration = the full training loop by induction (the
+# dedup_components / kmeans_refine precedent). Registration deferred
+# to round 20 (the r19 window is consumed by the 7-deep queue; any
+# r20 registration executes the 175-edge band revision); pinned
+# registry name `text_bpe_merge_step`.
+
+
+def bpe_merge_step(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n_occ, merged, n_syms, left_sym, right_sym, pair_count):
+    the winning merge applied to every vocabulary word. The argmax is
+    deterministic — MAX over the fixed-width sortable key
+    lpad(pair_count)||left||right (count first, then the
+    lexicographically largest pair breaks ties, spelled identically in
+    both engines). Each word's symbol string starts fully split
+    ('abc' -> 'a|b|c', a capture-group regexp both engines run with
+    global replace) and the merge is replace(repr, 'l|r', 'lr') —
+    both engines' replace() scans leftmost-non-overlapping, which IS
+    BPE's greedy merge order ('a|a|a' -> 'aa|a', never 'a|aa').
+
+    Scale shape: corpus contact is the ONE word-count hash-aggregate
+    shared with the pair-counts query; pair statistics live on the
+    distinct vocabulary; the argmax is a 1-row aggregate BROADCAST
+    back over the |vocab|-row frame (the scalar-threshold idiom —
+    sample_corpus_mix's allowlisted shape); the merge itself is a
+    map-only projection. Nothing corpus-proportional ever shuffles."""
+    toks = docs.select(F.explode(F.split(text_col, " ")).alias("word"))
+    wc = (toks.filter(F.length("word") >= 1)
+          .groupBy("word").agg(F.count(F.lit(1)).alias("n_occ")))
+    eligible = wc.filter(F.length("word") >= 2)
+    pairs = (eligible.select(
+                 "n_occ",
+                 F.expr("explode(sequence(1, length(word) - 1))").alias("i"),
+                 "word")
+             .select(F.expr("substring(word, i, 1)").alias("l"),
+                     F.expr("substring(word, i + 1, 1)").alias("r"),
+                     "n_occ")
+             .groupBy("l", "r").agg(F.sum("n_occ").alias("pc")))
+    best = (pairs.agg(F.max(F.concat(
+                F.lpad(F.col("pc").cast("string"), 12, "0"),
+                F.col("l"), F.col("r"))).alias("bk"))
+            .select(F.expr("substring(bk, 13, 1)").alias("left_sym"),
+                    F.expr("substring(bk, 14, 1)").alias("right_sym"),
+                    F.expr("CAST(substring(bk, 1, 12) AS BIGINT)")
+                     .alias("pair_count")))
+    out = wc.crossJoin(F.broadcast(best))
+    # fully-split repr 'a|b|c' = 2*len-1 chars (the regexp appends '|'
+    # to EVERY char; the substring drops the trailing one)
+    merged = F.expr(
+        "replace(substring(regexp_replace(word, '(.)', '$1|'), 1, "
+        "2 * length(word) - 1), "
+        "concat(left_sym, '|', right_sym), concat(left_sym, right_sym))")
+    staged = out.select("word", "n_occ", merged.alias("merged"),
+                        "left_sym", "right_sym", "pair_count")
+    n_syms = (F.lit(1) + F.length("merged")
+              - F.length(F.expr("replace(merged, '|', '')")))
+    return staged.select("word", "n_occ", "merged",
+                         n_syms.cast("bigint").alias("n_syms"),
+                         "left_sym", "right_sym", "pair_count")
+
+
+def text_bpe_merge_step_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The future `text_bpe_merge_step` registry callable (deferred to
+    r20): one BPE merge iteration over the documents vocabulary."""
+    return bpe_merge_step(load_table(spark, sf_dir, "documents"))
+
+
+def r20_text_bpe_merge_step_oracle() -> str:
+    """DuckDB oracle: identical vocabulary counts, pair statistics
+    (the unnest(range) correlated explode), MAX over the identical
+    fixed-width argmax key, RE2 global capture-group split (both
+    engines' '.' skips newlines identically), and the same
+    leftmost-non-overlapping replace()."""
+    return """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wc AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM toks WHERE length(word) >= 1 GROUP BY word
+    ),
+    offs AS (
+      SELECT word, n_occ, unnest(range(1, length(word))) AS i
+      FROM wc WHERE length(word) >= 2
+    ),
+    pairs AS (
+      SELECT substring(word, CAST(i AS INTEGER), 1) AS l,
+             substring(word, CAST(i AS INTEGER) + 1, 1) AS r,
+             CAST(SUM(n_occ) AS BIGINT) AS pc
+      FROM offs GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT substring(bk, 13, 1) AS left_sym,
+             substring(bk, 14, 1) AS right_sym,
+             CAST(substring(bk, 1, 12) AS BIGINT) AS pair_count
+      FROM (SELECT MAX(lpad(CAST(pc AS VARCHAR), 12, '0') || l || r)
+              AS bk FROM pairs)
+    ),
+    staged AS (
+      SELECT w.word, w.n_occ,
+             replace(substring(regexp_replace(w.word, '(.)', '\\1|', 'g'),
+                               1, 2 * length(w.word) - 1),
+                     b.left_sym || '|' || b.right_sym,
+                     b.left_sym || b.right_sym) AS merged,
+             b.left_sym, b.right_sym, b.pair_count
+      FROM wc w CROSS JOIN best b
+    )
+    SELECT word, n_occ, merged,
+           CAST(1 + length(merged) - length(replace(merged, '|', ''))
+                AS BIGINT) AS n_syms,
+           left_sym, right_sym, pair_count
+    FROM staged
+    """

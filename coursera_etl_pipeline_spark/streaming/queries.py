@@ -563,3 +563,81 @@ def r19_events_anomaly_mad_oracle() -> str:
       JOIN med m USING (event_type)
       JOIN mad a USING (event_type)
     """
+
+
+# --- behavioral analytics III: user path transition matrix (r20 pre-build) ----
+#
+# Round-20 pre-build (r18 extended session): the sequence-mining query
+# that turns an event log into training-ready path statistics — the
+# per-user event-type transition matrix (first-order Markov counts +
+# conditional probabilities). Registration deferred to round 20 (the
+# r19 window is consumed exactly by the 7-deep queue; any r20
+# registration crosses the 175 band edge and executes the revision —
+# COVERAGE.md round-18-extended note); pinned registry name
+# `events_path_transitions`.
+
+PATH_START = "_START"
+
+
+def path_transitions(events: DataFrame) -> DataFrame:
+    """(src, dst, n, n_src, p): per-user event-type transition counts
+    — each user's events ordered by (ts, event_id), every consecutive
+    pair contributing one (prev -> next) transition, with the
+    sentinel '_START' as src for each user's first event — plus the
+    conditional probability p = n / n_src.
+
+    Scale shape: ONE window over events partitioned by user_id (the
+    certified sessionization/funnel partitioning, reused), then a
+    bounded |types|^2 hash-aggregate and a |types|-row totals
+    hash-join back — never a second corpus shuffle, never a broadcast
+    cross. Rows with NULL ts are excluded on both engines (a NULL
+    position has no place in a path; keeps the window frame free of
+    engine-specific NULL ordering). p divides the two BIGINTs in one
+    double division — identical operands, identical IEEE result."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (events.filter(F.col("ts").isNotNull())
+             .select("user_id", "event_type",
+                     F.lag("event_type").over(w).alias("prev_type")))
+    trans = (steps.select(
+                F.coalesce("prev_type", F.lit(PATH_START)).alias("src"),
+                F.col("event_type").alias("dst"))
+             .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n")))
+    tot = trans.groupBy("src").agg(F.sum("n").alias("n_src"))
+    return (trans.join(tot, "src")
+            .select("src", "dst", "n", "n_src",
+                    (F.col("n").cast("double")
+                     / F.col("n_src").cast("double")).alias("p")))
+
+
+def events_path_transitions_core(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The future `events_path_transitions` registry callable
+    (deferred to r20): the transition matrix over the events table."""
+    return path_transitions(load_table(spark, sf_dir, "events"))
+
+
+def r20_events_path_transitions_oracle() -> str:
+    """DuckDB oracle: identical (ts, event_id)-ordered lag per user,
+    '_START' coalesce, exact BIGINT counts and totals, and the same
+    one double division."""
+    return f"""
+    WITH steps AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events WHERE ts IS NOT NULL
+    ),
+    trans AS (
+      SELECT COALESCE(prev_type, '{PATH_START}') AS src,
+             event_type AS dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM steps GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT src, CAST(SUM(n) AS BIGINT) AS n_src FROM trans GROUP BY src
+    )
+    SELECT t.src, t.dst, t.n, o.n_src,
+           CAST(t.n AS DOUBLE) / CAST(o.n_src AS DOUBLE) AS p
+    FROM trans t JOIN tot o USING (src)
+    """

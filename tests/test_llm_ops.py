@@ -3599,3 +3599,96 @@ def test_container_decode_malformed():
     # unknown magic still raises the documented NotImplementedError
     with pt.raises(NotImplementedError):
         decode_media(b"\x00\x01\x02\x03" * 8, "application/octet-stream")
+
+
+def test_r20_events_path_transitions(spark, sf_dir):
+    """Path transition matrix (round-20 pre-build): planted users pin
+    the semantics — '_START' rows for first events, (ts, event_id)
+    tie-break, NULL-ts exclusion, and the conditional-probability
+    division; fixture parity against the oracle."""
+    import datetime as dt
+
+    from coursera_etl_pipeline_spark.streaming.queries import (
+        events_path_transitions_core,
+        path_transitions,
+        r20_events_path_transitions_oracle,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, user, minutes, typ):
+        return (i, None if minutes is None
+                else t0 + dt.timedelta(minutes=minutes), user, typ, 1.0)
+
+    rows = [
+        ev(1, 1, 0, "view"), ev(2, 1, 1, "click"), ev(3, 1, 2, "click"),
+        ev(4, 1, 3, "purchase"),
+        ev(5, 2, 0, "view"), ev(6, 2, 1, "view"),
+        ev(7, 3, 0, "error"),
+        # user 4: same timestamp -> event_id orders view before click
+        ev(40, 4, 5, "view"), ev(41, 4, 5, "click"),
+        # user 5: NULL ts only -> contributes nothing
+        ev(50, 5, None, "view"),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    got = {(r.src, r.dst): r for r in path_transitions(e).collect()}
+    assert {(k, v.n) for k, v in got.items()} == {
+        (("_START", "view"), 3), (("_START", "error"), 1),
+        (("view", "click"), 2), (("view", "view"), 1),
+        (("click", "click"), 1), (("click", "purchase"), 1)}
+    assert got[("_START", "view")].n_src == 4
+    assert got[("_START", "view")].p == 0.75
+    assert got[("view", "click")].n_src == 3
+    assert got[("click", "purchase")].p == 0.5
+
+    _duck_parity(events_path_transitions_core(spark, sf_dir),
+                 r20_events_path_transitions_oracle(), sf_dir)
+
+
+def test_r20_text_bpe_merge_step(spark, sf_dir):
+    """BPE merge iteration (round-20 pre-build): planted vocab pins
+    the argmax ((a,b) at corpus-weighted count 3), the merge applied
+    only where the pair occurs, greedy leftmost-non-overlapping
+    semantics on runs ('a|a|a|a' -> 'aa|aa' — and DuckDB's replace()
+    is pinned to the identical scan), the count-then-lexicographic
+    tie-break, and the n_syms arithmetic; fixture parity against the
+    oracle."""
+    import duckdb
+
+    from coursera_etl_pipeline_spark.llm_ops.text import (
+        bpe_merge_step,
+        r20_text_bpe_merge_step_oracle,
+        text_bpe_merge_step_core,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab cd"), (2, "abc x"), (3, "aaa")],
+        "doc_id long, text string")
+    got = {r.word: r for r in bpe_merge_step(docs).collect()}
+    assert len(got) == 5
+    assert all((r.left_sym, r.right_sym, r.pair_count) == ("a", "b", 3)
+               for r in got.values())
+    assert (got["ab"].merged, got["ab"].n_syms) == ("ab", 1)
+    assert (got["abc"].merged, got["abc"].n_syms) == ("ab|c", 2)
+    assert (got["cd"].merged, got["cd"].n_syms) == ("c|d", 2)
+    assert (got["x"].merged, got["x"].n_syms) == ("x", 1)
+    assert (got["aaa"].merged, got["aaa"].n_syms) == ("a|a|a", 3)
+
+    # greedy leftmost-non-overlapping on a run — and the cross-engine
+    # agreement the fixture corpus may never exercise
+    run = {r.word: r for r in bpe_merge_step(
+        spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    ).collect()}
+    assert run["aaaa"].merged == "aa|aa" and run["aaaa"].n_syms == 2
+    assert duckdb.sql(
+        "SELECT replace('a|a|a|a', 'a|a', 'aa')").fetchone()[0] == "aa|aa"
+
+    # equal counts: the lexicographically largest pair wins the key
+    tie = bpe_merge_step(spark.createDataFrame(
+        [(1, "xy"), (2, "yz")], "doc_id long, text string")).collect()
+    assert all((r.left_sym, r.right_sym) == ("y", "z") for r in tie)
+
+    _duck_parity(text_bpe_merge_step_core(spark, sf_dir),
+                 r20_text_bpe_merge_step_oracle(), sf_dir)

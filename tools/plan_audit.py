@@ -179,6 +179,15 @@ ALLOWED = {
     # sf0.1 in the r18 extended session — and need no row.
     ("multimodal_container_metadata", "MapInPandas"),
     ("multimodal_container_metadata", "ArrowEvalPython"),
+    # pre-staged for the round-20 deferred-registration queue
+    # (COVERAGE.md round-18-extended note; name fixed here so
+    # registration can't drift): the BPE merge argmax is a 1-row
+    # aggregate broadcast over the |vocab|-row frame — the
+    # scalar-threshold idiom (sample_corpus_mix's shape). Its queue
+    # sibling events_path_transitions has a clean window +
+    # hash-aggregate + hash-join plan (verified flagless) and needs
+    # no row.
+    ("text_bpe_merge_step", "BroadcastNestedLoopJoin"),
 }
 
 NODES = (

@@ -172,6 +172,15 @@ def main() -> None:
 
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
     con = duckdb.connect()
+    # Bound the oracle side's memory as well as its wall clock: a
+    # feasibility-class rebuild that outgrows RAM must fail as a
+    # recorded duckdb_error, not summon the kernel OOM killer onto the
+    # whole probe process (observed at K=1000: 70 GB anon RSS ->
+    # SIGKILL). DuckDB spills what it can under the limit and raises
+    # OutOfMemoryException for the rest — either way the row is
+    # bounded evidence. Override with DUCK_MEM_LIMIT.
+    con.execute(f"SET memory_limit = "
+                f"'{os.environ.get('DUCK_MEM_LIMIT', '24GB')}'")
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM read_parquet("
         f"'{os.path.join(dest, 'documents.parquet')}/*.parquet')")
@@ -184,6 +193,11 @@ def main() -> None:
 
         eng = _times(run_engine, samples)
         row = {"engine": eng, "engine_median": statistics.median(eng)}
+        # flush the engine result BEFORE touching the oracle side: at
+        # feasibility-class K the DuckDB rebuild can die by OOM (the
+        # K=1000 first attempt was oom-killed at ~70 GB RSS, taking
+        # the not-yet-printed engine medians with it)
+        print(json.dumps({name: row}), file=sys.stderr, flush=True)
         if name in oracles:
             sql = oracles[name]
             # Optional wall-clock cap for the oracle side (the §4
