@@ -2703,3 +2703,195 @@ def stream_embed_hash_parity(spark: SparkSession, sf_dir: str,
         result = _run_stream_embed_hash(spark, sf_dir)
         result.createOrReplaceTempView(name)
     return spark.table(name)
+
+
+# --- streamed path-transition maintenance (round-20 pre-build, r18 ext) -------
+#
+# A NEW state class for the certified streamed-maintenance family:
+# every index/sketch/embedding store above is per-item pure (a doc's
+# rows depend only on that doc), but a SEQUENCE statistic stitches
+# ACROSS micro-batch boundaries — the first event of a user's tick
+# t+1 forms a transition with that user's LAST event of ticks <= t.
+# The state is a per-user FRONTIER (last event as of the drained
+# ticks), kept as an append-only parquet store whose read side is the
+# argmax-per-key pattern (window_latest_per_key): no rewrite, no swap
+# window, every commit rides the certified purge+epoch-prefix
+# machinery. Registration deferred to round 20 with its batch twin
+# `events_path_transitions`; pinned registry name
+# `stream_path_transitions_parity`.
+
+
+def apply_path_increment(bdf: "DataFrame", trans_dir: str,
+                         frontier_dir: str,
+                         epoch_id: int | None = None,
+                         run_token: str | None = None) -> None:
+    """One transition-matrix increment: lag within the arriving tick,
+    stitch each user's first tick event onto the stored frontier
+    ('_START' when the user was never seen), append the (src, dst)
+    count delta and the tick's per-user last events.
+
+    Correctness leans on the zone's time-ordered delivery (the
+    multi-tick index parity's arrival-order note): a tick's events
+    all follow the stored frontier in (ts, event_id) order, so the
+    boundary pair is exactly the global sequence's pair. Both stores
+    are append-only; replay of a crashed or re-delivered epoch purges
+    its own files from BOTH dirs before the frontier read (a partial
+    prior attempt must not feed the stitch), recomputes, and
+    re-commits under the same deterministic names — every crash point
+    converges under replay, the apply_index_increment contract.
+    Commit order trans-then-frontier: for epoch-less callers a crash
+    between the moves leaves the counted tick out of the frontier
+    (the next tick would stitch one event too early) — epoch-tracked
+    streaming callers never see that state."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from coursera_etl_pipeline_spark.streaming.queries import PATH_START
+
+    marker = _epoch_marker(trans_dir, "inc", epoch_id, run_token)
+    if _epoch_already_applied(marker):
+        return  # replayed micro-batch: the delta already landed
+    if epoch_id is not None:
+        prefix = _epoch_prefix("inc", epoch_id, run_token)
+        for d in (trans_dir, frontier_dir):
+            _purge_epoch_files(d, prefix)
+    else:
+        prefix = None
+    batch = (bdf.filter(F.col("ts").isNotNull())
+             .select("user_id", F.unix_micros("ts").alias("us"),
+                     "event_id", "event_type"))
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    lagged = batch.select("user_id", "us", "event_id", "event_type",
+                          F.lag("event_type").over(w)
+                          .alias("prev_type")).persist()
+    try:
+        try:
+            # frontier AS OF this tick: argmax (us, event_id) per user
+            # over every appended row. The unseeded first tick simply
+            # skips the stitch (the ADVICE-r17 bloom guard).
+            cur = (bdf.sparkSession.read.parquet(frontier_dir)
+                   .groupBy("user_id")
+                   .agg(F.max(F.struct("us", "event_id", "event_type"))
+                        .alias("m"))
+                   .select("user_id",
+                           F.col("m.event_type").alias("last_type")))
+        except AnalysisException:
+            cur = None
+        firsts = (lagged.filter(F.col("prev_type").isNull())
+                  .select("user_id", "event_type"))
+        if cur is not None:
+            firsts = firsts.join(cur, "user_id", "left")
+        else:
+            firsts = firsts.withColumn("last_type",
+                                       F.lit(None).cast("string"))
+        boundary = firsts.select(
+            F.coalesce("last_type", F.lit(PATH_START)).alias("src"),
+            F.col("event_type").alias("dst"))
+        within = (lagged.filter(F.col("prev_type").isNotNull())
+                  .select(F.col("prev_type").alias("src"),
+                          F.col("event_type").alias("dst")))
+        delta = (within.unionByName(boundary)
+                 .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n")))
+        last = (lagged.groupBy("user_id")
+                .agg(F.max(F.struct("us", "event_id", "event_type"))
+                     .alias("m"))
+                .select("user_id", F.col("m.us").alias("us"),
+                        F.col("m.event_id").alias("event_id"),
+                        F.col("m.event_type").alias("event_type")))
+        # stage-then-commit: the stitch's lineage READS frontier_dir,
+        # so both deltas materialize to a neutral dir before any move
+        # touches the stores (the apply_index_increment lesson)
+        stage = tempfile.mkdtemp(prefix="path_inc_", dir=scratch_root())
+        try:
+            delta.write.parquet(f"{stage}/trans")
+            last.write.parquet(f"{stage}/front")
+            pfx = prefix or os.path.basename(stage) + "_"
+            _move_commit(f"{stage}/trans", trans_dir, pfx)
+            _move_commit(f"{stage}/front", frontier_dir, pfx)
+            _seal_epoch(marker)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+    finally:
+        lagged.unpersist()
+
+
+def _stage_event_time_zone(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the (non-NULL-ts) events table as two mtime-ordered tick
+    files split at the midpoint of the observed epoch-micros range —
+    a pure time cut, so tick0's events ALL precede tick1's and the
+    zone's delivery order is the global event order per user."""
+    from coursera_etl_pipeline_spark.catalog import load_table
+
+    zone, marker = _zone_path(sf_dir, "events", "path_tick_zone")
+    if os.path.exists(marker):
+        return zone
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    us = F.unix_micros("ts")
+    lo, hi = e.agg(F.min(us), F.max(us)).first()
+    mid = (lo + hi) // 2
+    return _stage_zone(
+        e.withColumn("_b", (us >= F.lit(mid)).cast("int")), zone, 2, "tick")
+
+
+def _run_stream_path_transitions(spark: SparkSession,
+                                 sf_dir: str) -> "DataFrame":
+    """Let the real engine drain both ticks (maxFilesPerTrigger=1,
+    mtime order), each foreachBatch stitching onto the frontier as
+    stored at its start; replay epoch 0 to prove the marker no-op;
+    return the aggregated matrix read FROM THE STORE."""
+    root = scratch_dir("stream_path_")
+    trans_dir, front_dir = f"{root}/trans", f"{root}/front"
+    zone = _stage_event_time_zone(spark, sf_dir)
+    schema = (spark.read.option("pathGlobFilter", "tick*.parquet")
+              .parquet(zone).schema)
+    src = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", "tick*.parquet")
+           .option("maxFilesPerTrigger", "1")
+           .parquet(zone))
+    tok = _ckpt_token(f"{root}/ckpt")
+    q = (src.writeStream
+         .foreachBatch(lambda bdf, epoch: apply_path_increment(
+             bdf, trans_dir, front_dir, epoch_id=epoch, run_token=tok))
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    # replay epoch 0 (restart-after-checkpoint-lag shape, same token):
+    # the marker must no-op it or the oracle fails on doubled tick-0
+    # transitions AND a doubled frontier
+    tick0 = spark.read.parquet(os.path.join(zone, "tick0.parquet"))
+    apply_path_increment(tick0, trans_dir, front_dir,
+                         epoch_id=0, run_token=tok)
+    trans = (spark.read.parquet(trans_dir)
+             .groupBy("src", "dst").agg(F.sum("n").alias("n")))
+    tot = trans.groupBy("src").agg(F.sum("n").alias("n_src"))
+    return (trans.join(tot, "src")
+            .select("src", "dst", "n", "n_src",
+                    (F.col("n").cast("double")
+                     / F.col("n_src").cast("double")).alias("p")))
+
+
+def r20_stream_path_transitions_oracle() -> str:
+    """The BATCH twin's oracle verbatim: the streamed store, stitched
+    across the tick boundary, must aggregate to exactly the global
+    transition matrix."""
+    from coursera_etl_pipeline_spark.streaming.queries import (
+        r20_events_path_transitions_oracle,
+    )
+
+    return r20_events_path_transitions_oracle()
+
+
+def stream_path_transitions_parity_core(spark: SparkSession, sf_dir: str,
+                                        force: bool = False) -> DataFrame:
+    """The future `stream_path_transitions_parity` registry callable
+    (deferred to r20): same memory-sink memoization as the other
+    stream parities."""
+    name = "stream_path_" + re.sub(r"\W", "_", sf_dir).strip("_")
+    if _needs_run(spark, name, force):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        result = _run_stream_path_transitions(spark, sf_dir)
+        result.createOrReplaceTempView(name)
+    return spark.table(name)

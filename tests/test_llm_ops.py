@@ -3692,3 +3692,74 @@ def test_r20_text_bpe_merge_step(spark, sf_dir):
 
     _duck_parity(text_bpe_merge_step_core(spark, sf_dir),
                  r20_text_bpe_merge_step_oracle(), sf_dir)
+
+
+def test_r20_stream_path_transitions_parity(spark, sf_dir):
+    """The streamed transition matrix (real micro-batch engine over
+    the two time-ordered ticks, frontier-stitched across the boundary,
+    replay-idempotent commits + deliberate epoch-0 replay inside the
+    runner) hash-equals the batch twin's oracle — and row-equals the
+    batch operator itself."""
+    from coursera_etl_pipeline_spark.streaming.parity import (
+        r20_stream_path_transitions_oracle,
+        stream_path_transitions_parity_core,
+    )
+    from coursera_etl_pipeline_spark.streaming.queries import (
+        events_path_transitions_core,
+    )
+
+    stored = stream_path_transitions_parity_core(spark, sf_dir, force=True)
+    _duck_parity(stored, r20_stream_path_transitions_oracle(), sf_dir)
+    assert (sorted(map(tuple, stored.collect()))
+            == sorted(map(tuple,
+                          events_path_transitions_core(spark, sf_dir)
+                          .collect())))
+
+
+def test_path_increment_boundary_stitch(spark, tmp_path):
+    """The cross-micro-batch stitch, planted: a user's first event of
+    tick 1 must pair with that user's LAST event of tick 0 (never
+    '_START'), users first seen in tick 1 get '_START', the frontier
+    advances to each user's latest (ts, event_id), and a replay of
+    epoch 0 no-ops via the marker."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from coursera_etl_pipeline_spark.streaming.parity import (
+        apply_path_increment,
+    )
+
+    trans_dir = str(tmp_path / "trans")
+    front_dir = str(tmp_path / "front")
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, user, minutes, typ):
+        return (i, t0 + dt.timedelta(minutes=minutes), user, typ)
+
+    b0 = spark.createDataFrame(
+        [ev(1, 1, 0, "view"), ev(2, 1, 10, "click"), ev(3, 2, 5, "view")],
+        "event_id long, ts timestamp, user_id long, event_type string")
+    b1 = spark.createDataFrame(
+        [ev(4, 1, 20, "purchase"), ev(5, 3, 21, "error")],
+        "event_id long, ts timestamp, user_id long, event_type string")
+    apply_path_increment(b0, trans_dir, front_dir, epoch_id=0, run_token="t")
+    apply_path_increment(b1, trans_dir, front_dir, epoch_id=1, run_token="t")
+    apply_path_increment(b0, trans_dir, front_dir, epoch_id=0,
+                         run_token="t")  # replay: must no-op
+
+    stored = (spark.read.parquet(trans_dir)
+              .groupBy("src", "dst").agg(F.sum("n").alias("n")))
+    got = {(r.src, r.dst): r.n for r in stored.collect()}
+    assert got == {
+        ("_START", "view"): 2,          # users 1 and 2 enter in tick 0
+        ("view", "click"): 1,           # user 1 within tick 0
+        ("click", "purchase"): 1,       # user 1 ACROSS the boundary
+        ("_START", "error"): 1,         # user 3 first seen in tick 1
+    }
+    front = (spark.read.parquet(front_dir)
+             .groupBy("user_id")
+             .agg(F.max(F.struct("us", "event_id", "event_type")).alias("m"))
+             .select("user_id", F.col("m.event_type").alias("last_type")))
+    assert {(r.user_id, r.last_type) for r in front.collect()} == {
+        (1, "purchase"), (2, "view"), (3, "error")}

@@ -224,7 +224,12 @@ EXECUTES_ON_BUILD = {"stream_batch_parity", "stream_dedup_parity",
                      # r18 registrations: both run a real availableNow
                      # stream + replay probe on construction
                      "stream_bloom_bits_parity",
-                     "stream_embed_hash_parity"}
+                     "stream_embed_hash_parity",
+                     # pre-staged for the r20 queue (COVERAGE.md
+                     # round-18-extended note): runs a real
+                     # availableNow two-tick stream + replay probe on
+                     # construction, like the two r18 rows above
+                     "stream_path_transitions_parity"}
 
 
 def formatted_plan(df) -> str:
