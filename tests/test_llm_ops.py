@@ -3763,3 +3763,41 @@ def test_path_increment_boundary_stitch(spark, tmp_path):
              .select("user_id", F.col("m.event_type").alias("last_type")))
     assert {(r.user_id, r.last_type) for r in front.collect()} == {
         (1, "purchase"), (2, "view"), (3, "error")}
+
+
+def test_r20_events_markov_stationary(spark, sf_dir):
+    """One exact power-iteration step (round-20 pre-build): a planted
+    2-type chain pins the arithmetic end to end — transition micros,
+    the uniform start vector, and the BIGINT product-sum (dst 'a'
+    exactly 0.25, dst 'b' exactly 0.75 in pico units); '_START'
+    pseudo-transitions are excluded; fixture parity against the
+    oracle."""
+    import datetime as dt
+
+    from coursera_etl_pipeline_spark.streaming.queries import (
+        events_markov_stationary_core,
+        markov_power_step,
+        r20_events_markov_stationary_oracle,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, user, minutes, typ):
+        return (i, t0 + dt.timedelta(minutes=minutes), user, typ, 1.0)
+
+    rows = [
+        ev(1, 1, 0, "a"), ev(2, 1, 1, "b"), ev(3, 1, 2, "a"),
+        ev(4, 1, 3, "b"),
+        ev(5, 2, 0, "b"), ev(6, 2, 1, "b"),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    got = {r.dst: r for r in markov_power_step(e).collect()}
+    # P(a->b)=1.0, P(b->a)=P(b->b)=0.5; v0 = (0.5, 0.5)
+    assert got["a"].prob_pico == 500_000 * 500_000
+    assert got["b"].prob_pico == 500_000 * 1_000_000 + 500_000 * 500_000
+    assert (got["a"].prob, got["b"].prob) == (0.25, 0.75)
+
+    _duck_parity(events_markov_stationary_core(spark, sf_dir),
+                 r20_events_markov_stationary_oracle(), sf_dir)

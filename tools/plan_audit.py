@@ -188,6 +188,10 @@ ALLOWED = {
     # hash-aggregate + hash-join plan (verified flagless) and needs
     # no row.
     ("text_bpe_merge_step", "BroadcastNestedLoopJoin"),
+    # pre-staged r20 (same note): the power step's uniform start
+    # vector is a 1-row aggregate broadcast onto the |types|^2
+    # transition matrix — the scalar-threshold idiom again
+    ("events_markov_stationary", "BroadcastNestedLoopJoin"),
 }
 
 NODES = (

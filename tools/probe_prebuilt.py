@@ -84,9 +84,11 @@ def _prebuilt():
     from coursera_etl_pipeline_spark.streaming.queries import (
         attribution_last_touch,
         daily_anomaly_mad,
+        markov_power_step,
         path_transitions,
         r19_events_anomaly_mad_oracle,
         r19_events_attribution_oracle,
+        r20_events_markov_stationary_oracle,
         r20_events_path_transitions_oracle,
     )
 
@@ -125,6 +127,9 @@ def _prebuilt():
         "events_path_transitions": (
             over("events", path_transitions),
             r20_events_path_transitions_oracle()),
+        "events_markov_stationary": (
+            over("events", markov_power_step),
+            r20_events_markov_stationary_oracle()),
         "text_bpe_merge_step": (
             over("documents", bpe_merge_step),
             r20_text_bpe_merge_step_oracle()),
