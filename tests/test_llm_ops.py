@@ -3801,3 +3801,65 @@ def test_r20_events_markov_stationary(spark, sf_dir):
 
     _duck_parity(events_markov_stationary_core(spark, sf_dir),
                  r20_events_markov_stationary_oracle(), sf_dir)
+
+
+def test_path_increment_crash_between_commits_converges(spark, tmp_path,
+                                                        monkeypatch):
+    """The documented crash contract, exercised: a crash BETWEEN the
+    transition move and the frontier move (trans committed, frontier
+    not, epoch unsealed) must converge under replay — the replay
+    purges the partial epoch's files from both stores before the
+    frontier read and re-commits deterministically. Final state must
+    equal the clean run's exactly."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from coursera_etl_pipeline_spark.streaming import parity
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, user, minutes, typ):
+        return (i, t0 + dt.timedelta(minutes=minutes), user, typ)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    b0 = spark.createDataFrame(
+        [ev(1, 1, 0, "view"), ev(2, 2, 1, "view")], schema)
+    b1 = spark.createDataFrame(
+        [ev(3, 1, 10, "click"), ev(4, 2, 11, "purchase")], schema)
+
+    def run(root, crash_epoch1):
+        trans_dir, front_dir = f"{root}/trans", f"{root}/front"
+        parity.apply_path_increment(b0, trans_dir, front_dir,
+                                    epoch_id=0, run_token="t")
+        if crash_epoch1:
+            real = parity._move_commit
+            calls = {"n": 0}
+
+            def exploding(src, dest, prefix):
+                real(src, dest, prefix)
+                calls["n"] += 1
+                raise RuntimeError("simulated crash after first move")
+
+            monkeypatch.setattr(parity, "_move_commit", exploding)
+            try:
+                parity.apply_path_increment(b1, trans_dir, front_dir,
+                                            epoch_id=1, run_token="t")
+            except RuntimeError:
+                pass
+            monkeypatch.setattr(parity, "_move_commit", real)
+            assert calls["n"] == 1          # trans landed, frontier did not
+        parity.apply_path_increment(b1, trans_dir, front_dir,
+                                    epoch_id=1, run_token="t")
+        trans = (spark.read.parquet(trans_dir)
+                 .groupBy("src", "dst").agg(F.sum("n").alias("n")))
+        front = spark.read.parquet(front_dir)
+        return (sorted(map(tuple, trans.collect())),
+                sorted(map(tuple, front.collect())))
+
+    clean = run(str(tmp_path / "clean"), crash_epoch1=False)
+    crashed = run(str(tmp_path / "crashed"), crash_epoch1=True)
+    assert crashed == clean
+    assert dict({(s, d): n for s, d, n in crashed[0]}) == {
+        ("_START", "view"): 2, ("view", "click"): 1,
+        ("view", "purchase"): 1}
