@@ -33,6 +33,14 @@ from coursera_etl_pipeline_spark.session import get_spark  # noqa: E402
 
 def _duck_con(dest: str):
     con = duckdb.connect()
+    # Bound the oracle side's memory (scale_pairwise's r18 lesson: an
+    # uncapped feasibility-class oracle summoned the kernel OOM killer
+    # at ~70 GB RSS and took the whole probe process with it). 24 GB
+    # is far above any healthy probe's need, so non-pathological
+    # timings are unaffected; a pathological rebuild fails as a
+    # recorded DuckDB error instead. Override with DUCK_MEM_LIMIT.
+    con.execute(f"SET memory_limit = "
+                f"'{os.environ.get('DUCK_MEM_LIMIT', '24GB')}'")
     for t in TABLES:
         p = table_path(dest, t)
         if os.path.exists(p):
