@@ -1836,3 +1836,113 @@ def r20_text_bpe_merge_step_oracle() -> str:
            left_sym, right_sym, pair_count
     FROM staged
     """
+
+
+# --- count-min sketch frequency estimation (r20 pre-build) --------------------
+#
+# Round-20 pre-build (r18 extended session): the bounded-state
+# frequency sketch (Cormode & Muthukrishnan 2005) that completes the
+# engine's sketch family — Bloom bits answer membership, HLL
+# (agg_approx) answers distinct-count, the count-min sketch answers
+# "how often?" in d x w integers REGARDLESS of vocabulary size. Fully
+# deterministic by construction (fixed md5-derived hash rows, sums
+# are order-free), unlike Misra-Gries whose merge result depends on
+# partitioning — which is what makes it driver-hash certifiable.
+# Registration deferred to round 20; pinned registry name
+# `text_cms_topk`.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_TOPK = 20
+
+
+def cms_topk(docs: DataFrame, text_col: str = "text",
+             depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+             k: int = CMS_TOPK) -> DataFrame:
+    """(token, est, n_occ): the corpus's top-`k` tokens by count-min
+    ESTIMATE (tie-break est DESC, token ASC), with the exact count
+    alongside so the sketch's one-sided error (est >= n_occ, never
+    under) is visible per row.
+
+    Sketch build — the 100 TB point: ONE hash-aggregate whose output
+    is HARD-BOUNDED at depth x width rows (4096 here) no matter how
+    large the vocabulary grows; per-partition partial maps are bounded
+    the same way, and two sketches merge by cell-wise addition — the
+    property that lets a 1000-executor cluster (or a stream) maintain
+    global frequencies in constant state, which exact vocab_topk
+    cannot. Row i's bucket is md5(token || '#' || i)[0:8] % width —
+    the engine's shared '0x'||substr hash-bucket idiom, identical
+    BIGINT arithmetic on both engines.
+
+    The estimate phase then queries the sketch for the DISTINCT
+    vocabulary (min over the d cells); enumerating the vocab is only
+    the demo's candidate generator — production callers probe the
+    sketch for their own candidate set without any vocab scan."""
+    toks = docs.select(F.explode(F.split(text_col, " ")).alias("token"))
+    toks = toks.filter(F.length("token") >= 1)
+
+    def bucket(col, i):
+        return (F.conv(F.substring(F.md5(F.concat(col, F.lit(f"#{i}"))),
+                                   1, 8), 16, 10)
+                .cast("bigint") % width)
+
+    rows = toks.select("token", F.explode(F.array(*[
+        F.struct(F.lit(i).alias("d"), bucket(F.col("token"), i).alias("b"))
+        for i in range(depth)])).alias("c"))
+    cms = (rows.groupBy(F.col("c.d").alias("d"), F.col("c.b").alias("b"))
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occ"))
+    probes = exact.select("token", "n_occ", F.explode(F.array(*[
+        F.struct(F.lit(i).alias("d"), bucket(F.col("token"), i).alias("b"))
+        for i in range(depth)])).alias("c"))
+    est = (probes.join(cms, (F.col("c.d") == F.col("d"))
+                       & (F.col("c.b") == F.col("b")))
+           .groupBy("token", "n_occ").agg(F.min("cnt").alias("est")))
+    return (est.select("token", "est", "n_occ")
+            .orderBy(F.desc("est"), F.asc("token")).limit(k))
+
+
+def text_cms_topk_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The future `text_cms_topk` registry callable (deferred to
+    r20): count-min top-k over the documents vocabulary."""
+    return cms_topk(load_table(spark, sf_dir, "documents"))
+
+
+def r20_text_cms_topk_oracle() -> str:
+    """DuckDB oracle: identical token explode, the same md5-derived
+    buckets per depth (unnest(range) correlated explode), the bounded
+    cell aggregate, min-over-depths estimate, and the deterministic
+    (est DESC, token ASC) top-k truncation."""
+    return f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    t AS (SELECT token FROM toks WHERE length(token) >= 1),
+    probes AS (
+      SELECT token, unnest(range({CMS_DEPTH})) AS d FROM t
+    ),
+    hb AS (
+      SELECT token, d,
+             ('0x' || substr(md5(token || '#' || CAST(d AS VARCHAR)),
+                             1, 8))::BIGINT % {CMS_WIDTH} AS b
+      FROM probes
+    ),
+    cms AS (
+      SELECT d, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM hb GROUP BY d, b
+    ),
+    exact AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occ FROM t GROUP BY token
+    ),
+    vocab_probes AS (
+      SELECT e.token, e.n_occ, h.d, h.b
+      FROM exact e JOIN (SELECT DISTINCT token, d, b FROM hb) h
+        USING (token)
+    ),
+    est AS (
+      SELECT v.token, v.n_occ, MIN(c.cnt) AS est
+      FROM vocab_probes v JOIN cms c ON c.d = v.d AND c.b = v.b
+      GROUP BY v.token, v.n_occ
+    )
+    SELECT token, CAST(est AS BIGINT) AS est, n_occ
+    FROM est ORDER BY est DESC, token ASC LIMIT {CMS_TOPK}
+    """

@@ -3863,3 +3863,34 @@ def test_path_increment_crash_between_commits_converges(spark, tmp_path,
     assert dict({(s, d): n for s, d, n in crashed[0]}) == {
         ("_START", "view"): 2, ("view", "click"): 1,
         ("view", "purchase"): 1}
+
+
+def test_r20_text_cms_topk(spark, sf_dir):
+    """Count-min sketch (round-20 pre-build): the one-sided error
+    contract pinned — a width-1 sketch forces every token into one
+    cell per row (est = corpus total for all tokens, the maximal
+    overestimate), while the default 4x1024 sketch resolves a tiny
+    vocabulary exactly (fixed md5 buckets: deterministic forever);
+    est >= n_occ everywhere; fixture parity against the oracle."""
+    from coursera_etl_pipeline_spark.llm_ops.text import (
+        cms_topk,
+        r20_text_cms_topk_oracle,
+        text_cms_topk_core,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "cc aa")], "doc_id long, text string")
+    # width 1: every row's single cell counts ALL 5 occurrences
+    squeezed = {r.token: r for r in cms_topk(docs, width=1).collect()}
+    assert {(r.est, r.n_occ) for r in squeezed.values()} == {
+        (5, 3), (5, 1)}
+    assert squeezed["aa"].n_occ == 3
+    # default width resolves this vocabulary exactly
+    wide = {r.token: r for r in cms_topk(docs).collect()}
+    assert {(t, r.est, r.n_occ) for t, r in wide.items()} == {
+        ("aa", 3, 3), ("bb", 1, 1), ("cc", 1, 1)}
+
+    out = text_cms_topk_core(spark, sf_dir).collect()
+    assert all(r.est >= r.n_occ for r in out)
+    _duck_parity(text_cms_topk_core(spark, sf_dir),
+                 r20_text_cms_topk_oracle(), sf_dir)

@@ -78,8 +78,10 @@ def _prebuilt():
     from coursera_etl_pipeline_spark.llm_ops.text import (
         bpe_merge_step,
         bpe_pair_counts,
+        cms_topk,
         r19_text_bpe_pair_counts_oracle,
         r20_text_bpe_merge_step_oracle,
+        r20_text_cms_topk_oracle,
     )
     from coursera_etl_pipeline_spark.streaming.queries import (
         attribution_last_touch,
@@ -133,6 +135,9 @@ def _prebuilt():
         "text_bpe_merge_step": (
             over("documents", bpe_merge_step),
             r20_text_bpe_merge_step_oracle()),
+        "text_cms_topk": (
+            over("documents", cms_topk),
+            r20_text_cms_topk_oracle()),
     }
 
 
