@@ -187,14 +187,25 @@ def main() -> None:
             eng.append(round(time.perf_counter() - t0, 3))
             print(json.dumps({name: {"engine_sample": eng[-1]}}),
                   file=sys.stderr)
-        con.execute(sql).fetchall()  # warm
-        duck = []
-        for _ in range(samples):
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            duck.append(round(time.perf_counter() - t0, 3))
-            print(json.dumps({name: {"duckdb_sample": duck[-1]}}),
-                  file=sys.stderr)
+        # the oracle side may be infeasible at feasibility-class K —
+        # under _duck_con's memory_limit it fails with a clean
+        # exception (OOM / spill-disk-full) instead of taking the
+        # process down; record it as a bounded row rather than losing
+        # the remaining queue members (the scale_pairwise contract)
+        try:
+            con.execute(sql).fetchall()  # warm
+            duck = []
+            for _ in range(samples):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                duck.append(round(time.perf_counter() - t0, 3))
+                print(json.dumps({name: {"duckdb_sample": duck[-1]}}),
+                      file=sys.stderr)
+        except Exception as exc:
+            rows[name] = {"engine": eng,
+                          "engine_median": round(statistics.median(eng), 3),
+                          "duckdb_error": str(exc)[:200]}
+            continue
         em, dm = statistics.median(eng), statistics.median(duck)
         rows[name] = {"engine": eng, "duckdb": duck,
                       "engine_median": round(em, 3),
