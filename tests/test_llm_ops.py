@@ -3894,3 +3894,63 @@ def test_r20_text_cms_topk(spark, sf_dir):
     assert all(r.est >= r.n_occ for r in out)
     _duck_parity(text_cms_topk_core(spark, sf_dir),
                  r20_text_cms_topk_oracle(), sf_dir)
+
+
+def test_attribution_invariants_property(spark):
+    """Property: for RANDOM per-user event timelines, last-touch
+    attribution emits every purchase EXACTLY once; a credited touch is
+    the user's latest view/click strictly before the purchase and
+    within the lookback (checked against an independent pure-Python
+    replay); 'direct' appears iff no such touch exists; gap_us is
+    non-negative and <= the lookback. Derandomized hypothesis, 3
+    examples (bounded Spark round-trips)."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from coursera_etl_pipeline_spark.streaming.queries import (
+        ATTRIBUTION_LOOKBACK_US,
+        attribution_last_touch,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    types = ("view", "click", "purchase", "error")
+    event = st.tuples(st.integers(0, 3),                  # user
+                      st.integers(0, 20_000),             # minutes
+                      st.integers(0, len(types) - 1))     # type index
+
+    @settings(max_examples=3, deadline=None, derandomize=True,
+              suppress_health_check=list(HealthCheck))
+    @given(evs=st.lists(event, min_size=5, max_size=40))
+    def check(evs):
+        rows = [(i, t0 + dt.timedelta(minutes=m), u, types[t], 1.0)
+                for i, (u, m, t) in enumerate(evs)]
+        e = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+        got = {r.conv_id: r for r in attribution_last_touch(e).collect()}
+
+        def us(d):
+            return int(d.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+
+        purchases = [(i, u, us(ts)) for i, (ts, u, t) in
+                     ((r[0], (r[1], r[2], r[3])) for r in rows)
+                     if t == "purchase"]
+        assert sorted(got) == sorted(i for i, _, _ in purchases)
+        touches = [(i, u, us(ts), t) for i, ts, u, t, _ in rows
+                   if t in ("view", "click")]
+        for conv_id, u, cus in purchases:
+            r = got[conv_id]
+            cand = [(tus, i, t) for i, tu, tus, t in touches
+                    if tu == u and tus < cus
+                    and tus >= cus - ATTRIBUTION_LOOKBACK_US]
+            if not cand:
+                assert (r.touch_type, r.touch_us, r.gap_us) \
+                    == ("direct", None, None)
+            else:
+                best = max(cand)          # (touch_us, touch_id) order
+                assert (r.touch_us, r.touch_type) == (best[0], best[2])
+                assert 0 < r.gap_us <= ATTRIBUTION_LOOKBACK_US
+
+    check()
