@@ -3954,3 +3954,35 @@ def test_attribution_invariants_property(spark):
                 assert 0 < r.gap_us <= ATTRIBUTION_LOOKBACK_US
 
     check()
+
+
+def test_r20_layout_zorder_key(spark, sf_dir):
+    """Z-order key (round-20 pre-build): planted bit patterns pin the
+    interleave (a-bits at even positions, b-bits at odd), and the
+    locality property that justifies the layout is shown exactly — on
+    the full 16x16 grid, every run of 16 consecutive z values is a
+    perfect 4x4 tile in (a, b) space, so any row-group holding it has
+    min/max spans of 3 in BOTH dimensions (a single-column sort gives
+    span 15 in the trailing dimension); fixture parity against the
+    oracle."""
+    from coursera_etl_pipeline_spark.operators.layout import (
+        layout_zorder_key_core,
+        r20_layout_zorder_key_oracle,
+        zorder_key,
+    )
+
+    grid = spark.createDataFrame(
+        [(a, b) for a in range(16) for b in range(16)], "a long, b long")
+    out = {(r.a, r.b): r.z for r in zorder_key(grid, "a", "b").collect()}
+    assert out[(1, 0)] == 1 and out[(0, 1)] == 2
+    assert out[(3, 3)] == 15 and out[(2, 1)] == 6
+    assert sorted(out.values()) == list(range(256))   # a bijection
+    by_z = sorted(out, key=lambda ab: out[ab])
+    for k in range(16):
+        tile = by_z[16 * k:16 * k + 16]
+        a_span = max(a for a, _ in tile) - min(a for a, _ in tile)
+        b_span = max(b for _, b in tile) - min(b for _, b in tile)
+        assert (a_span, b_span) == (3, 3)
+
+    _duck_parity(layout_zorder_key_core(spark, sf_dir),
+                 r20_layout_zorder_key_oracle(), sf_dir)

@@ -63,6 +63,10 @@ def _prebuilt():
     (COVERAGE.md round-18/extended notes; registering all seven lands
     the registry ON the 175 band edge)."""
     from coursera_etl_pipeline_spark.catalog import load_table
+    from coursera_etl_pipeline_spark.operators.layout import (
+        layout_zorder_key_core,
+        r20_layout_zorder_key_oracle,
+    )
     from coursera_etl_pipeline_spark.llm_ops.multimodal import (
         multimodal_container_metadata_core,
         multimodal_video_metadata_core,
@@ -138,6 +142,9 @@ def _prebuilt():
         "text_cms_topk": (
             over("documents", cms_topk),
             r20_text_cms_topk_oracle()),
+        "layout_zorder_key": (
+            layout_zorder_key_core,
+            r20_layout_zorder_key_oracle()),
     }
 
 
