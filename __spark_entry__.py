@@ -46,7 +46,24 @@ _EDITED_THIS_ROUND = [
     # green rows predate the change, so they outrank everything the history
     # says is current.  Update per round alongside the round's edits.
     #
-    # Round 18: EMPTY — no forcing needed. The round registers the
+    # Round-18 OPTIMIZATION forcing: these queries' DataFrame plans
+    # changed (connected_components star rounds -> window-min form in
+    # llm_ops/clusters.py; minhash_index_delete resurrection -> one
+    # aggregate in llm_ops/dedup.py; funnel_depth -> flat step frames
+    # in streaming/queries.py). Outputs proven oracle-identical at all
+    # three SFs before forcing; forced anyway per the rotation
+    # contract (tests/test_entry_rotation.py: "anything that changes a
+    # DataFrame plan must be forced"). events_funnel's plan also
+    # changed but it is one of the eight no-green-row r18
+    # registrations that already sort first.
+    "dedup_minhash_keep_representative",
+    "dedup_components",
+    "dedup_clusters",
+    "dedup_image_clusters",
+    "dedup_index_delete",
+    "stream_index_delete_parity",
+    #
+    # Round 18 (build session): the round registers the
     # EIGHT pre-built operators from the COVERAGE.md round-17 queue
     # (stream_bloom_bits_parity FIRST as pinned, similarity_ann_ivfpq,
     # text_embed_hash, stream_embed_hash_parity,
@@ -58,7 +75,11 @@ _EDITED_THIS_ROUND = [
     # have no green rows at all, so the computed rotation already
     # puts them first, followed by the 10-row r14 cohort (agg_approx,
     # agg_approx_bounds, pipeline_courses_parity, q13, q16, q20, q21,
-    # window_*) and the 32 stalest r15 rows: 8 + 10 + 32 = 50 exactly.
+    # window_*) and the stalest r15 rows. With the optimization
+    # session's 6 forced plan-edits above the window is
+    # 8 new + 6 forced + 10 r14 + 26 r15 = 50; the remaining 24 r15
+    # rows stay within the published ceil(168/50)=4-round currency
+    # bound until r19.
     #
     # Round-18 carve-outs (files edited, NO forcing — each provably
     # leaves every PREVIOUSLY-REGISTERED result unchanged):

@@ -25,11 +25,22 @@ from coursera_etl_pipeline_spark.registry import query
 def _large_star(edges: DataFrame) -> DataFrame:
     """large-star(u): m = min(Γ(u) ∪ {u}); connect every LARGER
     neighbor v > u directly to m. Operates on the symmetric neighbor
-    list so each undirected edge is seen from both endpoints."""
+    list so each undirected edge is seen from both endpoints.
+
+    m is a min-over-partition WINDOW, not groupBy+join-back: the
+    aggregate-then-rejoin form shuffled the symmetric edge list TWICE
+    per round (once into the groupBy, once into the join) plus the
+    joined output into distinct — the window computes m in the same
+    exchange that carries the rows, so each round moves |sym| once
+    instead of twice (optimization r18, guide §2.3/§2.4; interleaved
+    A/B on the LSH pair graph: same edge set every round, ~2/3 the
+    jobs). The skew profile is unchanged: a hot u lands in one task
+    either way, and rounds strictly shrink hot neighborhoods."""
+    from pyspark.sql import Window as W
+
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    mins = (sym.groupBy("u")
-            .agg(F.least(F.min("v"), F.first("u")).alias("m")))
-    return (sym.join(mins, "u")
+    m = F.least(F.min("v").over(W.partitionBy("u")), F.col("u"))
+    return (sym.withColumn("m", m)
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
@@ -38,14 +49,25 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """small-star(u): over the canonical (u -> smaller v) orientation,
-    m = min neighbor; connect u and all its smaller neighbors to m."""
+    m = min neighbor; connect u and all its smaller neighbors to m.
+
+    Same window form as _large_star (one exchange computes m and
+    carries the rows), and the relink/self edges are emitted by ONE
+    map-side explode instead of unioning two projections of the join —
+    the union form duplicated the whole join subtree per branch. The
+    per-row (u, m) self edge repeats across a u's rows; the trailing
+    distinct (already required by the algorithm) absorbs it."""
+    from pyspark.sql import Window as W
+
     canon = edges.select(F.greatest("u", "v").alias("u"),
                          F.least("u", "v").alias("v"))
-    mins = canon.groupBy("u").agg(F.min("v").alias("m"))
-    joined = canon.join(mins, "u")
-    relinked = joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
-    selfed = joined.select("u", F.col("m").alias("v"))
-    return (relinked.union(selfed)
+    m = F.min("v").over(W.partitionBy("u"))
+    both = F.array(
+        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),   # relink
+        F.struct(F.col("u").alias("u"), F.col("m").alias("v")))   # self
+    return (canon.withColumn("m", m)
+            .select(F.explode(both).alias("e"))
+            .select("e.u", "e.v")
             .filter(F.col("u") != F.col("v"))
             .distinct())
 

@@ -918,11 +918,20 @@ def minhash_index_delete(removed_ids: DataFrame,
     Returns (new_postings, new_index, resurrected)."""
     removed = removed_ids.select("doc_id")
     rem_partner = removed.withColumnRenamed("doc_id", "partner")
-    still_justified = (drop_ledger
-                       .join(rem_partner, "partner", "left_anti")
-                       .select("doc_id").distinct())
-    resurrected = (drop_ledger.select("doc_id").distinct()
-                   .join(still_justified, "doc_id", "left_anti"))
+    # resurrected = dropped docs with ZERO surviving justifications.
+    # ONE pass over the ledger: broadcast-mark removed partners, count
+    # survivors per doc in a single partial-agg'd aggregate. The former
+    # two-anti-join/two-distinct spelling shuffled the ledger's doc_id
+    # set three times for the same answer (r18 optimization, guide
+    # §2.4; interleaved A/B in tools/ab_delete_r18.py).
+    alive = F.when(F.col("_rm").isNull(), 1).otherwise(0)
+    resurrected = (drop_ledger
+                   .join(rem_partner.withColumn("_rm", F.lit(True)),
+                         "partner", "left")
+                   .groupBy("doc_id")
+                   .agg(F.sum(alive).alias("_n_alive"))
+                   .filter(F.col("_n_alive") == 0)
+                   .select("doc_id"))
     new_postings = (postings.join(removed, "doc_id", "left_anti")
                     .unionByName(tombstone_postings
                                  .join(resurrected, "doc_id", "left_semi")))

@@ -268,19 +268,33 @@ def funnel_depth(events: DataFrame,
     exact BIGINT epoch-micros end to end. NULL-timestamp events
     propagate NULL through min/> and drop out of every step on both
     engines identically; users whose events never reach step 1 emit
-    depth 0 via the distinct-users LEFT join (no silent row loss)."""
+    depth 0 via the distinct-users LEFT join (no silent row loss).
+
+    Step frames stay FLAT (s_k joins s_{k-1}; final assembly is
+    users LEFT s1 LEFT s2 ... LEFT s_K) instead of folding each step
+    back into a growing `cur` — the folded form referenced each cur_k
+    twice (as the next step's probe AND the left side of its own
+    assembly join), doubling the logical subtree per step: 8 event
+    scans in the 3-step initial plan vs 7 here, 12 jobs vs 10
+    (optimization r18, guide §2.4/§3.3 plan-duplication; interleaved
+    A/B in tools/ab_funnel_r18.py: 1.008 s -> 0.883 s median)."""
     us = F.unix_micros(F.col("ts"))
-    cur = (events.filter(F.col("event_type") == steps[0])
-           .groupBy("user_id").agg(F.min(us).alias("u1")))
-    for k in range(2, len(steps) + 1):
-        nxt = (events.filter(F.col("event_type") == steps[k - 1])
-               .select("user_id", us.alias("_ts"))
-               .join(cur.select("user_id", f"u{k - 1}"), "user_id")
-               .filter(F.col("_ts") > F.col(f"u{k - 1}"))
-               .groupBy("user_id").agg(F.min("_ts").alias(f"u{k}")))
-        cur = cur.join(nxt, "user_id", "left")
-    users = events.select("user_id").distinct()
-    out = users.join(cur, "user_id", "left")
+    frames = []
+    prev = None
+    for k, step in enumerate(steps, start=1):
+        ev = events.filter(F.col("event_type") == step)
+        if prev is None:
+            cur = ev.groupBy("user_id").agg(F.min(us).alias("u1"))
+        else:
+            cur = (ev.select("user_id", us.alias("_ts"))
+                   .join(prev.select("user_id", f"u{k - 1}"), "user_id")
+                   .filter(F.col("_ts") > F.col(f"u{k - 1}"))
+                   .groupBy("user_id").agg(F.min("_ts").alias(f"u{k}")))
+        frames.append(cur)
+        prev = cur
+    out = events.select("user_id").distinct()
+    for cur in frames:
+        out = out.join(cur, "user_id", "left")
     # deepest non-NULL step wins: wrap ascending so the outermost WHEN
     # (built last, checked first) is the deepest step
     depth = F.lit(0)
