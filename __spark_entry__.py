@@ -62,6 +62,10 @@ _EDITED_THIS_ROUND = [
     "dedup_image_clusters",
     "dedup_index_delete",
     "stream_index_delete_parity",
+    # keyed fan-out (events family, one shared user_id exchange —
+    # catalog.load_table cluster_by; A/B in tools/ab_events_key_r18.py)
+    "events_session_window",
+    "events_resample_gapfill",
     #
     # Round 18 (build session): the round registers the
     # EIGHT pre-built operators from the COVERAGE.md round-17 queue
@@ -76,8 +80,8 @@ _EDITED_THIS_ROUND = [
     # puts them first, followed by the 10-row r14 cohort (agg_approx,
     # agg_approx_bounds, pipeline_courses_parity, q13, q16, q20, q21,
     # window_*) and the stalest r15 rows. With the optimization
-    # session's 6 forced plan-edits above the window is
-    # 8 new + 6 forced + 10 r14 + 26 r15 = 50; the remaining 24 r15
+    # session's 8 forced plan-edits above the window is
+    # 8 new + 8 forced + 10 r14 + 24 r15 = 50; the remaining 26 r15
     # rows stay within the published ceil(168/50)=4-round currency
     # bound until r19.
     #

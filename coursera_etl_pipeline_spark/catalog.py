@@ -359,7 +359,8 @@ def gated_broadcast(df: DataFrame, sf_dir: str, table: str,
     return df.hint("SHUFFLE_HASH")
 
 
-def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+def fan_out(spark: SparkSession, df: DataFrame,
+            key: tuple[str, ...] | None = None) -> DataFrame:
     """Ensure at least one scan partition per core.
 
     The local fixtures are single-file, single-row-group parquet — such
@@ -374,7 +375,25 @@ def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     the extra parallelism buys (q1 at 10 files: 1.8s -> 7.2s with an
     unconditional fan-out). Predicate pushdown and column pruning pass
     through Repartition, so scan-level PushedFilters/ReadSchema are
-    unaffected."""
+    unaffected.
+
+    ``key`` (optimization r18, guide §2.4 shared exchanges): when a
+    query's every shuffle-requiring operator clusters on the same key
+    (or a superset of it), a HASH repartition on that key replaces the
+    round-robin — the one exchange then satisfies every downstream
+    groupBy/join/window clustering requirement and the keyless
+    round-robin (plus its sort-before-repartition tax, guide §2.5)
+    disappears. Unlike the round-robin, this fires at ANY scan
+    partition count: at real scale the downstream operators' exchanges
+    on finer keys ((user, bucket), then (user)) do NOT satisfy each
+    other, while one key-exchange satisfies all of them. Skew bound:
+    one task per hot key value — identical to what the downstream
+    window/session operator already requires, so no new exposure.
+    REPARTITION_BY_COL stays AQE-coalescible (scale-adaptive partition
+    count, not a local[32] constant)."""
+    if key:
+        from pyspark.sql import functions as F
+        return df.repartition(*[F.col(c) for c in key])
     target = spark.sparkContext.defaultParallelism
     if target > 1 and df.rdd.getNumPartitions() == 1:
         return df.repartition(target)
@@ -405,19 +424,24 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               cluster_by: tuple[str, ...] | None = None) -> DataFrame:
     """One table: a vectorized parquet scan with pushdown/pruning free
     via Catalyst (PushedFilters/ReadSchema in .explain).
 
     `events.ts` is normalized to microsecond TimestampType whatever the
     generated file's physical type (see normalize_ts).
 
+    ``cluster_by``: hash-repartition the scan on these columns instead
+    of the round-robin fan-out — for queries whose every downstream
+    shuffle clusters on that key (see fan_out's key note; guide §2.4).
+
     Session timezone is pinned to UTC here (runtime-settable) so
     timestamp formatting matches the DuckDB oracle even when the
     caller's SparkSession (e.g. the driver harness) didn't set it."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     fp = _path_fingerprint(table_path(sf_dir, name))
-    key = (sf_dir, name, fp)
+    key = (sf_dir, name, fp, cluster_by)
     per_session = _LOADED.setdefault(spark, {})
     cached = per_session.get(key)
     if cached is not None:
@@ -425,16 +449,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # evict superseded fingerprints for the same table: a driver that
     # regenerates fixtures every round would otherwise grow one pinned
     # analyzed-plan per (table, rewrite) for the session's lifetime
-    for stale in [k for k in per_session if k[:2] == (sf_dir, name)]:
+    for stale in [k for k in per_session if k[:2] == (sf_dir, name)
+                  and k[2] != fp]:
         del per_session[stale]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = fan_out(spark, spark.read.parquet(table_path(sf_dir, name)))
+        df = fan_out(spark, spark.read.parquet(table_path(sf_dir, name)),
+                     key=cluster_by)
         df = normalize_ts(df)
     else:
         df = spark.read.parquet(table_path(sf_dir, name))
-        if name in FANOUT_TABLES:
-            df = fan_out(spark, df)
+        if name in FANOUT_TABLES or cluster_by:
+            df = fan_out(spark, df, key=cluster_by)
     per_session[key] = df
     return df
 

@@ -154,7 +154,7 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge semantics == gap-cumsum sessionization (the oracle); the
     streaming variant in ingest.sessionized runs the same operator
     incrementally with watermark-bounded state."""
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events", cluster_by=("user_id",))
     return (
         e.groupBy(F.session_window("ts", "4 hours"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"),
@@ -216,7 +216,7 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from coursera_etl_pipeline_spark.llm_ops.dedup import _materialize
 
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events", cluster_by=("user_id",))
     step = 43200
     bucket = (F.floor(F.unix_timestamp("ts") / step) * step).cast("long")
     b = _materialize(
@@ -390,7 +390,8 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-17 queue): greedy-earliest strict-order funnel over events.
     Core, oracle, and planted parity pytest (test_r18_events_funnel)
     landed in r17."""
-    return funnel_depth(load_table(spark, sf_dir, "events"))
+    return funnel_depth(load_table(spark, sf_dir, "events",
+                                    cluster_by=("user_id",)))
 
 
 @query("events_retention", oracle=r18_events_retention_oracle())
@@ -399,7 +400,8 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-17 queue): the cohort retention triangle over events. Core,
     oracle, and planted parity pytest (test_r18_events_retention)
     landed in r17."""
-    return retention_cohorts(load_table(spark, sf_dir, "events"))
+    return retention_cohorts(load_table(spark, sf_dir, "events",
+                                    cluster_by=("user_id",)))
 
 
 # --- behavioral analytics II: attribution + robust anomaly flags -------------
