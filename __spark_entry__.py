@@ -66,6 +66,9 @@ _EDITED_THIS_ROUND = [
     # catalog.load_table cluster_by; A/B in tools/ab_events_key_r18.py)
     "events_session_window",
     "events_resample_gapfill",
+    # jaccard_pairs_prefix df-ranking via shingle window (A/B in
+    # tools/ab_lsh_band_r18.py; components/clusters already forced)
+    "dedup_ngram_jaccard",
     #
     # Round 18 (build session): the round registers the
     # EIGHT pre-built operators from the COVERAGE.md round-17 queue
@@ -80,8 +83,8 @@ _EDITED_THIS_ROUND = [
     # puts them first, followed by the 10-row r14 cohort (agg_approx,
     # agg_approx_bounds, pipeline_courses_parity, q13, q16, q20, q21,
     # window_*) and the stalest r15 rows. With the optimization
-    # session's 8 forced plan-edits above the window is
-    # 8 new + 8 forced + 10 r14 + 24 r15 = 50; the remaining 26 r15
+    # session's 9 forced plan-edits above the window is
+    # 8 new + 9 forced + 10 r14 + 23 r15 = 50; the remaining 27 r15
     # rows stay within the published ceil(168/50)=4-round currency
     # bound until r19.
     #

@@ -251,12 +251,20 @@ def jaccard_pairs_prefix(sh_idx: DataFrame,
     Candidates then get exact verification against the FULL index."""
     from pyspark.sql import Window as W
 
-    df_cnt = (sh_idx.groupBy("shingle")
-              .agg(F.count(F.lit(1)).alias("df"))
-              .filter(F.col("df") >= 2))
+    # df via count() OVER (PARTITION BY shingle), not groupBy +
+    # join-back: the window computes document frequency in the same
+    # exchange that carries the posting rows, where the join-back form
+    # either re-shuffles the postings a second time (sort-merge at
+    # corpus scale) or builds a distinct-shingle broadcast (local AQE).
+    # Interleaved A/B (tools/ab_lsh_band_r18.py, r18 optimization,
+    # guide §2.3/§2.4): 5.479 s / 10 jobs -> 2.393 s / 8 jobs. Hot
+    # shingles put more rows in one window task, but df>=2 pruning and
+    # the prefix theorem already bound what any shingle contributes.
+    wsh = W.partitionBy("shingle")
     w = W.partitionBy("doc_id")
     ranked = (
-        sh_idx.join(df_cnt, "shingle")
+        sh_idx.withColumn("df", F.count(F.lit(1)).over(wsh))
+        .filter(F.col("df") >= 2)
         .select("doc_id", "nsh", "shingle",
                 F.row_number().over(w.orderBy("df", "shingle")).alias("rk"),
                 F.count(F.lit(1)).over(w).alias("n2"))
