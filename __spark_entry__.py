@@ -69,6 +69,17 @@ _EDITED_THIS_ROUND = [
     # jaccard_pairs_prefix df-ranking via shingle window (A/B in
     # tools/ab_lsh_band_r18.py; components/clusters already forced)
     "dedup_ngram_jaccard",
+    # map-only IVF centroid assignment + probe routing
+    # (similarity.assign_to_centroids transform/array_max rewrite —
+    # every IVF consumer's plan changed; A/B in tools/ab_ivf_r18.py)
+    "similarity_ann_ivf",
+    "similarity_ivf_recall",
+    "similarity_index_update",
+    "similarity_index_delete",
+    "dedup_semantic",
+    "similarity_ann_quantized",
+    "stream_ann_index_parity",
+    "stream_ann_index_delete_parity",
     #
     # Round 18 (build session): the round registers the
     # EIGHT pre-built operators from the COVERAGE.md round-17 queue
@@ -83,8 +94,8 @@ _EDITED_THIS_ROUND = [
     # puts them first, followed by the 10-row r14 cohort (agg_approx,
     # agg_approx_bounds, pipeline_courses_parity, q13, q16, q20, q21,
     # window_*) and the stalest r15 rows. With the optimization
-    # session's 9 forced plan-edits above the window is
-    # 8 new + 9 forced + 10 r14 + 23 r15 = 50; the remaining 27 r15
+    # session's 17 forced plan-edits above the window is
+    # 8 new + 17 forced + 10 r14 + 15 r15 = 50; the remaining 35 r15
     # rows stay within the published ceil(168/50)=4-round currency
     # bound until r19.
     #

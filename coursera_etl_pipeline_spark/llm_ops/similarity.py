@@ -326,23 +326,60 @@ N_CELLS = 16
 N_PROBE = 3
 
 
+def _cosine_lambda_sql(a: str, b: str) -> str:
+    """The cosine() expression as SQL text usable inside a
+    higher-order-function lambda body (same zip_with/aggregate
+    accumulation order, so the doubles are bit-identical to cosine()
+    and to _duck_cosine)."""
+    def ss(x: str, y: str) -> str:
+        return (f"aggregate(zip_with({x}, {y}, "
+                f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                f"0D, (acc, v) -> acc + v)")
+    return f"({ss(a, b)} / (sqrt({ss(a, a)}) * sqrt({ss(b, b)})))"
+
+
+def _collect_centroids(centroids: DataFrame) -> DataFrame:
+    """The frozen centroid table as ONE broadcast row holding an
+    ascending-cell_id array of (cell_id, cv) structs — the form the
+    map-side assignment and probe expressions fold over."""
+    return F.broadcast(centroids.agg(
+        F.sort_array(F.collect_list(F.struct("cell_id", "cv")))
+        .alias("_cents")))
+
+
+def _scored_cells(vec_col: str) -> "Column":
+    """array<struct<s, neg, cell_id>> of a row's similarity to every
+    broadcast centroid: struct ordering (max s, then max neg = MIN
+    cell_id) reproduces row_number() OVER (ORDER BY sim DESC, cell_id
+    ASC) rank semantics as pure array expressions."""
+    return F.expr(
+        "transform(_cents, c -> struct("
+        f"{_cosine_lambda_sql(vec_col, 'c.cv')} AS s, "
+        "-c.cell_id AS neg, c.cell_id AS cell_id))")
+
+
 def assign_to_centroids(emb: DataFrame, centroids: DataFrame,
                         vec_col: str = "embedding") -> DataFrame:
-    """Nearest-centroid assignment against a FROZEN centroid table
-    (broadcast cross join + one window) — the per-row pure function
-    both the initial IVF build and every later append evaluate.
-    Extracted from ``ivf_assign`` in round 9 (byte-identical plan for
-    its callers); ``ivf_index_append`` reuses it so an append is, by
-    construction, the same function the rebuild would apply."""
-    from pyspark.sql import Window as W
+    """Nearest-centroid assignment against a FROZEN centroid table —
+    the per-row pure function both the initial IVF build and every
+    later append evaluate. Extracted from ``ivf_assign`` in round 9;
+    ``ivf_index_append`` reuses it so an append is, by construction,
+    the same function the rebuild would apply.
 
-    w = W.partitionBy("vec_id").orderBy(F.desc("sim_to_centroid"), F.asc("cell_id"))
+    MAP-ONLY (optimization r18, guide §2.4/§1.2): nearest-centroid is
+    a pure function of (row, broadcast centroids), so it is computed
+    with transform() + array_max() over a broadcast centroid ARRAY —
+    zero exchange. The previous form (cross join + row_number window
+    partitioned by vec_id) shuffled the ENTIRE |corpus| x n_cells
+    expansion — each expansion row carrying the full embedding vector
+    — just to pick each row's own maximum. Same cosine expression
+    (bit-identical doubles), same tie-break (max sim, then min
+    cell_id via the neg field), so the assignment is value-identical;
+    every IVF consumer re-proved against its DuckDB oracle."""
     return (
-        emb.crossJoin(F.broadcast(centroids))
-        .withColumn("sim_to_centroid", cosine(vec_col, "cv"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", vec_col, "cell_id")
+        emb.crossJoin(_collect_centroids(centroids))
+        .withColumn("_best", F.array_max(_scored_cells(vec_col)))
+        .select("vec_id", vec_col, F.col("_best.cell_id").alias("cell_id"))
     )
 
 
@@ -370,13 +407,16 @@ def ann_topk_ivf(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES,
     assigned, centroids = ivf_assign(emb)
     queries = emb.filter(F.col("vec_id") < n_queries) \
                  .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
-    wprobe = W.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cell_id"))
+    # top-n_probe cells per query, map-only (r18, same rewrite as
+    # assign_to_centroids): ascending array_sort of (s, neg, cell)
+    # reversed = ORDER BY sim DESC, cell_id ASC, then slice + explode.
     probes = (
-        queries.crossJoin(F.broadcast(centroids))
-        .withColumn("csim", cosine("qv", "cv"))
-        .withColumn("rk", F.row_number().over(wprobe))
-        .filter(F.col("rk") <= n_probe)
-        .select("query_id", "qv", "cell_id")
+        queries.crossJoin(_collect_centroids(centroids))
+        .withColumn("_top",
+                    F.slice(F.reverse(F.array_sort(_scored_cells("qv"))),
+                            1, n_probe))
+        .select("query_id", "qv",
+                F.explode(F.col("_top.cell_id")).alias("cell_id"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -1199,14 +1239,14 @@ def ann_topk_ivf_quantized(emb: DataFrame, k: int = TOP_K,
                .join(qd.select(F.col("vec_id").alias("query_id"),
                                F.col("q").alias("q_a"),
                                F.col("qq").alias("qq_a")), "query_id"))
-    wprobe = W.partitionBy("query_id").orderBy(F.desc("csim"),
-                                               F.asc("cell_id"))
+    # map-only top-n_probe routing (r18, same rewrite as ann_topk_ivf)
     probes = (
-        queries.crossJoin(F.broadcast(centroids))
-        .withColumn("csim", cosine("qv", "cv"))
-        .withColumn("rk", F.row_number().over(wprobe))
-        .filter(F.col("rk") <= n_probe)
-        .select("query_id", "q_a", "qq_a", "cell_id"))
+        queries.crossJoin(_collect_centroids(centroids))
+        .withColumn("_top",
+                    F.slice(F.reverse(F.array_sort(_scored_cells("qv"))),
+                            1, n_probe))
+        .select("query_id", "q_a", "qq_a",
+                F.explode(F.col("_top.cell_id")).alias("cell_id")))
     dotq = F.expr("aggregate(zip_with(q_a, q_b, "
                   "(x, y) -> CAST(x AS BIGINT) * y), 0L, "
                   "(acc, v) -> acc + v)")
@@ -1558,13 +1598,13 @@ def ann_topk_ivfpq(emb: DataFrame, k: int = TOP_K,
     queries = (emb.filter(F.col("vec_id") < n_queries)
                .select(F.col("vec_id").alias("query_id"),
                        F.col(vec_col).alias("qv")))
-    wprobe = W.partitionBy("query_id").orderBy(F.desc("csim"),
-                                               F.asc("cell_id"))
-    probes = (queries.crossJoin(F.broadcast(centroids))
-              .withColumn("csim", cosine("qv", "cv"))
-              .withColumn("rk", F.row_number().over(wprobe))
-              .filter(F.col("rk") <= n_probe)
-              .select("query_id", "cell_id"))
+    # map-only top-n_probe routing (r18, same rewrite as ann_topk_ivf)
+    probes = (queries.crossJoin(_collect_centroids(centroids))
+              .withColumn("_top",
+                          F.slice(F.reverse(F.array_sort(_scored_cells("qv"))),
+                                  1, n_probe))
+              .select("query_id",
+                      F.explode(F.col("_top.cell_id")).alias("cell_id")))
     lut = (queries.join(F.broadcast(codebook))
            .select("query_id", "sub", "code",
                    _sub_l2("qv", "cw_full", "sub").alias("_d")))
