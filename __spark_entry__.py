@@ -80,6 +80,8 @@ _EDITED_THIS_ROUND = [
     "similarity_ann_quantized",
     "stream_ann_index_parity",
     "stream_ann_index_delete_parity",
+    # map-only PQ encoder (pq_codes nested-HOF fold — same rewrite)
+    "similarity_ann_pq",
     #
     # Round 18 (build session): the round registers the
     # EIGHT pre-built operators from the COVERAGE.md round-17 queue
@@ -94,8 +96,8 @@ _EDITED_THIS_ROUND = [
     # puts them first, followed by the 10-row r14 cohort (agg_approx,
     # agg_approx_bounds, pipeline_courses_parity, q13, q16, q20, q21,
     # window_*) and the stalest r15 rows. With the optimization
-    # session's 17 forced plan-edits above the window is
-    # 8 new + 17 forced + 10 r14 + 15 r15 = 50; the remaining 35 r15
+    # session's 18 forced plan-edits above the window is
+    # 8 new + 18 forced + 10 r14 + 14 r15 = 50; the remaining 36 r15
     # rows stay within the published ceil(168/50)=4-round currency
     # bound until r19.
     #

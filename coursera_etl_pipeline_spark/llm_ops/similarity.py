@@ -1410,22 +1410,33 @@ def pq_codes(emb: DataFrame, codebook: DataFrame,
     """(vec_id, sub, code): every vector's per-subspace nearest
     codeword (ties -> lowest code id).
 
-    The argmin is ONE hash-aggregate — min(struct(_d, code)) per
-    (vec_id, sub), O(1) state, tie-break by the struct's second field
-    — NOT a row_number window: the broadcast cross blows the corpus
-    up M x codewords-fold, and a window would sort-shuffle that whole
-    expansion while the aggregate's map-side partials collapse it
-    back to M rows per vector before the shuffle (r16 plan review;
-    the window form survives as the ORACLE's independent
-    formulation). Same semantics: doubles order identically in struct
-    comparison, and equal distances fall to the lower code id."""
-    d = _sub_l2(vec_col, "cw_full", "sub")
-    return (emb.select("vec_id", vec_col)
-            .join(F.broadcast(codebook))
-            .withColumn("_d", d)
-            .groupBy("vec_id", "sub")
-            .agg(F.min(F.struct(F.col("_d"), F.col("code"))).alias("_m"))
-            .select("vec_id", "sub", F.col("_m.code").alias("code")))
+    MAP-ONLY (optimization r18; the assign_to_centroids rewrite
+    applied to the PQ encoder): the per-(vec, sub) argmin is a pure
+    function of (row, frozen broadcast codebook), so the codebook is
+    collected into ONE broadcast array row and each vector computes
+    its M codes with nested higher-order functions — transform over
+    the subspaces, array_min(struct(d, code)) over that subspace's
+    codewords — then explodes M rows. Zero exchange; the former
+    min(struct) hash-aggregate (itself the r16 fix over a row_number
+    window) still shuffled |corpus| x M collapsed rows. The fold
+    keeps _sub_l2's exact zip_with/aggregate accumulation order
+    (bit-identical doubles) and array_min reproduces min(struct)'s
+    tie-break (equal distances fall to the lower code id)."""
+    cb = F.broadcast(codebook.agg(
+        F.collect_list(F.struct("sub", "code", "cw_full")).alias("_cb")))
+    l2 = (f"aggregate(zip_with("
+          f"slice({vec_col}, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+          f" slice(c.cw_full, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+          f" (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+          f" * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+          f" 0D, (acc, v) -> acc + v)")
+    best = (f"transform(sequence(0, {PQ_SUBSPACES - 1}), s -> struct("
+            f"s AS sub, array_min(transform(filter(_cb, c -> c.sub = s),"
+            f" c -> struct({l2} AS d, c.code AS code))).code AS code))")
+    return (emb.select("vec_id", vec_col).crossJoin(cb)
+            .select("vec_id", F.explode(F.expr(best)).alias("_sc"))
+            .select("vec_id", F.col("_sc.sub").alias("sub"),
+                    F.col("_sc.code").alias("code")))
 
 
 def ann_topk_pq(emb: DataFrame, k: int = TOP_K,
