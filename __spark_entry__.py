@@ -82,6 +82,8 @@ _EDITED_THIS_ROUND = [
     "stream_ann_index_delete_parity",
     # map-only PQ encoder (pq_codes nested-HOF fold — same rewrite)
     "similarity_ann_pq",
+    # verify pass scans the shared postings cache once (all_postings)
+    "dedup_index_update",
     #
     # Round 18 (build session): the round registers the
     # EIGHT pre-built operators from the COVERAGE.md round-17 queue
@@ -96,8 +98,8 @@ _EDITED_THIS_ROUND = [
     # puts them first, followed by the 10-row r14 cohort (agg_approx,
     # agg_approx_bounds, pipeline_courses_parity, q13, q16, q20, q21,
     # window_*) and the stalest r15 rows. With the optimization
-    # session's 18 forced plan-edits above the window is
-    # 8 new + 18 forced + 10 r14 + 14 r15 = 50; the remaining 36 r15
+    # session's 19 forced plan-edits above the window is
+    # 8 new + 19 forced + 10 r14 + 13 r15 = 50; the remaining 37 r15
     # rows stay within the published ceil(168/50)=4-round currency
     # bound until r19.
     #

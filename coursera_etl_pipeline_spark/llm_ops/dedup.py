@@ -730,6 +730,7 @@ def minhash_index_update(batch_docs: DataFrame, corpus_postings: DataFrame,
                          n: int = 3, text_col: str = "text",
                          batch_postings: DataFrame | None = None,
                          batch_index: DataFrame | None = None,
+                         all_postings: DataFrame | None = None,
                          ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One increment of the dedup-index lifecycle:
     index(t+1) = index(t) + today's surviving signatures.
@@ -769,7 +770,16 @@ def minhash_index_update(batch_docs: DataFrame, corpus_postings: DataFrame,
             batch_docs, n=n, text_col=text_col)
         b_post = _materialize(b_post)
         b_band = _materialize(b_band)
-    all_post = corpus_postings.unionByName(b_post)
+    # ``all_postings``: pass the one frame corpus_postings and
+    # batch_postings were both sliced from, when they were (the
+    # registered query slices a shared cached postings index by
+    # complementary doc_id residues) — verification then scans that
+    # frame ONCE instead of scanning the cache twice and unioning
+    # (optimization r18, guide §2.4 redundant passes). Default keeps
+    # the genuine two-artifact union for callers with separate stored
+    # frames (the stream parities).
+    all_post = (all_postings if all_postings is not None
+                else corpus_postings.unionByName(b_post))
     cand = _increment_drop_candidates(b_band, corpus_index)
     dropped = (
         _verify_exact_jaccard(cand, all_post, threshold, carry=("_drop",))
@@ -849,7 +859,10 @@ def dedup_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialized: tiny (|batch| x 4 rows) but its lineage is the
         # full signature aggregation, which would otherwise re-run per
         # candidate-join consumer
-        batch_index=_materialize(banded.filter(is_batch)))
+        batch_index=_materialize(banded.filter(is_batch)),
+        # both postings args are residue slices of sh_idx — let the
+        # verify join scan the shared cached frame once (r18)
+        all_postings=sh_idx)
     return new_index
 
 
