@@ -257,9 +257,20 @@ def jaccard_pairs_prefix(sh_idx: DataFrame,
     # either re-shuffles the postings a second time (sort-merge at
     # corpus scale) or builds a distinct-shingle broadcast (local AQE).
     # Interleaved A/B (tools/ab_lsh_band_r18.py, r18 optimization,
-    # guide §2.3/§2.4): 5.479 s / 10 jobs -> 2.393 s / 8 jobs. Hot
-    # shingles put more rows in one window task, but df>=2 pruning and
-    # the prefix theorem already bound what any shingle contributes.
+    # guide §2.3/§2.4): 5.479 s / 10 jobs -> 2.393 s / 8 jobs.
+    # Skew trade, stated honestly: a hot shingle's whole posting list
+    # lands in ONE window task (a streaming count — no per-row state),
+    # and AQE's skew splitting applies to joins only, so the window
+    # arm cannot be runtime-split; but the sort-merge join-back it
+    # replaces keys the postings by the SAME shingle, so per-key
+    # locality is identical — the window only gives up the
+    # broadcast-hash escape, which stops existing at corpus scale
+    # anyway. Contrast dedup_paragraphs_keep_first / _dup_fingerprints
+    # consumers, which KEEP groupBy+join-back: their aggregate output
+    # (the dup/argmin fingerprint SET) stays broadcast-size at any
+    # corpus scale (true boilerplate is a small distinct set), so
+    # their join-back never re-shuffles the big side — this df table
+    # is |distinct shingles|, corpus-sized, never broadcastable.
     wsh = W.partitionBy("shingle")
     w = W.partitionBy("doc_id")
     ranked = (
