@@ -89,12 +89,15 @@ def build_queries(spark, keyed: bool):
 
 def run_arm(spark, sc, fns, group: str):
     sc.setJobGroup(group, group)
+    per = {}
     t0 = time.monotonic()
     for name, fn in fns.items():
+        q0 = time.monotonic()
         fn().write.format("noop").mode("overwrite").save()
+        per[name] = round(time.monotonic() - q0, 3)
     dt = time.monotonic() - t0
     nj = len(sc.statusTracker().getJobIdsForGroup(group))
-    return dt, nj
+    return dt, nj, per
 
 
 def main() -> None:
@@ -114,16 +117,21 @@ def main() -> None:
 
     times: dict[str, list] = {"A": [], "B": []}
     jobs: dict[str, list] = {"A": [], "B": []}
+    per_q: dict[str, dict] = {"A": {}, "B": {}}
     for cyc in range(CYCLES):
         for arm in ("A", "B") if cyc % 2 == 0 else ("B", "A"):
-            dt, nj = run_arm(spark, sc, arms[arm],
-                             f"ab_events_key_{arm}_{cyc}")
+            dt, nj, per = run_arm(spark, sc, arms[arm],
+                                  f"ab_events_key_{arm}_{cyc}")
             times[arm].append(round(dt, 3))
             jobs[arm].append(nj)
+            for q, s in per.items():
+                per_q[arm].setdefault(q, []).append(s)
     sc.setJobDescription(None)
     for arm in ("A", "B"):
         print(f"{arm}: median {statistics.median(times[arm]):.3f}s "
               f"samples {times[arm]} jobs {jobs[arm]}")
+        for q, ss in per_q[arm].items():
+            print(f"  {arm}.{q}: median {statistics.median(ss):.3f}s {ss}")
 
 
 if __name__ == "__main__":
