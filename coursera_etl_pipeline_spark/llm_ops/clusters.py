@@ -40,11 +40,17 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     m = F.least(F.min("v").over(W.partitionBy("u")), F.col("u"))
+    # No trailing distinct (r18 second pass): duplicates emitted here
+    # compute the same m in small-star's window and die in ITS
+    # trailing distinct — which the alternating-star algorithm needs
+    # anyway — so set semantics per full round are unchanged while
+    # each round drops one exchange (interleaved A/B in
+    # tools/ab_cc_r18.py main_d: 1.955 s / 19 jobs -> 1.718 s / 17,
+    # final star edges asserted identical).
     return (sym.withColumn("m", m)
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct())
+            .filter(F.col("u") != F.col("v")))
 
 
 def _small_star(edges: DataFrame) -> DataFrame:

@@ -131,3 +131,70 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+# --- r18 second pass: can large-star's trailing distinct be elided? ---------
+# D = window form (arm B) but WITHOUT large-star's .distinct(): duplicate
+# edges flow into small-star (inflating its window input) and die in its
+# trailing distinct, which the algorithm needs anyway. One less exchange
+# per round if the duplicate inflation stays cheap.
+
+def large_D(edges):
+    from pyspark.sql import Window as W
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = F.least(F.min("v").over(W.partitionBy("u")), F.col("u"))
+    return (sym.withColumn("m", m).filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v")))  # no .distinct()
+
+
+def main_d() -> None:
+    import statistics, time
+    from coursera_etl_pipeline_spark.session import get_spark
+    from coursera_etl_pipeline_spark.catalog import load_table
+    from coursera_etl_pipeline_spark.llm_ops import dedup as DD
+    from coursera_etl_pipeline_spark.llm_ops.clusters import (
+        _large_star, _small_star, connected_components)
+
+    spark = get_spark()
+    sc = spark.sparkContext
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = DD.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+
+    def cc_with(large_fn, small_fn, pairs, max_iter=20):
+        edges = (pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+                 .filter(F.col("u") != F.col("v")).distinct()
+                 .localCheckpoint(eager=False))
+        def sig(df):
+            r = df.agg(F.count(F.lit(1)).alias("n"),
+                       F.coalesce(F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                                   F.lit(0)).alias("h")).first()
+            return (r.n, r.h)
+        old = sig(edges)
+        for _ in range(max_iter):
+            new = small_fn(large_fn(edges)).localCheckpoint(eager=False)
+            s = sig(new); edges = new
+            if s == old: break
+            old = s
+        return edges
+
+    # equality of final labels
+    eb = cc_with(_large_star, _small_star, pairs)
+    ed = cc_with(large_D, _small_star, pairs)
+    assert sorted(eb.collect()) == sorted(ed.collect())
+    print("equal: final star edges identical")
+
+    times = {"B": [], "D": []}
+    jobs = {"B": [], "D": []}
+    fns = {"B": (_large_star, _small_star), "D": (large_D, _small_star)}
+    for cyc in range(CYCLES):
+        for arm in ("B", "D") if cyc % 2 == 0 else ("D", "B"):
+            g = f"ab_cc2_{arm}_{cyc}"
+            sc.setJobGroup(g, g)
+            t0 = time.monotonic()
+            cc_with(*fns[arm], pairs)
+            times[arm].append(round(time.monotonic() - t0, 3))
+            jobs[arm].append(len(sc.statusTracker().getJobIdsForGroup(g)))
+    for arm in ("B", "D"):
+        print(f"{arm}: median {statistics.median(times[arm]):.3f}s "
+              f"samples {times[arm]} jobs {jobs[arm]}")
