@@ -83,7 +83,13 @@ _EDITED_THIS_ROUND = [
     # map-only PQ encoder (pq_codes nested-HOF fold — same rewrite)
     "similarity_ann_pq",
     # verify pass scans the shared postings cache once (all_postings)
+    # + single-join tagged-union candidate generation (ab_cand_r18.py)
     "dedup_index_update",
+    "dedup_incremental_minhash",
+    "dedup_index_compact",
+    "stream_index_update_parity",
+    "stream_index_multi_tick_parity",
+    "stream_incremental_dedup",
     #
     # Round 18 (build session): the round registers the
     # EIGHT pre-built operators from the COVERAGE.md round-17 queue
@@ -98,8 +104,8 @@ _EDITED_THIS_ROUND = [
     # puts them first, followed by the 10-row r14 cohort (agg_approx,
     # agg_approx_bounds, pipeline_courses_parity, q13, q16, q20, q21,
     # window_*) and the stalest r15 rows. With the optimization
-    # session's 19 forced plan-edits above the window is
-    # 8 new + 19 forced + 10 r14 + 13 r15 = 50; the remaining 37 r15
+    # session's 24 forced plan-edits above the window is
+    # 8 new + 24 forced + 10 r14 + 8 r15 = 50; the remaining 42 r15
     # rows stay within the published ceil(168/50)=4-round currency
     # bound until r19.
     #

@@ -649,18 +649,19 @@ def minhash_incremental_pairs(df: DataFrame,
     corpus_idx = _materialize(banded.filter(~is_batch))  # the frozen index
     batch_banded = banded.filter(is_batch)
 
-    c = corpus_idx.select(F.col("doc_id").alias("c_id"), "band", "bucket")
+    # ONE join over the tagged (corpus + batch) index union instead of
+    # two probe joins + a unioned distinct — the same r18 rewrite as
+    # _increment_drop_candidates (see its docstring for the A/B); this
+    # family orients pairs by least/greatest.
+    idx = (corpus_idx.withColumn("_corpus", F.lit(True))
+           .unionByName(batch_banded.withColumn("_corpus", F.lit(False))))
     b1 = batch_banded.select(F.col("doc_id").alias("b_id"), "band", "bucket")
-    batch_x_corpus = (
-        b1.join(c, ["band", "bucket"])
-        .select(F.least("b_id", "c_id").alias("doc_a"),
-                F.greatest("b_id", "c_id").alias("doc_b")))
-    b2 = batch_banded.select(F.col("doc_id").alias("b_id2"), "band", "bucket")
-    batch_x_batch = (
-        b1.join(b2, ["band", "bucket"])
-        .filter(F.col("b_id") < F.col("b_id2"))
-        .select(F.col("b_id").alias("doc_a"), F.col("b_id2").alias("doc_b")))
-    cand = batch_x_corpus.unionAll(batch_x_batch).distinct()
+    r = idx.select(F.col("doc_id").alias("o_id"), "band", "bucket", "_corpus")
+    cand = (b1.join(r, ["band", "bucket"])
+            .filter(F.col("_corpus") | (F.col("b_id") < F.col("o_id")))
+            .select(F.least("b_id", "o_id").alias("doc_a"),
+                    F.greatest("b_id", "o_id").alias("doc_b"))
+            .distinct())
     return _verify_exact_jaccard(cand, sh_idx, threshold)
 
 
@@ -718,21 +719,26 @@ def _increment_drop_candidates(b_band: DataFrame,
 
     Both candidate sets verify in ONE postings pass (they are
     disjoint: corpus and batch ids never coincide); ``_drop`` is the
-    batch doc for batch x corpus, the larger id for batch x batch."""
-    c = corpus_index.select(F.col("doc_id").alias("c_id"), "band", "bucket")
-    b1 = b_band.select(F.col("doc_id").alias("b_id"), "band", "bucket")
-    cand_bc = (b1.join(c, ["band", "bucket"])
-               .select(F.col("b_id").alias("doc_a"),
-                       F.col("c_id").alias("doc_b"))
-               .distinct())
-    b2 = b_band.select(F.col("doc_id").alias("b_id2"), "band", "bucket")
-    cand_bb = (b1.join(b2, ["band", "bucket"])
-               .filter(F.col("b_id") < F.col("b_id2"))
-               .select(F.col("b_id").alias("doc_a"),
-                       F.col("b_id2").alias("doc_b"))
-               .distinct())
-    return (cand_bc.withColumn("_drop", F.col("doc_a"))
-            .unionByName(cand_bb.withColumn("_drop", F.col("doc_b"))))
+    batch doc for batch x corpus, the larger id for batch x batch.
+
+    ONE join, not two (optimization r18, guide §2.4): the batch probes
+    a single (corpus + batch) index union carrying an ``_corpus`` tag;
+    the batch-pair ordering constraint and the _drop rule become
+    row-local expressions and ONE distinct replaces two. The probe
+    side is shuffled once instead of twice, the index sides move the
+    same bytes they did across the two joins. Interleaved A/B running
+    update + incremental end to end (tools/ab_cand_r18.py, 9 cycles,
+    checksum equality): 1.576 s / 17 jobs -> 1.369 s / 14 jobs."""
+    idx = (corpus_index.withColumn("_corpus", F.lit(True))
+           .unionByName(b_band.withColumn("_corpus", F.lit(False))))
+    b1 = b_band.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    r = idx.select(F.col("doc_id").alias("doc_b"), "band", "bucket", "_corpus")
+    return (b1.join(r, ["band", "bucket"])
+            .filter(F.col("_corpus") | (F.col("doc_a") < F.col("doc_b")))
+            .select("doc_a", "doc_b",
+                    F.when(F.col("_corpus"), F.col("doc_a"))
+                    .otherwise(F.col("doc_b")).alias("_drop"))
+            .distinct())
 
 
 def minhash_index_update(batch_docs: DataFrame, corpus_postings: DataFrame,
