@@ -46,50 +46,47 @@ _EDITED_THIS_ROUND = [
     # green rows predate the change, so they outrank everything the history
     # says is current.  Update per round alongside the round's edits.
     #
-    # Round-18 OPTIMIZATION forcing: these queries' DataFrame plans
-    # changed (connected_components star rounds -> window-min form in
-    # llm_ops/clusters.py; minhash_index_delete resurrection -> one
-    # aggregate in llm_ops/dedup.py; funnel_depth -> flat step frames
-    # in streaming/queries.py). Outputs proven oracle-identical at all
-    # three SFs before forcing; forced anyway per the rotation
-    # contract (tests/test_entry_rotation.py: "anything that changes a
-    # DataFrame plan must be forced"). events_funnel's plan also
-    # changed but it is one of the eight no-green-row r18
-    # registrations that already sort first.
+    # Round-19 OPTIMIZATION forcing. Window math: the 33-row r15 cohort
+    # must head the r19 window (ceil(168/50)=4-round currency bound), so
+    # forcing may consume at most 17 slots; the list below stays inside
+    # that budget. Every entry's output proven oracle-identical at all
+    # three SFs before forcing; forced per the rotation contract
+    # (tests/test_entry_rotation.py: "anything that changes a DataFrame
+    # plan must be forced").
+    #
+    # connected-components loop: convergence signature rides the
+    # checkpoint materialization via observe() (one action per round),
+    # and keep_representative joins the converged star edges directly
+    # (nodes union/distinct/join elided) — llm_ops/clusters.py, A/B in
+    # tools/ab_cc_r19.py (33 -> 18 jobs).
     "dedup_minhash_keep_representative",
     "dedup_components",
     "dedup_clusters",
     "dedup_image_clusters",
-    "dedup_index_delete",
-    "stream_index_delete_parity",
-    # keyed fan-out (events family, one shared user_id exchange —
-    # catalog.load_table cluster_by; A/B in tools/ab_events_key_r18.py)
-    "events_session_window",
-    "events_resample_gapfill",
-    # jaccard_pairs_prefix df-ranking via shingle window (A/B in
-    # tools/ab_lsh_band_r18.py; components/clusters already forced)
-    "dedup_ngram_jaccard",
-    # map-only IVF centroid assignment + probe routing
-    # (similarity.assign_to_centroids transform/array_max rewrite —
-    # every IVF consumer's plan changed; A/B in tools/ab_ivf_r18.py)
-    "similarity_ann_ivf",
-    "similarity_ivf_recall",
-    "similarity_index_update",
-    "similarity_index_delete",
-    "dedup_semantic",
-    "similarity_ann_quantized",
-    "stream_ann_index_parity",
-    "stream_ann_index_delete_parity",
-    # map-only PQ encoder (pq_codes nested-HOF fold — same rewrite)
-    "similarity_ann_pq",
-    # verify pass scans the shared postings cache once (all_postings)
-    # + single-join tagged-union candidate generation (ab_cand_r18.py)
+    # ADVICE r18 (medium): similarity_rrf_fusion consumes ann_topk_ivf,
+    # whose plan changed in r18 (map-only centroid assignment + probe
+    # routing), but it was missing from the r18 forcing list — its r16
+    # green row predates that plan change, so it is re-verified here.
+    "similarity_rrf_fusion",
+    # dedup-index lifecycle join elisions (llm_ops/dedup.py, A/B in
+    # tools/ab_idx_r19.py): artifacts anti-join the dropped set
+    # directly (b_band ⋉ (batch ∖ dropped) == b_band ⋉̸ dropped), the
+    # dropped/removed build sides lose their .distinct() (anti/semi
+    # joins are duplicate-insensitive), and the delete verb pins
+    # F.broadcast on the removed/partner sets (ADVICE r18 low).
     "dedup_index_update",
-    "dedup_incremental_minhash",
+    "dedup_index_delete",
     "dedup_index_compact",
     "stream_index_update_parity",
     "stream_index_multi_tick_parity",
-    "stream_incremental_dedup",
+    "stream_index_delete_parity",
+    #
+    # Round-18 forcing (historical): 24 plan-changed queries from the
+    # r18 optimization session (CC window-min form, one-aggregate
+    # delete resurrection, flat funnel frames, events keyed fan-out,
+    # ngram df-window, map-only IVF assignment + PQ encoder, shared
+    # postings verify scan, tagged-union candidate generation) — all
+    # certified green in CORRECTNESS_r18.
     #
     # Round 18 (build session): the round registers the
     # EIGHT pre-built operators from the COVERAGE.md round-17 queue

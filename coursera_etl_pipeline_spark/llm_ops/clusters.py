@@ -78,66 +78,95 @@ def _small_star(edges: DataFrame) -> DataFrame:
             .distinct())
 
 
+def _ckpt_sig(df: DataFrame) -> tuple[DataFrame, tuple]:
+    """localCheckpoint a frontier AND read its convergence signature
+    (count + commutative xxhash sum — identical edge SET detector;
+    exact equality would be an anti-join) from the SAME materialization
+    via observe(): one action per round instead of checkpoint-then-
+    aggregate (optimization r19, guide §2.4 — the separate ``_sig``
+    aggregate was a full extra pass over the frontier per round; the
+    interleaved A/B in tools/ab_cc_r19.py reads 33 -> 18 jobs over the
+    whole keep-representative query). decimal accumulator: a long sum
+    of 64-bit hashes overflows under ANSI arithmetic.
+
+    localCheckpoint, deliberately NOT persist: each round's plan embeds
+    the previous frontier TWICE (the large-star self-union), so without
+    plan truncation the logical tree doubles per round and Catalyst
+    analysis goes exponential. localCheckpoint rewraps the frontier as
+    a LogicalRDD — O(1) plan size per round — which persist()
+    (data-only reuse, full lineage kept) cannot do. Eager (the default)
+    instead of the former eager=False: the signature was always the
+    frontier's first action, so materialization timing is unchanged —
+    the observation just rides it."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    watched = df.observe(
+        obs, F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                   F.lit(0)).alias("h"))
+    ck = watched.localCheckpoint(eager=True)
+    got = obs.get
+    return ck, (got["n"], got["h"])
+
+
+def _star_edges(pairs: DataFrame,
+                max_iter: int = 20) -> tuple[DataFrame, DataFrame]:
+    """Alternating large-star / small-star rounds to the fixed point.
+    Returns (initial_edges, star_edges): the checkpointed normalized
+    input edge list (what ``connected_components`` derives the node set
+    from) and the CONVERGED star forest — every edge points directly at
+    its component's min-id root, roots never appear on the u side.
+
+    Callers that hold a superset of the node set (the keep-
+    representative verdict joins the full corpus) consume the star
+    edges DIRECTLY: coalesce(v, doc_id) labels roots, singletons, and
+    members identically, so the nodes union/distinct/join inside
+    ``connected_components`` never has to run (optimization r19,
+    guide §2.4 — same A/B as above)."""
+    edges, sig_old = _ckpt_sig(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v")).distinct())
+    initial = edges
+    for _ in range(max_iter):
+        edges, sig_new = _ckpt_sig(_small_star(_large_star(edges)))
+        if sig_new == sig_old:
+            return initial, edges
+        sig_old = sig_new
+    # Without a fixed point the edge set need not be a star forest,
+    # and a label join over it would silently emit multiple rows per
+    # doc_id with arbitrary labels. Convergence is O(log^2 n) rounds
+    # (Kiveris et al.), so hitting this means max_iter is far too
+    # small for the graph — fail loudly rather than mislabel.
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "raise max_iter (star contraction needs O(log^2 n) rounds)")
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """(doc_a, doc_b) undirected pairs -> (doc_id, component) where
     component = min doc_id reachable. Alternating large-star /
     small-star to a fixed point; at convergence every edge points
     directly at its component's root."""
-    # localCheckpoint, deliberately NOT persist: each round's plan
-    # embeds the previous frontier TWICE (the large-star self-union),
-    # so without plan truncation the logical tree doubles per round and
-    # Catalyst analysis goes exponential. localCheckpoint rewraps the
-    # frontier as a LogicalRDD — O(1) plan size per round — which
-    # persist() (data-only reuse, full lineage kept) cannot do.
-    edges = (pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-             .filter(F.col("u") != F.col("v"))
-             .distinct().localCheckpoint(eager=False))
-    nodes = (edges.select(F.col("u").alias("doc_id"))
-             .union(edges.select(F.col("v").alias("doc_id")))
+    initial, star = _star_edges(pairs, max_iter)
+    nodes = (initial.select(F.col("u").alias("doc_id"))
+             .union(initial.select(F.col("v").alias("doc_id")))
              .distinct())
-
-    def _sig(df: DataFrame) -> tuple:
-        # convergence = identical edge SET; count + commutative hash sum
-        # is one cheap aggregate (exact equality would be an anti-join).
-        # decimal accumulator: a long sum of 64-bit hashes overflows
-        # under ANSI arithmetic.
-        r = df.agg(F.count(F.lit(1)).alias("n"),
-                   F.coalesce(F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
-                               F.lit(0)).alias("h")).first()
-        return (r.n, r.h)
-
-    sig_old = _sig(edges)
-    converged = False
-    for _ in range(max_iter):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
-        sig_new = _sig(new_edges)
-        edges = new_edges
-        if sig_new == sig_old:
-            converged = True
-            break
-        sig_old = sig_new
-    if not converged:
-        # Without a fixed point the edge set need not be a star forest,
-        # and the left join below would silently emit multiple rows per
-        # doc_id with arbitrary labels. Convergence is O(log^2 n) rounds
-        # (Kiveris et al.), so hitting this means max_iter is far too
-        # small for the graph — fail loudly rather than mislabel.
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds; "
-            "raise max_iter (star contraction needs O(log^2 n) rounds)")
-
-    # converged star edges: u -> root; roots themselves never appear as u
-    labels = nodes.join(edges.withColumnRenamed("u", "doc_id"), "doc_id", "left")
+    labels = nodes.join(star.withColumnRenamed("u", "doc_id"), "doc_id", "left")
     return labels.select(
         "doc_id", F.coalesce("v", "doc_id").alias("component"))
 
 
 def dedup_survivors(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Full survivor set: docs minus every non-canonical member of a
-    duplicate cluster (canonical = min doc_id in the component)."""
-    comp = connected_components(pairs)
-    losers = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
-    return docs.join(losers, "doc_id", "left_anti")
+    duplicate cluster (canonical = min doc_id in the component).
+
+    Non-canonical members are exactly the u side of the converged star
+    forest (roots never appear as u), so the loser set needs no label
+    join at all — one anti-join against the star edges (r19)."""
+    _initial, star = _star_edges(pairs)
+    return docs.join(star.select(F.col("u").alias("doc_id")),
+                     "doc_id", "left_anti")
 
 
 @query(
@@ -265,15 +294,24 @@ def minhash_keep_representative(docs: DataFrame) -> DataFrame:
     candidate join (never all-pairs), the O(log^2 n)-round star
     contraction (shuffle-bounded, plan-truncated per round), and one
     LEFT equi-join back onto the corpus. Nothing new joins at corpus
-    scale; the verdict column is map-side arithmetic."""
+    scale; the verdict column is map-side arithmetic.
+
+    The corpus joins the converged star edges DIRECTLY (r19, guide
+    §2.4): docs ⊇ nodes, so coalesce(v, doc_id) labels members (edge
+    hit), roots and singletons (miss) exactly as the label table
+    would — the nodes union + distinct + label join inside
+    ``connected_components`` never runs. Interleaved A/B over the full
+    query (tools/ab_cc_r19.py, with the observe-piggybacked rounds):
+    2.909 s / 33 jobs -> 1.563 s / 18 jobs, output checksum-identical
+    per cycle."""
     from coursera_etl_pipeline_spark.llm_ops.dedup import minhash_lsh_pairs
 
     pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
-    comp = connected_components(pairs)
-    return (docs.select("doc_id").join(comp, "doc_id", "left")
+    _initial, star = _star_edges(pairs)
+    return (docs.select("doc_id")
+            .join(star.withColumnRenamed("u", "doc_id"), "doc_id", "left")
             .select("doc_id",
-                    F.coalesce("component", F.col("doc_id"))
-                    .alias("component"))
+                    F.coalesce("v", F.col("doc_id")).alias("component"))
             .withColumn("is_kept", F.col("doc_id") == F.col("component")))
 
 

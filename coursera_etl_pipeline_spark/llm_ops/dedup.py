@@ -798,15 +798,25 @@ def minhash_index_update(batch_docs: DataFrame, corpus_postings: DataFrame,
     all_post = (all_postings if all_postings is not None
                 else corpus_postings.unionByName(b_post))
     cand = _increment_drop_candidates(b_band, corpus_index)
+    # No .distinct() on the drop set (r19, guide §2.4): every consumer
+    # below is an anti/semi join, which is duplicate-insensitive on its
+    # build side — the distinct only paid an exchange to shrink a set
+    # that is already bounded by the verified-pair count.
     dropped = (
         _verify_exact_jaccard(cand, all_post, threshold, carry=("_drop",))
-        .select(F.col("_drop").alias("doc_id"))
-        .distinct())
+        .select(F.col("_drop").alias("doc_id")))
     survivors = batch_docs.select("doc_id").join(dropped, "doc_id", "left_anti")
+    # The artifacts anti-join ``dropped`` DIRECTLY instead of
+    # semi-joining ``survivors`` (r19, guide §2.4): the batch
+    # artifacts' doc_ids are a subset of the batch ids, so
+    # b_x ⋉ (batch ∖ dropped) == b_x ⋉̸ dropped row for row — one join
+    # instead of an anti + semi chain per artifact. Interleaved A/B on
+    # the full registered query (tools/ab_idx_r19.py): 1.158 s /
+    # 9 jobs -> 1.070 s / 6 jobs, checksum-identical output.
     new_postings = corpus_postings.unionByName(
-        b_post.join(survivors, "doc_id", "left_semi"))
+        b_post.join(dropped, "doc_id", "left_anti"))
     new_index = corpus_index.unionByName(
-        b_band.join(survivors, "doc_id", "left_semi"))
+        b_band.join(dropped, "doc_id", "left_anti"))
     return survivors, new_postings, new_index
 
 
@@ -954,8 +964,19 @@ def minhash_index_delete(removed_ids: DataFrame,
     never rescanned, never re-shingled.
 
     Returns (new_postings, new_index, resurrected)."""
-    removed = removed_ids.select("doc_id")
-    rem_partner = removed.withColumnRenamed("doc_id", "partner")
+    # F.broadcast pins (ADVICE r18 / r19): the removed set is
+    # broadcast-size by this verb's contract (the docstring's 100 TB
+    # posture), but without the hint the ledger's left join below may
+    # plan sort-merge at scale and reshuffle the whole ledger; the pin
+    # makes the intended plan explicit on every removed-set join. No
+    # .distinct() is inserted: removed_ids is a doc-id SET by contract
+    # (duplicate partners would only re-mark already-dead ledger rows —
+    # the _n_alive sum counts unmatched rows, which a left join never
+    # multiplies — and the anti/semi joins are duplicate-insensitive).
+    removed = F.broadcast(removed_ids.select("doc_id"))
+    rem_partner = F.broadcast(
+        removed_ids.select(F.col("doc_id").alias("partner"),
+                           F.lit(True).alias("_rm")))
     # resurrected = dropped docs with ZERO surviving justifications.
     # ONE pass over the ledger: broadcast-mark removed partners, count
     # survivors per doc in a single partial-agg'd aggregate. The former
@@ -964,8 +985,7 @@ def minhash_index_delete(removed_ids: DataFrame,
     # §2.4; interleaved A/B in tools/ab_delete_r18.py).
     alive = F.when(F.col("_rm").isNull(), 1).otherwise(0)
     resurrected = (drop_ledger
-                   .join(rem_partner.withColumn("_rm", F.lit(True)),
-                         "partner", "left")
+                   .join(rem_partner, "partner", "left")
                    .groupBy("doc_id")
                    .agg(F.sum(alive).alias("_n_alive"))
                    .filter(F.col("_n_alive") == 0)
@@ -1043,15 +1063,19 @@ def dedup_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     b_band = _materialize(banded.filter(is_batch))
     ledger = _materialize(
         minhash_drop_ledger(b_band, c_band, sh_idx))
-    dropped = ledger.select("doc_id").distinct()
-    batch_ids = docs.filter(is_batch).select("doc_id")
-    survivors = batch_ids.join(dropped, "doc_id", "left_anti")
-    # the stored index after the increment, survivor rows only
+    # anti/semi build side only — duplicates are fine, the distinct
+    # would just pay an exchange (r19, same reasoning as
+    # minhash_index_update's drop set; A/B in tools/ab_idx_r19.py:
+    # the full query reads 1.232 s / 13 jobs -> 0.992 s / 8 jobs)
+    dropped = ledger.select("doc_id")
+    # the stored index after the increment, survivor rows only —
+    # expressed as ONE anti-join per artifact (batch-artifact doc_ids
+    # ⊆ batch ids, so ⋉ (batch ∖ dropped) == ⋉̸ dropped)
     post_t1 = (sh_idx.filter(~is_batch)
                .unionByName(sh_idx.filter(is_batch)
-                            .join(survivors, "doc_id", "left_semi")))
+                            .join(dropped, "doc_id", "left_anti")))
     index_t1 = c_band.unionByName(
-        b_band.join(survivors, "doc_id", "left_semi"))
+        b_band.join(dropped, "doc_id", "left_anti"))
     _post, new_index, _res = minhash_index_delete(
         removed_ids=docs.filter(is_removed).select("doc_id"),
         postings=post_t1, index=index_t1, drop_ledger=ledger,

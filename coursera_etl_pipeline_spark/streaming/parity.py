@@ -700,7 +700,10 @@ def apply_index_increment(bdf: "DataFrame", post_dir: str,
             ledger = minhash_drop_ledger(
                 b_band, s.read.parquet(band_dir),
                 s.read.parquet(post_dir).unionByName(b_post)).persist()
-            dropped = ledger.select("doc_id").distinct()
+            # anti/semi build side only: duplicates are fine, the
+            # former .distinct() just paid an exchange (r19, the
+            # minhash_index_update drop-set reasoning)
+            dropped = ledger.select("doc_id")
             survivors = bdf.select("doc_id").join(
                 dropped, "doc_id", "left_anti")
         survivors = survivors.persist()
@@ -733,7 +736,7 @@ def apply_index_increment(bdf: "DataFrame", post_dir: str,
             (b_post.join(survivors, "doc_id", "left_semi")
              .write.parquet(f"{stage}/post"))
             if aux_dirs is not None:
-                dropped = ledger.select("doc_id").distinct()
+                dropped = ledger.select("doc_id")
                 ledger.write.parquet(f"{stage}/ledger")
                 (b_post.join(dropped, "doc_id", "left_semi")
                  .write.parquet(f"{stage}/tpost"))
