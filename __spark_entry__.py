@@ -80,6 +80,19 @@ _EDITED_THIS_ROUND = [
     "stream_index_update_parity",
     "stream_index_multi_tick_parity",
     "stream_index_delete_parity",
+    # both-sides-of-a-self-join materialization (llm_ops/dedup.py):
+    # the ngram prefix frame and the LSH banded frame each fed both
+    # sides of their candidate self-join, recomputing the window chain
+    # / signature aggregate once per side — now _materialize'd (A/Bs
+    # in tools/ab_ngram_r19.py and tools/ab_lsh_r19.py; the components
+    # / clusters / keep_representative consumers are forced above).
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    # dedup_minhash_calibration consumes minhash_lsh_pairs too (its
+    # verified-pair input inherits the materialized banded frame), so
+    # its plan changed with the same edit; latest green r17 sits
+    # outside the natural r19 window -> forced (14 of the 17 slots).
+    "dedup_minhash_calibration",
     #
     # Round-18 forcing (historical): 24 plan-changed queries from the
     # r18 optimization session (CC window-min form, one-aggregate

@@ -282,9 +282,18 @@ def jaccard_pairs_prefix(sh_idx: DataFrame,
     )
     # ceil with epsilon: t*n2 computed in floating point can land a hair
     # ABOVE an exact integer (0.8*10 -> 8.000000000000002), which would
-    # shrink the prefix below the theorem's bound and lose pairs
-    prefix = ranked.filter(
-        F.col("rk") <= F.col("n2") - F.ceil(F.lit(threshold) * F.col("n2") - 1e-9) + 1)
+    # shrink the prefix below the theorem's bound and lose pairs.
+    # _materialize'd (r19, guide §2.4): the candidate self-join consumes
+    # the prefix frame on BOTH sides, and without the cache each side
+    # recomputes the df-window + rank-window chain over the postings
+    # (the before-plan shows the 2-Exchange/3-Window subtree twice) —
+    # the same both-sides-of-a-self-join treatment the shingle index
+    # itself already gets. Interleaved A/B (tools/ab_ngram_r19.py):
+    # 1.133 s -> 1.021 s median with visibly tighter variance; at
+    # corpus scale this is one window pass over the postings instead
+    # of two per query.
+    prefix = _materialize(ranked.filter(
+        F.col("rk") <= F.col("n2") - F.ceil(F.lit(threshold) * F.col("n2") - 1e-9) + 1))
 
     pa = prefix.select(F.col("doc_id").alias("doc_a"),
                        F.col("nsh").alias("na"), "shingle")
@@ -499,7 +508,17 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = JACCARD_THRESHOLD,
         shingles(df, n=n, text_col=text_col)
         .select("doc_id", F.size("_shingles").alias("nsh"),
                 F.explode("_shingles").alias("shingle")))
-    banded = _banded(_signatures_from_shingles(sh_idx))
+    # _materialize'd (r19, guide §2.4): the candidate self-join consumes
+    # the banded frame on BOTH sides, and without the cache each side
+    # recomputes the 16-aggregate signature groupBy + band explode over
+    # the postings (the before-plan shows that subtree twice — one per
+    # join side; at corpus scale that is two signature passes per query
+    # where one suffices, and in production this frame IS the persisted
+    # band index). Interleaved A/B (tools/ab_lsh_r19.py): 0.943 s ->
+    # 0.871 s median, same job count. The incremental variant's batch
+    # slice measured flat under the same treatment (1.029 -> 0.998 —
+    # its corpus side is already materialized) and was left alone.
+    banded = _materialize(_banded(_signatures_from_shingles(sh_idx)))
 
     a = banded.alias("a")
     b = banded.alias("b")

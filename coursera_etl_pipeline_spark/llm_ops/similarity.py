@@ -341,7 +341,17 @@ def _cosine_lambda_sql(a: str, b: str) -> str:
 def _collect_centroids(centroids: DataFrame) -> DataFrame:
     """The frozen centroid table as ONE broadcast row holding an
     ascending-cell_id array of (cell_id, cv) structs — the form the
-    map-side assignment and probe expressions fold over."""
+    map-side assignment and probe expressions fold over.
+
+    CONTRACT (ADVICE r18): the centroid input must be NON-EMPTY. The
+    aggregate emits one row even for an empty table, so downstream
+    array_max over the empty _cents array would yield NULL cell_id
+    rows where the pre-r18 crossJoin(broadcast(empty)) produced zero
+    rows. Unreachable with the fixed N_CELLS/PQ codebooks every caller
+    uses; a filter guard would change the physical plan of all ten
+    certified IVF/PQ consumers, which the r19 rotation window cannot
+    absorb (window math in __spark_entry__), so the contract is pinned
+    here and by test_collect_centroids_empty_contract instead."""
     return F.broadcast(centroids.agg(
         F.sort_array(F.collect_list(F.struct("cell_id", "cv")))
         .alias("_cents")))
@@ -1421,7 +1431,12 @@ def pq_codes(emb: DataFrame, codebook: DataFrame,
     window) still shuffled |corpus| x M collapsed rows. The fold
     keeps _sub_l2's exact zip_with/aggregate accumulation order
     (bit-identical doubles) and array_min reproduces min(struct)'s
-    tie-break (equal distances fall to the lower code id)."""
+    tie-break (equal distances fall to the lower code id).
+
+    CONTRACT: the codebook must be NON-EMPTY and cover every subspace
+    (the _collect_centroids empty-input note applies verbatim — an
+    empty or sub-missing codebook yields NULL code rows, not zero
+    rows)."""
     cb = F.broadcast(codebook.agg(
         F.collect_list(F.struct("sub", "code", "cw_full")).alias("_cb")))
     l2 = (f"aggregate(zip_with("

@@ -1010,7 +1010,12 @@ def test_materialize_memoizes_per_plan(spark, sf_dir):
         again = sorted(map(tuple, dedup_ngram_jaccard(spark, sf_dir).collect()))
         assert again == first
     after = sum(len(b) for d in _MATERIALIZED.values() for b in d.values())
-    assert after - before == 1
+    # Two distinct memoized frames since r19 (the shingle index AND the
+    # prefix frame — jaccard_pairs_prefix materializes the prefix for
+    # its self-join's two sides); the property under test is that the
+    # count stays FLAT across the three identical runs, not the exact
+    # number of frames one run pins.
+    assert after - before == 2
 
     clear_materialized(spark)
     assert spark not in _MATERIALIZED
@@ -1115,6 +1120,25 @@ def test_dedup_image_dhash_recovers_planted_pairs(spark):
     got = {(r.doc_a, r.doc_b) for r in rows}
     assert got == {(2 * g, 2 * g + 1) for g in range(16)}
     assert all(r.hamming <= 6 for r in rows)
+
+
+def test_collect_centroids_empty_contract(spark, sf_dir):
+    """Pins the _collect_centroids/pq_codes NON-EMPTY input contract
+    (ADVICE r18): the broadcast-array helpers aggregate to ONE row even
+    for an empty centroid table, so assignment over it yields |corpus|
+    NULL-cell rows rather than the zero rows the pre-r18 cross join
+    produced. A filter guard would change ten certified consumers'
+    plans (rotation-window math in __spark_entry__), so the behavior
+    is pinned here so any future caller that can see an empty centroid
+    set knows to guard at ITS edge."""
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .filter(F.col("vec_id") < 5))
+    empty = (emb.filter(F.lit(False))
+             .select(F.col("vec_id").alias("cell_id"),
+                     F.col("embedding").alias("cv")))
+    out = similarity.assign_to_centroids(emb, empty).collect()
+    assert len(out) == emb.count()  # one row per vector survives...
+    assert all(r.cell_id is None for r in out)  # ...with a NULL cell
 
 
 def test_ivf_index_append_two_increments_equal_rebuild(spark, sf_dir):
